@@ -1,0 +1,45 @@
+"""Durable epoch/offset checkpoints.
+
+The reference tracks progress only in memory (``pages_fetched`` /
+LIMIT-OFFSET cursor, ``/root/reference/ingestion/api_client.py:191``,
+``pg_client.py:212-241``) and is lost on crash. The engine's checkpoint is a
+tiny JSON document written atomically after each table commit, recording the
+last applied ``(epoch, seq_hi)`` per source.
+
+Exactly-once does NOT depend on this file: the table snapshot itself records
+the epoch id, and replay skips epochs in ``LakeTable.committed_epochs()``.
+The checkpoint only makes resume O(1) (no snapshot-log scan) and carries the
+source offset for a real binlog tail. A crash between table commit and
+checkpoint write therefore re-offers the epoch, the table skips it, and the
+checkpoint heals — no duplicate or lost applies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+
+class CheckpointStore:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def load(self) -> dict[str, Any]:
+        if not os.path.exists(self.path):
+            return {"sources": {}}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def last_epoch(self, source: str = "binlog") -> int | None:
+        e = self.load()["sources"].get(source)
+        return None if e is None else e["epoch"]
+
+    def commit(self, source: str, epoch: int, seq_hi: int, extra: dict | None = None) -> None:
+        doc = self.load()
+        doc["sources"][source] = {"epoch": epoch, "seq_hi": seq_hi, **(extra or {})}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, self.path)

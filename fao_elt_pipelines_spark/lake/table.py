@@ -1,0 +1,381 @@
+"""Iceberg-semantics lake table in pure PySpark + JSON metadata.
+
+No Iceberg runtime jar exists in this sandbox (no network for --packages),
+so the engine implements the Iceberg *semantics* it needs directly, behind a
+small interface so a real catalog's ``MERGE INTO`` can be swapped in:
+
+- immutable Parquet data files under ``data/``
+- JSON table metadata under ``metadata/``: schema with field IDs, partition
+  spec (hash-bucket on ``repo``), snapshot log
+- each snapshot = manifest (data-file list with per-file stats + lineage) +
+  summary (operation, epoch id, metrics)
+- atomic commit via write-temp-then-``os.replace`` of a VERSION pointer —
+  the local-FS stand-in for a catalog's compare-and-swap
+- time travel: read any snapshot id
+- additive schema evolution by field-ID union (lake.schema_evo)
+- exactly-once: the epoch id committed inside the snapshot summary; replay
+  consults ``committed_epochs()`` and skips — idempotency by replay-skip,
+  not by the reference's truncate+reload
+  (``/root/reference/ingestion/load_to_database.py:70-83``).
+
+Partition layout & pruning
+--------------------------
+The base table is hash-bucketed: ``bucket = pmod(xxhash64(repo), n_buckets)``.
+Buckets are directories (``_bucket=N``); the bucket of a row is recomputable
+from ``repo`` so reads never depend on directory parsing. MERGE rewrites
+*only the buckets the delta touches* (copy-on-write): a distinct on the
+delta's bucket ids (≤ n_buckets values) prunes the base scan to the touched
+files via the manifest — at 100 TB this is the difference between rewriting
+the table and rewriting a few percent of it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dedup import lww_dedup
+from . import schema_evo
+
+STATE_COLUMNS = ["repo", "path", "commit", "lang", "content", "content_sha256", "last_seq"]
+
+
+def bucket_expr(n_buckets: int, repo_col: str = "repo") -> F.Column:
+    return F.pmod(F.xxhash64(F.col(repo_col)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_id: int | None
+    timestamp_ms: int
+    operation: str  # append | merge | overwrite
+    epoch_id: int | None
+    manifest: list[dict[str, Any]]  # [{path, bucket, rows, source_epoch}]
+    summary: dict[str, Any] = field(default_factory=dict)
+
+
+class LakeTable:
+    """A versioned, bucketed Parquet table with snapshot isolation."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+
+    # ---------------------------------------------------------------- DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 64,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        meta = {
+            "format_version": 1,
+            "table_uuid": str(uuid.uuid4()),
+            "n_buckets": n_buckets,
+            "schema": schema_evo.schema_to_registry(schema),
+            "partition_spec": [{"source": "repo", "transform": f"bucket[{n_buckets}]"}],
+            "current_snapshot_id": None,
+            "snapshots": [],
+        }
+        t._write_metadata(meta, version=0)
+        return t
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "metadata", "VERSION"))
+
+    # ----------------------------------------------------------- metadata
+    def _version(self) -> int:
+        with open(os.path.join(self.meta_dir, "VERSION")) as f:
+            return int(f.read().strip())
+
+    def _load_metadata(self) -> dict[str, Any]:
+        v = self._version()
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+            return json.load(f)
+
+    def _write_metadata(self, meta: dict[str, Any], version: int) -> None:
+        """Atomic commit: metadata file first, then rename the pointer.
+
+        ``os.replace`` is atomic on POSIX — the local stand-in for a
+        catalog CAS. A crash before the replace leaves the old version
+        current and the new files orphaned (ignored by manifest-driven
+        reads).
+        """
+        mp = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        with open(mp + ".tmp", "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(mp + ".tmp", mp)
+        vp = os.path.join(self.meta_dir, "VERSION")
+        with open(vp + ".tmp", "w") as f:
+            f.write(str(version))
+        os.replace(vp + ".tmp", vp)
+
+    @property
+    def n_buckets(self) -> int:
+        return self._load_metadata()["n_buckets"]
+
+    def schema(self) -> T.StructType:
+        return schema_evo.registry_to_schema(self._load_metadata()["schema"])
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        return self._load_metadata()["snapshots"]
+
+    def current_snapshot(self) -> dict[str, Any] | None:
+        meta = self._load_metadata()
+        sid = meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        return next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+
+    def committed_epochs(self) -> set[int]:
+        return {
+            s["epoch_id"] for s in self.snapshots() if s.get("epoch_id") is not None
+        }
+
+    # --------------------------------------------------------------- read
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """Read the table at a snapshot (default: current). Time travel =
+        pass any historical snapshot id."""
+        meta = self._load_metadata()
+        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+        schema = schema_evo.registry_to_schema(meta["schema"])
+        if sid is None:
+            return self.spark.createDataFrame([], schema)
+        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+        files = [e["path"] for e in snap["manifest"]]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # Explicit schema: old files lacking newly-added fields read as NULL
+        # (additive evolution); extra pruning comes from Parquet stats.
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def read_buckets(self, buckets: set[int], snapshot: dict[str, Any] | None = None) -> DataFrame:
+        """Manifest-level partition pruning: only files in the given buckets."""
+        snap = snapshot or self.current_snapshot()
+        schema = self.schema()
+        if snap is None:
+            return self.spark.createDataFrame([], schema)
+        files = [e["path"] for e in snap["manifest"] if e["bucket"] in buckets]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    # -------------------------------------------------------------- write
+    def _write_data_files(self, df: DataFrame, source_epoch: int | None) -> list[dict[str, Any]]:
+        """Write df (must carry ``_bucket``) as bucket-partitioned parquet,
+        return manifest entries with per-file stats (lineage grain:
+        one entry per (file, bucket))."""
+        commit_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
+        (
+            df.write.option("maxRecordsPerFile", 4_000_000)
+            .partitionBy("_bucket")
+            .parquet(commit_dir)
+        )
+        import pyarrow.parquet as pq
+
+        entries: list[dict[str, Any]] = []
+        for bdir in sorted(os.listdir(commit_dir)):
+            if not bdir.startswith("_bucket="):
+                continue
+            bucket = int(bdir.split("=")[1])
+            for fn in sorted(os.listdir(os.path.join(commit_dir, bdir))):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(commit_dir, bdir, fn)
+                rows = pq.ParquetFile(fp).metadata.num_rows
+                entries.append(
+                    {"path": fp, "bucket": bucket, "rows": rows, "source_epoch": source_epoch}
+                )
+        return entries
+
+    def _commit(
+        self,
+        operation: str,
+        new_entries: list[dict[str, Any]],
+        kept_entries: list[dict[str, Any]],
+        epoch_id: int | None,
+        summary: dict[str, Any],
+    ) -> int:
+        meta = self._load_metadata()
+        parent = meta["current_snapshot_id"]
+        sid = (parent or 0) + 1
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent,
+            "timestamp_ms": int(time.time() * 1000),
+            "operation": operation,
+            "epoch_id": epoch_id,
+            "manifest": kept_entries + new_entries,
+            "summary": summary,
+        }
+        meta["snapshots"].append(snap)
+        meta["current_snapshot_id"] = sid
+        self._write_metadata(meta, version=self._version() + 1)
+        return sid
+
+    def append(self, df: DataFrame, epoch_id: int | None = None) -> int:
+        """Snapshot-append (reference S10 batch-append sink analogue,
+        ``/root/reference/ingestion/load_to_database.py:32-68``)."""
+        if epoch_id is not None and epoch_id in self.committed_epochs():
+            return self._load_metadata()["current_snapshot_id"]
+        meta = self._load_metadata()
+        new_schema = schema_evo.reconcile(meta["schema"], df.schema)
+        df = schema_evo.align(df, schema_evo.registry_to_schema(new_schema))
+        dfb = df.withColumn("_bucket", bucket_expr(meta["n_buckets"]))
+        entries = self._write_data_files(dfb, epoch_id)
+        snap = self.current_snapshot()
+        kept = snap["manifest"] if snap else []
+        meta2 = self._load_metadata()
+        meta2["schema"] = new_schema
+        self._write_metadata(meta2, version=self._version() + 1)
+        return self._commit(
+            "append", entries, kept, epoch_id,
+            {"rows_appended": sum(e["rows"] for e in entries)},
+        )
+
+    def overwrite(self, df: DataFrame, epoch_id: int | None = None) -> int:
+        """Full replace (reference S11 truncate-reload analogue,
+        ``/root/reference/orchestration/elt_pipeline.py:138-140``)."""
+        meta = self._load_metadata()
+        new_schema = schema_evo.reconcile(meta["schema"], df.schema)
+        df = schema_evo.align(df, schema_evo.registry_to_schema(new_schema))
+        dfb = df.withColumn("_bucket", bucket_expr(meta["n_buckets"]))
+        entries = self._write_data_files(dfb, epoch_id)
+        meta2 = self._load_metadata()
+        meta2["schema"] = new_schema
+        self._write_metadata(meta2, version=self._version() + 1)
+        return self._commit(
+            "overwrite", entries, [], epoch_id,
+            {"rows_written": sum(e["rows"] for e in entries)},
+        )
+
+    # -------------------------------------------------------------- MERGE
+    def merge_changes(
+        self,
+        delta: DataFrame,
+        epoch_id: int | None = None,
+        keys: tuple[str, str] = ("repo", "path"),
+        seq_col: str = "seq",
+        op_col: str = "op",
+        metrics: dict[str, Any] | None = None,
+    ) -> int:
+        """Copy-on-write MERGE of a change-event batch into the state table.
+
+        Semantics (SURVEY.md §2.3 — the outer-join-shaped MERGE):
+        - LWW dedup of the delta per key on ``seq_col``
+        - base rows join in as synthetic events at ``seq=last_seq`` — the
+          max-seq winner per key across base ∪ delta decides the row, which
+          IS the late-event monotonicity guard (an old delete/update cannot
+          clobber a newer base row)
+        - winner op == delete → row removed; else upserted
+        - only buckets present in the delta are rewritten; all other data
+          files carry over into the new snapshot untouched.
+
+        Returns the committed snapshot id (or the current one when the
+        epoch was already committed — exactly-once replay-skip).
+        """
+        t0 = time.time()
+        if epoch_id is not None and epoch_id in self.committed_epochs():
+            return self._load_metadata()["current_snapshot_id"]
+
+        meta = self._load_metadata()
+        n_buckets = meta["n_buckets"]
+
+        # Additive schema evolution: reconcile incoming payload columns
+        # (beyond the CDC envelope) against the registry.
+        payload_schema = T.StructType(
+            [f for f in delta.schema.fields if f.name not in (op_col, seq_col, "epoch", "ingest_ts")]
+        )
+        state_fields = _state_schema_for(payload_schema, seq_col)
+        new_registry = schema_evo.reconcile(meta["schema"], state_fields)
+        state_schema = schema_evo.registry_to_schema(new_registry)
+        if new_registry != meta["schema"]:
+            meta2 = self._load_metadata()
+            meta2["schema"] = new_registry
+            self._write_metadata(meta2, version=self._version() + 1)
+
+        delta = delta.withColumn("_bucket", bucket_expr(n_buckets))
+        # LWW within the batch first: shrinks the join input and makes the
+        # per-key winner unique before meeting the base.
+        delta_w = lww_dedup(delta, keys=keys, order_col=seq_col)
+
+        # Touched-partition pruning (collect is ≤ n_buckets ints).
+        touched = {r[0] for r in delta_w.select("_bucket").distinct().collect()}
+        snap = self.current_snapshot()
+        kept, base_files = [], []
+        if snap:
+            for e in snap["manifest"]:
+                (base_files if e["bucket"] in touched else kept).append(e)
+
+        base = self.read_buckets(touched, snap) if base_files else self.spark.createDataFrame([], state_schema)
+
+        payload_cols = [f.name for f in state_schema.fields if f.name not in ("content_sha256", "last_seq")]
+        # Base rows as synthetic non-delete events at their applied seq.
+        base_ev = base.select(
+            *[F.col(c) for c in payload_cols],
+            F.col("last_seq").alias(seq_col),
+            F.lit("base").alias(op_col),
+        )
+        delta_ev = delta_w.select(
+            *[
+                (F.col(c) if c in delta_w.columns else F.lit(None).cast(dict_field(state_schema, c)))
+                .alias(c)
+                for c in payload_cols
+            ],
+            F.col(seq_col).cast("long").alias(seq_col),
+            F.col(op_col).alias(op_col),
+        )
+        winners = lww_dedup(base_ev.unionByName(delta_ev), keys=keys, order_col=seq_col)
+        final = (
+            winners.filter(F.col(op_col) != "delete")
+            .select(
+                *[F.col(c) for c in payload_cols],
+                F.sha2(F.col("content"), 256).alias("content_sha256"),
+                F.col(seq_col).cast("long").alias("last_seq"),
+            )
+            .withColumn("_bucket", bucket_expr(n_buckets))
+        )
+        new_entries = self._write_data_files(final, epoch_id)
+        summary = {
+            "buckets_touched": sorted(touched),
+            "rows_in_delta": None,  # filled by replay driver (avoids extra count job)
+            "rows_written": sum(e["rows"] for e in new_entries),
+            "base_files_rewritten": len(base_files),
+            "duration_sec": round(time.time() - t0, 3),
+        }
+        if metrics:
+            summary.update(metrics)
+        return self._commit("merge", new_entries, kept, epoch_id, summary)
+
+
+def _state_schema_for(payload_schema: T.StructType, seq_col: str) -> T.StructType:
+    fields = list(payload_schema.fields)
+    names = [f.name for f in fields]
+    out = T.StructType(fields)
+    if "content_sha256" not in names:
+        out = out.add("content_sha256", T.StringType())
+    if "last_seq" not in names:
+        out = out.add("last_seq", T.LongType())
+    return out
+
+
+def dict_field(schema: T.StructType, name: str) -> T.DataType:
+    return next(f.dataType for f in schema.fields if f.name == name)

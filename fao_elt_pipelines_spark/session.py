@@ -1,0 +1,65 @@
+"""SparkSession builders tuned for this engine.
+
+Local mode is the sandbox stand-in for a real cluster: ``local[N]`` gives N
+executor threads in one JVM. All scale-relevant knobs are expressed so the
+same builder works unchanged on a 1000-executor cluster:
+
+- AQE on (runtime coalesce, skew-join splitting) — the engine additionally
+  salts known-hot keys itself (operators.skew) because AQE only fixes
+  sort-merge-join skew, not window/partitionBy skew.
+- shuffle partitions ∝ cores (not the 200 default) — at cluster scale this
+  is set ∝ total executor cores by the submitter.
+- Arrow enabled — every Python-side stage is a vectorized pandas UDF.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "fao_elt_pipelines_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` controls local parallelism; ``shuffle_partitions`` defaults to
+    2×cores so reduce tasks saturate the slots even with stragglers.
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or 2 * cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Parquet writer: large row groups for scan throughput at 100 TB.
+        .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
