@@ -1,0 +1,107 @@
+"""Benchmark harness: headline queries + CDC replay at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (computes every output
+column, writes nothing) so timings measure the real plan, not a count-star
+shortcut. The CDC replay entry generates a deterministic binlog
+(sf-proportional) and replays it through the full MERGE path into a lake
+table; its events/sec is the BASELINE.md headline metric.
+
+Scaling evidence (north rule: efficiency >= 0.8 between N and 4N) is
+produced by bench/scaling.py, which runs this same replay at two
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fao_elt_pipelines_spark import binlog  # noqa: E402
+from fao_elt_pipelines_spark.lake.checkpoint import CheckpointStore  # noqa: E402
+from fao_elt_pipelines_spark.lake.replay import replay  # noqa: E402
+from fao_elt_pipelines_spark.lake.table import LakeTable  # noqa: E402
+from fao_elt_pipelines_spark.plans.queries import REGISTRY  # noqa: E402
+from fao_elt_pipelines_spark.session import get_spark  # noqa: E402
+from scripts.replay_job import STATE_SCHEMA  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "1000000"))
+REPLAY_EPOCHS = int(os.environ.get("BENCH_REPLAY_EPOCHS", "4"))
+
+#: queries benched (all registry entries; heavier ones drive the signal)
+HEADLINE = sorted(REGISTRY.keys())
+
+
+def bench_query(spark, name: str) -> float:
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_DIR)
+    t0 = time.time()
+    df.write.mode("overwrite").format("noop").save()
+    return round(time.time() - t0, 3)
+
+
+def bench_replay(spark, workdir: str) -> tuple[float, float]:
+    events = binlog.change_events(
+        spark,
+        REPLAY_EVENTS,
+        n_repos=1000,
+        events_per_epoch=REPLAY_EVENTS // REPLAY_EPOCHS,
+        num_partitions=max(CPUS * 2, 8),
+    )
+    binlog_path = os.path.join(workdir, "binlog")
+    events.write.parquet(binlog_path)
+    stored = spark.read.parquet(binlog_path)
+    table = LakeTable.create(spark, os.path.join(workdir, "state"), STATE_SCHEMA, n_buckets=64)
+    ckpt = CheckpointStore(os.path.join(workdir, "ckpt.json"))
+    t0 = time.time()
+    rep = replay(spark, stored, table, ckpt)
+    dt = time.time() - t0
+    return round(dt, 3), round(rep.events_in / dt, 1)
+
+
+def main() -> None:
+    spark = get_spark("bench", cores=CPUS)
+    # tiny warmup so JVM/codegen startup doesn't land on the first query
+    spark.range(1000).agg({"id": "sum"}).collect()
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        queries[name] = bench_query(spark, name)
+
+    workdir = tempfile.mkdtemp(prefix="bench_cdc_")
+    try:
+        replay_sec, eps = bench_replay(spark, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    queries["cdc_replay_1m_events"] = replay_sec
+
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf else None,
+                "cdc_replay_events_per_sec": eps,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,685 @@
+"""Query registry: every operator from SURVEY.md §2, expressed twice —
+
+- a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+- an ANSI-SQL oracle string DuckDB runs on the same parquet tables
+
+The driver (and tests/test_entry_oracle.py) executes both and compares
+row-count + schema + order-insensitive value-hash, so every computed column
+is aliased identically on both sides.
+
+Numeric-parity rules (why the decimal casts everywhere):
+- SUM of doubles is ORDER-DEPENDENT → never emitted. Monetary columns in
+  the testdata are exact 2-decimal values, so ``cast(x as decimal(18,2))``
+  is lossless; decimal sums are exact and engine-independent; the final
+  ``cast(... as double)`` is a single IEEE-deterministic conversion.
+- AVG is emitted as exact-decimal-sum / count (one IEEE division), never
+  the engines' own avg (their accumulation orders differ).
+- ROUND on doubles is never used for compared values (Spark rounds via
+  shortest-string BigDecimal, DuckDB via scaling — they disagree on e.g.
+  2.675).
+
+CDC queries derive a binlog from the ``events`` table with dialect-portable
+expressions so the DuckDB oracle can re-derive the identical stream — the
+engine's real binlog path (binlog.py + lake.replay) is exercised by
+tests/test_engine_core.py; these entries prove the *operator semantics*
+(LWW window-rank W2, MERGE J1-shape, epoch metrics A8) against SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})") if isinstance(c, str) else c.cast(f"decimal(18,{scale})")
+
+
+def dsum(c, scale: int = 2):
+    """Order-independent exact sum emitted as double (see module doc)."""
+    return F.sum(dec(c, scale)).cast("double")
+
+
+# --------------------------------------------------------------------------
+# CDC core: derived binlog over `events` (portable to the DuckDB oracle)
+# --------------------------------------------------------------------------
+
+_BINLOG_SQL = """
+  SELECT event_id AS seq,
+         'repo_' || CAST(user_id % 37 AS VARCHAR) AS repo,
+         'src/f_' || CAST(event_id % 211 AS VARCHAR) || '.py' AS path,
+         md5('c' || CAST(event_id AS VARCHAR)) AS commit,
+         event_type AS lang,
+         CASE WHEN event_id % 20 = 19 THEN 'delete'
+              WHEN event_id % 3 = 0 THEN 'update'
+              ELSE 'insert' END AS op,
+         CASE WHEN event_id % 20 = 19 THEN NULL
+              ELSE md5('repo_' || CAST(user_id % 37 AS VARCHAR) || '/src/f_'
+                       || CAST(event_id % 211 AS VARCHAR) || '.py@'
+                       || CAST(event_id AS VARCHAR))
+                   || ':' || CAST(event_id % 97 AS VARCHAR) END AS content
+  FROM events
+"""
+
+
+def _derived_binlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    repo = F.concat(F.lit("repo_"), (F.col("user_id") % 37).cast("string"))
+    path = F.concat(F.lit("src/f_"), (F.col("event_id") % 211).cast("string"), F.lit(".py"))
+    op = (
+        F.when(F.col("event_id") % 20 == 19, F.lit("delete"))
+        .when(F.col("event_id") % 3 == 0, F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+    content = F.when(F.col("event_id") % 20 == 19, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.md5(F.concat(repo, F.lit("/"), path, F.lit("@"), F.col("event_id").cast("string"))),
+            F.lit(":"),
+            (F.col("event_id") % 97).cast("string"),
+        )
+    )
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        repo.alias("repo"),
+        path.alias("path"),
+        F.md5(F.concat(F.lit("c"), F.col("event_id").cast("string"))).alias("commit"),
+        F.col("event_type").alias("lang"),
+        op.alias("op"),
+        content.alias("content"),
+    )
+
+
+def _lww(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def q_cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: LWW dedup per key + delete drop → final state with sha256."""
+    win = _lww(_derived_binlog(spark, sf_dir)).filter(F.col("op") != "delete")
+    return win.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.col("seq").alias("last_seq"),
+    )
+
+
+SQL_CDC_LWW_STATE = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM binlog
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha256, seq AS last_seq
+FROM w WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE as outer-join-shaped operator (SURVEY §2.3): build base
+    state from the first half of the stream, then merge the second half as
+    a delta — base rows re-enter as synthetic events at seq=last_seq (the
+    monotonicity guard). Algebraically equal to LWW over the full stream,
+    which is exactly what the SQL oracle computes — a true differential."""
+    binlog = _derived_binlog(spark, sf_dir)
+    mid = binlog.agg((F.max("seq") / 2).cast("long")).collect()[0][0]
+    base = (
+        _lww(binlog.filter(F.col("seq") <= mid))
+        .filter(F.col("op") != "delete")
+        .select("repo", "path", "commit", "lang", "content", F.col("seq").alias("last_seq"))
+    )
+    delta = binlog.filter(F.col("seq") > mid)
+    base_ev = base.select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("last_seq").alias("seq"), F.lit("base").alias("op"),
+    )
+    merged = _lww(base_ev.unionByName(delta.select(*base_ev.columns))).filter(
+        F.col("op") != "delete"
+    )
+    return merged.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.col("seq").alias("last_seq"),
+    )
+
+
+def q_cdc_epoch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: per-epoch metrics — event counts per op, distinct keys, valid
+    rate (the engine's metrics-table semantics over a derived epoch)."""
+    b = _derived_binlog(spark, sf_dir).withColumn(
+        "epoch", ((F.col("seq") - F.col("seq") % 2000) / 2000).cast("long")
+    )
+    return (
+        b.groupBy("epoch")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.when(F.col("op") == "insert", 1).otherwise(0)).alias("n_insert"),
+            F.sum(F.when(F.col("op") == "update", 1).otherwise(0)).alias("n_update"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_delete"),
+            F.countDistinct("repo", "path").alias("distinct_keys"),
+            (
+                F.sum(F.when(F.col("op") != "delete", 1).otherwise(0)) * 100.0
+                / F.count("*")
+            ).alias("upsert_rate_pct"),
+        )
+    )
+
+
+SQL_CDC_EPOCH_METRICS = f"""
+WITH binlog AS ({_BINLOG_SQL})
+SELECT CAST((seq - seq % 2000) / 2000 AS BIGINT) AS epoch,
+       count(*) AS events,
+       sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS n_insert,
+       sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS n_update,
+       sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_delete,
+       count(DISTINCT repo || '|' || path) AS distinct_keys,
+       sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) * 100.0 / count(*) AS upsert_rate_pct
+FROM binlog GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Reference silver/gold re-expression (SURVEY §2.2/2.3/2.4/2.5/2.6/2.7/2.8)
+# --------------------------------------------------------------------------
+
+
+def q_silver_events_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2+P4: JSON payload extraction + cast (the reference's
+    (data->>'field')::TYPE, silver_prices_cleaned.sql:18-34), null/range
+    filter, and boolean quality flag."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            k.alias("k_value"),
+            F.col("value").alias("metric_value"),
+            F.when(F.col("value").isNull() | (F.col("value") <= 0), F.lit(False))
+            .otherwise(F.lit(True))
+            .alias("is_valid_metric"),
+        )
+        .filter(F.col("k_value").isNotNull() & (F.col("k_value") >= 10))
+    )
+
+
+SQL_SILVER_EVENTS_CLEANED = """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
+       value AS metric_value,
+       CASE WHEN value IS NULL OR value <= 0 THEN FALSE ELSE TRUE END AS is_valid_metric
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+  AND CAST(json_extract_string(props, '$.k') AS INTEGER) >= 10
+"""
+
+
+def q_silver_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5+F3: CASE value standardization with LIKE (the reference's
+    country-name conforming, silver_prices_cleaned.sql:56-62)."""
+    n = load(spark, sf_dir, "nation")
+    std = (
+        F.when(F.col("n_name").like("%KENYA%"), F.lit("KENYA_STD"))
+        .when(F.col("n_name") == "UNITED STATES", F.lit("USA"))
+        .when(F.col("n_name") == "UNITED KINGDOM", F.lit("UK"))
+        .otherwise(F.col("n_name"))
+    )
+    return n.select(
+        "n_nationkey",
+        F.col("n_name").alias("nation_name"),
+        std.alias("nation_name_standardized"),
+        "n_regionkey",
+    )
+
+
+SQL_SILVER_STANDARDIZE = """
+SELECT n_nationkey, n_name AS nation_name,
+       CASE WHEN n_name LIKE '%KENYA%' THEN 'KENYA_STD'
+            WHEN n_name = 'UNITED STATES' THEN 'USA'
+            WHEN n_name = 'UNITED KINGDOM' THEN 'UK'
+            ELSE n_name END AS nation_name_standardized,
+       n_regionkey
+FROM nation
+"""
+
+
+def q_silver_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2: the reference's md5 surrogate key macro
+    (macros/generate_surrogate_key.sql:4-11): md5 over '-'-joined
+    null-guarded casts."""
+    li = load(spark, sf_dir, "lineitem")
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(""))
+        for c in ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+    ]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.md5(F.concat_ws("-", *parts)).alias("line_id"),
+    )
+
+
+SQL_SILVER_SURROGATE_KEY = """
+SELECT l_orderkey, l_linenumber,
+       md5(coalesce(CAST(l_orderkey AS VARCHAR), '') || '-' ||
+           coalesce(CAST(l_partkey AS VARCHAR), '') || '-' ||
+           coalesce(CAST(l_suppkey AS VARCHAR), '') || '-' ||
+           coalesce(CAST(l_linenumber AS VARCHAR), '')) AS line_id
+FROM lineitem
+"""
+
+
+def q_silver_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+P7: unit-conversion CASE and bucketing/classification (the
+    reference's '1000 t' → tons and volume tiers)."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_units = F.when(
+        F.col("l_returnflag") == "R", dec("l_quantity") * 1000
+    ).otherwise(dec("l_quantity"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        qty_units.cast("double").alias("quantity_units"),
+        F.when(F.col("l_quantity") > 40, F.lit("Large"))
+        .when(F.col("l_quantity") > 20, F.lit("Medium"))
+        .otherwise(F.lit("Small"))
+        .alias("quantity_tier"),
+    )
+
+
+SQL_SILVER_UNIT_CONVERT = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) * 1000
+                 ELSE CAST(l_quantity AS DECIMAL(18,2)) END AS DOUBLE) AS quantity_units,
+       CASE WHEN l_quantity > 40 THEN 'Large'
+            WHEN l_quantity > 20 THEN 'Medium'
+            ELSE 'Small' END AS quantity_tier
+FROM lineitem
+"""
+
+
+def q_gold_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A2+W1+J1: the silver_top_countries pattern — two independent
+    per-entity aggregates FULL OUTER joined with COALESCE key resurrection,
+    then global RANKs (silver_top_countries.sql:7-51)."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    order_stats = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice").alias("total_order_value"),
+        F.countDistinct("o_orderkey").alias("order_count"),
+        F.max("o_orderdate").alias("latest_order"),
+    )
+    line_stats = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            dsum("l_extendedprice").alias("total_line_value"),
+            F.countDistinct("l_partkey").alias("part_diversity"),
+        )
+    )
+    joined = order_stats.withColumnRenamed("o_custkey", "ok").join(
+        line_stats.withColumnRenamed("o_custkey", "lk"),
+        F.col("ok") == F.col("lk"),
+        "full_outer",
+    )
+    merged = joined.select(
+        F.coalesce(F.col("ok"), F.col("lk")).alias("custkey"),
+        "total_order_value", "order_count", "latest_order",
+        "total_line_value", "part_diversity",
+    )
+    return merged.select(
+        "*",
+        F.rank().over(Window.orderBy(F.desc_nulls_last("total_order_value"))).alias("value_rank"),
+        F.rank().over(Window.orderBy(F.desc_nulls_last("part_diversity"))).alias("diversity_rank"),
+    )
+
+
+SQL_GOLD_TOP_ENTITIES = """
+WITH order_stats AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_order_value,
+         count(DISTINCT o_orderkey) AS order_count, max(o_orderdate) AS latest_order
+  FROM orders GROUP BY o_custkey
+), line_stats AS (
+  SELECT o_custkey, CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_line_value,
+         count(DISTINCT l_partkey) AS part_diversity
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey
+)
+SELECT coalesce(os.o_custkey, ls.o_custkey) AS custkey,
+       os.total_order_value, os.order_count, os.latest_order,
+       ls.total_line_value, ls.part_diversity,
+       rank() OVER (ORDER BY os.total_order_value DESC NULLS LAST) AS value_rank,
+       rank() OVER (ORDER BY ls.part_diversity DESC NULLS LAST) AS diversity_rank
+FROM order_stats os FULL OUTER JOIN line_stats ls ON os.o_custkey = ls.o_custkey
+"""
+
+
+def q_gold_two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: agg-of-agg — per (customer, year) totals re-aggregated to
+    customer level (gold_country_metrics.sql:34-63)."""
+    o = load(spark, sf_dir, "orders")
+    annual = o.groupBy("o_custkey", F.year("o_orderdate").alias("order_year")).agg(
+        F.sum(dec("o_totalprice")).alias("annual_value_dec"),
+        F.count("*").alias("annual_orders"),
+    )
+    return annual.groupBy("o_custkey").agg(
+        F.sum("annual_value_dec").cast("double").alias("total_value"),
+        (F.sum("annual_value_dec").cast("double") / F.count("*")).alias("avg_annual_value"),
+        F.max("annual_value_dec").cast("double").alias("peak_annual_value"),
+        F.countDistinct("order_year").alias("active_years"),
+        F.min("order_year").alias("first_year"),
+        F.max("order_year").alias("last_year"),
+    )
+
+
+SQL_GOLD_TWO_LEVEL_AGG = """
+WITH annual AS (
+  SELECT o_custkey, year(o_orderdate) AS order_year,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS annual_value_dec,
+         count(*) AS annual_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey,
+       CAST(sum(annual_value_dec) AS DOUBLE) AS total_value,
+       CAST(sum(annual_value_dec) AS DOUBLE) / count(*) AS avg_annual_value,
+       CAST(max(annual_value_dec) AS DOUBLE) AS peak_annual_value,
+       count(DISTINCT order_year) AS active_years,
+       min(order_year) AS first_year,
+       max(order_year) AS last_year
+FROM annual GROUP BY o_custkey
+"""
+
+
+def q_gold_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: pivoted window-in-time — recent-era avg minus early-era avg per
+    group (gold_country_metrics.sql:44-45), emitted as exact-decimal sums
+    over counts to stay engine-independent."""
+    o = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    recent_sum = F.sum(F.when(yr >= 1999, dec("o_totalprice"))).cast("double")
+    recent_n = F.sum(F.when(yr >= 1999, 1).otherwise(0))
+    early_sum = F.sum(F.when(yr <= 1996, dec("o_totalprice"))).cast("double")
+    early_n = F.sum(F.when(yr <= 1996, 1).otherwise(0))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            (recent_sum / F.nullif(recent_n, F.lit(0))).alias("avg_recent"),
+            (early_sum / F.nullif(early_n, F.lit(0))).alias("avg_early"),
+            (
+                recent_sum / F.nullif(recent_n, F.lit(0))
+                - early_sum / F.nullif(early_n, F.lit(0))
+            ).alias("value_change"),
+        )
+    )
+
+
+SQL_GOLD_CONDITIONAL_AGG = """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN year(o_orderdate) >= 1999 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         / nullif(sum(CASE WHEN year(o_orderdate) >= 1999 THEN 1 ELSE 0 END), 0) AS avg_recent,
+       CAST(sum(CASE WHEN year(o_orderdate) <= 1996 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         / nullif(sum(CASE WHEN year(o_orderdate) <= 1996 THEN 1 ELSE 0 END), 0) AS avg_early,
+       CAST(sum(CASE WHEN year(o_orderdate) >= 1999 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         / nullif(sum(CASE WHEN year(o_orderdate) >= 1999 THEN 1 ELSE 0 END), 0)
+       - CAST(sum(CASE WHEN year(o_orderdate) <= 1996 THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+         / nullif(sum(CASE WHEN year(o_orderdate) <= 1996 THEN 1 ELSE 0 END), 0) AS value_change
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_gold_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: multi-measure agg + HAVING on a count-distinct
+    (gold_price_production_analysis.sql:56-90)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            dsum("l_quantity").alias("total_qty"),
+            dsum("l_extendedprice").alias("total_value"),
+            F.countDistinct("l_suppkey").alias("supplier_count"),
+            F.max(dec("l_extendedprice")).cast("double").alias("max_price"),
+            F.min(dec("l_extendedprice")).cast("double").alias("min_price"),
+            (F.max(dec("l_extendedprice")) - F.min(dec("l_extendedprice")))
+            .cast("double")
+            .alias("price_spread"),
+        )
+        .filter(F.col("supplier_count") >= 3)
+    )
+
+
+SQL_GOLD_HAVING = """
+SELECT l_partkey,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(DISTINCT l_suppkey) AS supplier_count,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+       CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) - min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_spread
+FROM lineitem
+GROUP BY l_partkey
+HAVING count(DISTINCT l_suppkey) >= 3
+"""
+
+
+def q_gold_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+P8+J5: dim enrichment via broadcast joins (nation/region are the
+    tiny dims) then region-level rollup (gold_regional_summary.sql)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    enriched = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        enriched.groupBy(F.col("r_name").alias("region"), F.year("o_orderdate").alias("order_year"))
+        .agg(
+            dsum("o_totalprice").alias("total_value"),
+            F.countDistinct("n_name").alias("nations_active"),
+            F.countDistinct("o_custkey").alias("customers_active"),
+            F.count("*").alias("order_count"),
+        )
+    )
+
+
+SQL_GOLD_REGION_ROLLUP = """
+SELECT r_name AS region, year(o_orderdate) AS order_year,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       count(DISTINCT n_name) AS nations_active,
+       count(DISTINCT o_custkey) AS customers_active,
+       count(*) AS order_count
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+def q_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: LEFT OUTER enrichment keeping unmatched left rows
+    (gold_country_metrics.sql:57-61)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    stats = o.groupBy("o_custkey").agg(
+        F.count("*").alias("order_count"), dsum("o_totalprice").alias("total_value")
+    )
+    return c.join(stats, c.c_custkey == stats.o_custkey, "left").select(
+        "c_custkey", "c_name", "c_mktsegment",
+        F.coalesce(F.col("order_count"), F.lit(0)).alias("order_count"),
+        F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+SQL_LEFT_JOIN_ENRICH = """
+SELECT c_custkey, c_name, c_mktsegment,
+       coalesce(s.order_count, 0) AS order_count,
+       coalesce(s.total_value, 0.0) AS total_value
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, count(*) AS order_count,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM orders GROUP BY o_custkey
+) s ON c_custkey = s.o_custkey
+"""
+
+
+def q_anti_join_required(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7/U3: the dbt singular test as an operator — required members
+    absent from the data (test passes iff 0 rows)
+    (dbt_project/tests/test_data_quality.sql:4-16)."""
+    required = spark.createDataFrame(
+        [("AFRICA",), ("AMERICA",), ("ASIA",), ("EUROPE",), ("ATLANTIS",)],
+        ["required_region"],
+    )
+    r = load(spark, sf_dir, "region")
+    return required.join(
+        r, required.required_region == r.r_name, "left_anti"
+    ).select("required_region")
+
+
+SQL_ANTI_JOIN_REQUIRED = """
+WITH required(required_region) AS (
+  VALUES ('AFRICA'), ('AMERICA'), ('ASIA'), ('EUROPE'), ('ATLANTIS')
+)
+SELECT required_region FROM required
+WHERE required_region NOT IN (SELECT r_name FROM region)
+"""
+
+
+def q_gold_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: ordered string aggregation
+    (sql/sample_queries.sql:134 STRING_AGG ... ORDER BY)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ", ").alias("nations"),
+            F.count("*").alias("nation_count"),
+        )
+    )
+
+
+SQL_GOLD_STRING_AGG = """
+SELECT r_name AS region,
+       string_agg(n_name, ', ' ORDER BY n_name) AS nations,
+       count(*) AS nation_count
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: ORDER BY + LIMIT top-k (TakeOrderedAndProject). Tie-broken by
+    the unique key so the k-set is total-order deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_union_projections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION (distinct) of key projections from two tables
+    (gold_regional_summary.sql:33-39)."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+SQL_UNION_PROJECTIONS = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_case_custom_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4+P7: CASE-driven classification with custom sort rank emitted as a
+    column (sort itself is order-insensitive to the hash, the rank is the
+    checkable part) (sql/sample_queries.sql:123-142)."""
+    o = load(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(dsum("o_totalprice").alias("total_value"))
+    tier = (
+        F.when(F.col("total_value") > 1_000_000, F.lit("High Volume"))
+        .when(F.col("total_value") > 100_000, F.lit("Medium Volume"))
+        .otherwise(F.lit("Low Volume"))
+    )
+    sort_rank = (
+        F.when(tier == "High Volume", 1).when(tier == "Medium Volume", 2).otherwise(3)
+    )
+    return agg.select(
+        "o_orderpriority", "total_value", tier.alias("volume_tier"), sort_rank.alias("sort_rank")
+    )
+
+
+SQL_CASE_CUSTOM_SORT = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, total_value,
+       CASE WHEN total_value > 1000000 THEN 'High Volume'
+            WHEN total_value > 100000 THEN 'Medium Volume'
+            ELSE 'Low Volume' END AS volume_tier,
+       CASE WHEN total_value > 1000000 THEN 1
+            WHEN total_value > 100000 THEN 2
+            ELSE 3 END AS sort_rank
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+REGISTRY: dict[str, QuerySpec] = {
+    "cdc_lww_state": (q_cdc_lww_state, SQL_CDC_LWW_STATE),
+    "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_LWW_STATE),  # MERGE ≡ LWW (see docstring)
+    "cdc_epoch_metrics": (q_cdc_epoch_metrics, SQL_CDC_EPOCH_METRICS),
+    "silver_events_cleaned": (q_silver_events_cleaned, SQL_SILVER_EVENTS_CLEANED),
+    "silver_standardize": (q_silver_standardize, SQL_SILVER_STANDARDIZE),
+    "silver_surrogate_key": (q_silver_surrogate_key, SQL_SILVER_SURROGATE_KEY),
+    "silver_unit_convert": (q_silver_unit_convert, SQL_SILVER_UNIT_CONVERT),
+    "gold_top_entities": (q_gold_top_entities, SQL_GOLD_TOP_ENTITIES),
+    "gold_two_level_agg": (q_gold_two_level_agg, SQL_GOLD_TWO_LEVEL_AGG),
+    "gold_conditional_agg": (q_gold_conditional_agg, SQL_GOLD_CONDITIONAL_AGG),
+    "gold_having": (q_gold_having, SQL_GOLD_HAVING),
+    "gold_region_rollup": (q_gold_region_rollup, SQL_GOLD_REGION_ROLLUP),
+    "left_join_enrich": (q_left_join_enrich, SQL_LEFT_JOIN_ENRICH),
+    "anti_join_required": (q_anti_join_required, SQL_ANTI_JOIN_REQUIRED),
+    "gold_string_agg": (q_gold_string_agg, SQL_GOLD_STRING_AGG),
+    "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
+    "union_projections": (q_union_projections, SQL_UNION_PROJECTIONS),
+    "case_custom_sort": (q_case_custom_sort, SQL_CASE_CUSTOM_SORT),
+}

@@ -1,0 +1,64 @@
+"""Local mirror of the driver's Spark-vs-DuckDB differential compare:
+row count, column names, and order-insensitive values (exact equality,
+floats included — queries are designed to be bit-deterministic)."""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+
+SF_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in SF_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def compare(spark_df, con, sql: str) -> list[str]:
+    """Return list of mismatch descriptions (empty == match)."""
+    issues: list[str] = []
+    sdf = spark_df.toPandas()
+    ddf = con.execute(sql).fetchdf()
+    s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
+    if s_cols != d_cols:
+        return [f"columns differ: spark={s_cols} duckdb={d_cols}"]
+    if len(sdf) != len(ddf):
+        issues.append(f"row count: spark={len(sdf)} duckdb={len(ddf)}")
+    s_rows = sorted(
+        (tuple(_norm(v) for v in row) for row in sdf[s_cols].itertuples(index=False)),
+        key=repr,
+    )
+    d_rows = sorted(
+        (tuple(_norm(v) for v in row) for row in ddf[d_cols].itertuples(index=False)),
+        key=repr,
+    )
+    if s_rows != d_rows:
+        diff_s = [r for r in s_rows if r not in set(d_rows)][:3]
+        diff_d = [r for r in d_rows if r not in set(s_rows)][:3]
+        issues.append(f"values differ; spark-only={diff_s} duckdb-only={diff_d}")
+    return issues
