@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from fao_elt_pipelines_spark.plans.queries import REGISTRY  # noqa: E402
+from fao_elt_pipelines_spark.plans.registry import REGISTRY  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

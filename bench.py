@@ -29,7 +29,7 @@ from fao_elt_pipelines_spark import binlog  # noqa: E402
 from fao_elt_pipelines_spark.lake.checkpoint import CheckpointStore  # noqa: E402
 from fao_elt_pipelines_spark.lake.replay import replay  # noqa: E402
 from fao_elt_pipelines_spark.lake.table import LakeTable  # noqa: E402
-from fao_elt_pipelines_spark.plans.queries import REGISTRY  # noqa: E402
+from fao_elt_pipelines_spark.plans.registry import REGISTRY  # noqa: E402
 from fao_elt_pipelines_spark.session import get_spark  # noqa: E402
 from scripts.replay_job import STATE_SCHEMA  # noqa: E402
 

@@ -1,0 +1,120 @@
+"""Similarity & near-duplicate machinery: cosine, MinHash, SimHash.
+
+Spark-first design:
+
+- cosine / dot product: higher-order functions ``zip_with`` + ``aggregate``
+  — JVM-side, no UDF, left-to-right double accumulation (deterministic and
+  reproducible by the DuckDB oracle's ``list_sum(list_transform(...))``).
+- MinHash signatures: the per-permutation hash is ``md5(i || '|' ||
+  shingle)`` and the signature element is the *lexicographic min* of those
+  hex digests — a valid min-wise hash family that needs no integer
+  parsing, so it is bit-portable across engines. Banding on concatenated
+  signature pairs gives the LSH bucket join.
+- SimHash: 64-bit, implemented as a vectorized pandas UDF (bit-twiddling
+  is where built-ins genuinely run out) — Arrow-batched, no per-row Python
+  in the driver path.
+
+At 100 TB the LSH path is the scale path: shingle explode → per-doc
+signature agg (one shuffle on doc id) → band-bucket self-join (shuffle on
+band value, bounded fanout per bucket) → verify only candidate pairs.
+Brute-force pairwise (dedup_ngram_jaccard / embedding cross join) is kept
+as the small-N oracle-able baseline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
+
+
+def minhash_signature(sh_df: DataFrame, doc_col: str, shingle_col: str, k: int = 8) -> DataFrame:
+    """From exploded distinct (doc, shingle) rows to one row per doc with
+    columns h0..h{k-1} (lexicographic-min md5 per permutation)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col(shingle_col)))).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh_df.groupBy(doc_col).agg(*aggs)
+
+
+def lsh_bands(sig_df: DataFrame, doc_col: str, k: int = 8, rows_per_band: int = 2) -> DataFrame:
+    """Signature → (doc, band_id, band_val) rows; docs sharing any band
+    value are candidate pairs."""
+    n_bands = k // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            sig_df.select(
+                F.col(doc_col),
+                F.lit(b).alias("band_id"),
+                F.concat(*cols).alias("band_val"),
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def candidate_pairs(bands_df: DataFrame, doc_col: str) -> DataFrame:
+    """Self-join per band bucket → distinct unordered candidate pairs."""
+    a = bands_df.select(
+        F.col("band_id"), F.col("band_val"), F.col(doc_col).alias("doc_a")
+    )
+    b = bands_df.select(
+        F.col("band_id"), F.col("band_val"), F.col(doc_col).alias("doc_b")
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash over whitespace tokens (md5-derived token
+    hashes). Arrow-batched; the per-batch loop is numpy-light but never
+    per-row-per-Spark-task Python."""
+
+    def one(t: str) -> int:
+        if t is None:
+            return 0
+        acc = [0] * 64
+        for tok in t.split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        # fold to signed 64-bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return texts.map(one)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two signed-64-bit simhashes via bit_count
+    of XOR (JVM built-in)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -48,6 +48,14 @@ from . import schema_evo
 
 STATE_COLUMNS = ["repo", "path", "commit", "lang", "content", "content_sha256", "last_seq"]
 
+#: physical-only column marking delete winners. Tombstones make MERGE
+#: order-insensitive ACROSS batches: an old insert re-delivered after a
+#: newer delete meets the tombstone's higher seq and stays dead. Without
+#: them, out-of-order micro-batches (e.g. file-source streaming) could
+#: resurrect deleted keys. Hidden from read(); compaction may expire
+#: tombstones older than a replay watermark.
+TOMBSTONE_COL = "_is_deleted"
+
 
 def bucket_expr(n_buckets: int, repo_col: str = "repo") -> F.Column:
     return F.pmod(F.xxhash64(F.col(repo_col)), F.lit(n_buckets)).cast("int")
@@ -150,33 +158,51 @@ class LakeTable:
             s["epoch_id"] for s in self.snapshots() if s.get("epoch_id") is not None
         }
 
+    def _physical_schema(self, logical: T.StructType) -> T.StructType:
+        return T.StructType(list(logical.fields) + [T.StructField(TOMBSTONE_COL, T.BooleanType(), True)])
+
     # --------------------------------------------------------------- read
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def read(self, snapshot_id: int | None = None, include_tombstones: bool = False) -> DataFrame:
         """Read the table at a snapshot (default: current). Time travel =
-        pass any historical snapshot id."""
+        pass any historical snapshot id. Tombstones are hidden unless asked
+        for."""
         meta = self._load_metadata()
         sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
-        schema = schema_evo.registry_to_schema(meta["schema"])
+        logical = schema_evo.registry_to_schema(meta["schema"])
+        phys = self._physical_schema(logical)
         if sid is None:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], phys if include_tombstones else logical)
         snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
         files = [e["path"] for e in snap["manifest"]]
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], phys if include_tombstones else logical)
         # Explicit schema: old files lacking newly-added fields read as NULL
         # (additive evolution); extra pruning comes from Parquet stats.
-        return self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(phys).parquet(*files)
+        if include_tombstones:
+            return df
+        return df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(TOMBSTONE_COL)
 
-    def read_buckets(self, buckets: set[int], snapshot: dict[str, Any] | None = None) -> DataFrame:
+    def read_buckets(
+        self,
+        buckets: set[int],
+        snapshot: dict[str, Any] | None = None,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
         """Manifest-level partition pruning: only files in the given buckets."""
         snap = snapshot or self.current_snapshot()
-        schema = self.schema()
+        logical = self.schema()
+        phys = self._physical_schema(logical)
+        out_schema = phys if include_tombstones else logical
         if snap is None:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], out_schema)
         files = [e["path"] for e in snap["manifest"] if e["bucket"] in buckets]
         if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+            return self.spark.createDataFrame([], out_schema)
+        df = self.spark.read.schema(phys).parquet(*files)
+        if include_tombstones:
+            return df
+        return df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(TOMBSTONE_COL)
 
     # -------------------------------------------------------------- write
     def _write_data_files(self, df: DataFrame, source_epoch: int | None) -> list[dict[str, Any]]:
@@ -239,7 +265,9 @@ class LakeTable:
         meta = self._load_metadata()
         new_schema = schema_evo.reconcile(meta["schema"], df.schema)
         df = schema_evo.align(df, schema_evo.registry_to_schema(new_schema))
-        dfb = df.withColumn("_bucket", bucket_expr(meta["n_buckets"]))
+        dfb = df.withColumn(TOMBSTONE_COL, F.lit(False)).withColumn(
+            "_bucket", bucket_expr(meta["n_buckets"])
+        )
         entries = self._write_data_files(dfb, epoch_id)
         snap = self.current_snapshot()
         kept = snap["manifest"] if snap else []
@@ -257,7 +285,9 @@ class LakeTable:
         meta = self._load_metadata()
         new_schema = schema_evo.reconcile(meta["schema"], df.schema)
         df = schema_evo.align(df, schema_evo.registry_to_schema(new_schema))
-        dfb = df.withColumn("_bucket", bucket_expr(meta["n_buckets"]))
+        dfb = df.withColumn(TOMBSTONE_COL, F.lit(False)).withColumn(
+            "_bucket", bucket_expr(meta["n_buckets"])
+        )
         entries = self._write_data_files(dfb, epoch_id)
         meta2 = self._load_metadata()
         meta2["schema"] = new_schema
@@ -325,14 +355,22 @@ class LakeTable:
             for e in snap["manifest"]:
                 (base_files if e["bucket"] in touched else kept).append(e)
 
-        base = self.read_buckets(touched, snap) if base_files else self.spark.createDataFrame([], state_schema)
+        if base_files:
+            base = self.read_buckets(touched, snap, include_tombstones=True)
+        else:
+            base = self.spark.createDataFrame([], self._physical_schema(state_schema))
 
         payload_cols = [f.name for f in state_schema.fields if f.name not in ("content_sha256", "last_seq")]
-        # Base rows as synthetic non-delete events at their applied seq.
+        # Base rows re-enter as synthetic events at their applied seq;
+        # tombstones re-enter as deletes so they keep outranking any older
+        # re-delivered event for the key (cross-batch order insensitivity).
+        base_op = F.when(
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)), F.lit("delete")
+        ).otherwise(F.lit("base"))
         base_ev = base.select(
             *[F.col(c) for c in payload_cols],
             F.col("last_seq").alias(seq_col),
-            F.lit("base").alias(op_col),
+            base_op.alias(op_col),
         )
         delta_ev = delta_w.select(
             *[
@@ -344,15 +382,13 @@ class LakeTable:
             F.col(op_col).alias(op_col),
         )
         winners = lww_dedup(base_ev.unionByName(delta_ev), keys=keys, order_col=seq_col)
-        final = (
-            winners.filter(F.col(op_col) != "delete")
-            .select(
-                *[F.col(c) for c in payload_cols],
-                F.sha2(F.col("content"), 256).alias("content_sha256"),
-                F.col(seq_col).cast("long").alias("last_seq"),
-            )
-            .withColumn("_bucket", bucket_expr(n_buckets))
-        )
+        is_del = F.col(op_col) == "delete"
+        final = winners.select(
+            *[F.col(c) for c in payload_cols],
+            F.when(~is_del, F.sha2(F.col("content"), 256)).alias("content_sha256"),
+            F.col(seq_col).cast("long").alias("last_seq"),
+            is_del.alias(TOMBSTONE_COL),
+        ).withColumn("_bucket", bucket_expr(n_buckets))
         new_entries = self._write_data_files(final, epoch_id)
         summary = {
             "buckets_touched": sorted(touched),

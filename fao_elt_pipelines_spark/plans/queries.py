@@ -663,7 +663,7 @@ FROM agg
 # Registry
 # --------------------------------------------------------------------------
 
-REGISTRY: dict[str, QuerySpec] = {
+_BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_lww_state": (q_cdc_lww_state, SQL_CDC_LWW_STATE),
     "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_LWW_STATE),  # MERGE ≡ LWW (see docstring)
     "cdc_epoch_metrics": (q_cdc_epoch_metrics, SQL_CDC_EPOCH_METRICS),

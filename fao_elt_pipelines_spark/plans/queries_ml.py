@@ -1,0 +1,350 @@
+"""Training-data pipeline queries: dedup family, text analysis, similarity
+search — over the ``documents`` and ``embeddings`` tables. Same differential
+contract as plans/queries.py (identical aliases on both sides; exact value
+parity by construction — int divisions, lexicographic-min md5 minhash,
+left-fold double dot products)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions import similarity as SIM
+from .queries import QuerySpec, load
+
+JACCARD_TAU = 0.5
+COSINE_TAU = 0.3
+
+# Shared DuckDB CTE: distinct word-3-gram shingles per doc.
+_SH_SQL = """
+toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t)-1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM toks WHERE len(t) >= 3
+)
+"""
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    return (
+        d.select("doc_id", F.explode(TX.shingles(toks)).alias("shingle"))
+        .distinct()
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per sha256(text)."""
+    from ..operators.dedup import dedup_exact
+
+    d = load(spark, sf_dir, "documents")
+    return dedup_exact(d, content_col="text", keep_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+"""
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup groups by canonical-form fingerprint
+    (whitespace-normalized lowercase md5)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(TX.fingerprint(F.col("text")).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("rep_doc_id"), F.count("*").alias("group_size"))
+    )
+
+
+SQL_DEDUP_FINGERPRINT = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS rep_doc_id, count(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force n-gram Jaccard near-dup pairs (the small-N baseline the
+    LSH path approximates). Jaccard = |∩| / (|A|+|B|-|∩|) — all-integer
+    inputs, one double division → engine-identical."""
+    sh = _shingle_rows(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_TAU)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH {_SH_SQL},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, c / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE c / (sa.n + sb.n - c) >= {JACCARD_TAU}
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands × 2 rows) candidate generation, then exact
+    Jaccard verification of candidates only — the scale path for near-dup
+    at 10^9 docs (shuffles on shingle, doc, band; never all-pairs)."""
+    sh = _shingle_rows(spark, sf_dir)
+    sig = SIM.minhash_signature(sh, "doc_id", "shingle", k=8)
+    bands = SIM.lsh_bands(sig, "doc_id", k=8, rows_per_band=2)
+    cand = SIM.candidate_pairs(bands, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_TAU)
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_SH_SQL},
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band_id, h0 || h1 AS band_val FROM sig
+  UNION ALL SELECT doc_id, 1, h2 || h3 FROM sig
+  UNION ALL SELECT doc_id, 2, h4 || h5 FROM sig
+  UNION ALL SELECT doc_id, 3, h6 || h7 FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, c / (sa.n + sb.n - c) AS jaccard
+FROM inter i
+JOIN cand ON i.doc_a = cand.doc_a AND i.doc_b = cand.doc_b
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE c / (sa.n + sb.n - c) >= {JACCARD_TAU}
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: lexical diversity, stopword ratio, composite score."""
+    d = load(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(t)) / F.size(t)).alias("distinct_ratio"),
+        (TX.stopword_hits(t) / F.size(t)).alias("stopword_ratio"),
+        TX.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+_STOP_SQL = "['" + "','".join(TX.STOPWORDS) + "']"
+
+SQL_TEXT_QUALITY = f"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       len(list_distinct(t)) / len(t) AS distinct_ratio,
+       len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) / len(t) AS stopword_ratio,
+       len(list_distinct(t)) / len(t) * 0.5
+         + len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) / len(t) * 0.3
+         + CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END * 0.2
+         AS quality_score
+FROM toks
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID + agreement flag against the labeled lang."""
+    d = load(spark, sf_dir, "documents")
+    pred = TX.lang_id(F.col("text"))
+    return d.select(
+        "doc_id", "lang", pred.alias("lang_pred"), (pred == F.col("lang")).alias("agrees")
+    )
+
+
+SQL_TEXT_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) >= 1
+            THEN 'en' ELSE 'und' END AS lang_pred,
+       (CASE WHEN len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) >= 1
+            THEN 'en' ELSE 'und' END) = lang AS agrees
+FROM toks
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish sub-word counts + avg token len."""
+    d = load(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    sum_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_ws_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        (sum_len.cast("double") / F.size(t)).alias("avg_token_len"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = """
+WITH toks AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len
+FROM toks
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (vec_id < 10) — the exact
+    baseline an IVF/LSH ANN approximates. Dot products are zip_with +
+    left-fold aggregate (no UDF)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", SIM.cosine(F.col("qe"), F.col("ce")).alias("cosine_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), "cosine_sim")
+    )
+
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a})+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a="qe", b="ce")}
+           / sqrt({_DOT.format(a="qe", b="qe")})
+           / sqrt({_DOT.format(a="ce", b="ce")}) AS cosine_sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk,
+       cosine_sim
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a bounded id range (the
+    oracle-able brute-force form; the LSH-bucketed variant shares the
+    candidate_pairs machinery of dedup_minhash_lsh)."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", SIM.cosine(F.col("ea"), F.col("eb")).alias("cosine_sim")
+    )
+    return scored.filter(F.col("cosine_sim") >= COSINE_TAU)
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_DOT.format(a="a.embedding", b="b.embedding")}
+           / sqrt({_DOT.format(a="a.embedding", b="a.embedding")})
+           / sqrt({_DOT.format(a="b.embedding", b="b.embedding")}) AS cosine_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {COSINE_TAU}
+"""
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 per document (pandas-UDF path — no SQL oracle; the
+    driver's rows-only check applies, semantics are pytest-verified in
+    tests/test_ml_ops.py)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", SIM.simhash64(F.col("text")).alias("simhash"))
+
+
+REGISTRY_ML: dict[str, QuerySpec] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "simhash_signatures": (q_simhash_signatures, None),
+}

@@ -1,0 +1,69 @@
+"""Semantics tests for the non-SQL-oracle operators: SimHash, multimodal
+plumbing, and LSH recall sanity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fao_elt_pipelines_spark.functions import multimodal as MM
+from fao_elt_pipelines_spark.functions import similarity as SIM
+
+
+def test_simhash_identity_and_locality(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    sigs = d.select("doc_id", "text", SIM.simhash64(F.col("text")).alias("s"))
+    # identical text -> identical simhash (determinism across partitions)
+    twice = sigs.unionByName(sigs).groupBy("doc_id").agg(F.countDistinct("s").alias("n"))
+    assert twice.filter("n > 1").count() == 0
+    # locality: a doc vs itself with one word changed has small hamming dist
+    row = d.first()
+    changed = row["text"].replace(row["text"].split()[0], "zzz", 1)
+    pair = spark.createDataFrame([(row["text"], changed)], ["a", "b"])
+    hd = pair.select(
+        SIM.hamming64(SIM.simhash64(F.col("a")), SIM.simhash64(F.col("b"))).alias("d")
+    ).first()["d"]
+    assert 0 <= hd <= 24  # one-token edit should not flip most bits
+
+
+def test_lsh_candidates_catch_high_jaccard(spark, sf_dir):
+    """Every pair the brute-force jaccard finds at tau>=0.8 must be an LSH
+    candidate (4 bands x 2 rows: P(miss | j=0.8) = (1-0.64)^4 < 1.7%;
+    the fixed testdata pairs are all caught)."""
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        q_dedup_minhash_lsh,
+        q_dedup_ngram_jaccard,
+    )
+
+    brute = q_dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
+    missed = brute.select("doc_a", "doc_b").exceptAll(lsh.select("doc_a", "doc_b"))
+    assert missed.count() == 0
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    assets = MM.synthesize_assets(spark, sf_dir)
+    assert [f.name for f in assets.schema.fields] == ["asset_id", "kind", "payload", "meta"]
+    feats = MM.decode_features(assets)
+    rows = feats.collect()
+    assert len(rows) == assets.count()
+    byid = {r["asset_id"]: r for r in rows}
+    # deterministic fake decode: n_bytes == utf-8 length of source text
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    for s in src[:20]:
+        r = byid[s["doc_id"]]
+        assert r["n_bytes"] == len(s["text"].encode())
+        assert r["byte_sum"] == sum(s["text"].encode())
+        assert r["width"] % 64 == 0 and r["n_frames_sampled"] >= 1
+    # the real-decode seam is explicit
+    with pytest.raises(NotImplementedError):
+        MM.decode_features(assets, real_decode=True)
+
+
+def test_windowed_op_counts_batch_parity(spark):
+    from fao_elt_pipelines_spark import binlog
+    from fao_elt_pipelines_spark.streaming.stream_replay import windowed_op_counts
+
+    ev = binlog.change_events(spark, 5000, n_repos=20)
+    out = windowed_op_counts(ev)
+    total = out.agg(F.sum("events")).collect()[0][0]
+    assert total == 5000
+    assert out.filter(F.col("window_end") <= F.col("window_start")).count() == 0

@@ -1,0 +1,58 @@
+"""Structured Streaming replay: drain a multi-file binlog via
+readStream+foreachBatch, assert final state equals the batch LWW result,
+and that a second drain is a no-op (exactly-once)."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fao_elt_pipelines_spark import binlog
+from fao_elt_pipelines_spark.lake.table import LakeTable
+from fao_elt_pipelines_spark.operators.dedup import lww_dedup
+from fao_elt_pipelines_spark.streaming.stream_replay import stream_replay
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("last_seq", T.LongType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def binlog_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "binlog")
+    # several files so maxFilesPerTrigger=2 yields multiple micro-batches
+    binlog.change_events(spark, 10_000, n_repos=50, num_partitions=6).write.parquet(p)
+    return p
+
+
+def test_stream_replay_matches_batch_lww(spark, binlog_dir, tmp_path):
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=8)
+    stream_replay(spark, binlog_dir, table, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    got = {
+        (r["repo"], r["path"]): (r["commit"], r["content_sha256"], r["last_seq"])
+        for r in table.read().collect()
+    }
+    events = spark.read.parquet(binlog_dir)
+    want_df = lww_dedup(events).filter(F.col("op") != "delete")
+    want = {
+        (r["repo"], r["path"]): (
+            r["commit"],
+            r["content_sha256"],
+            r["seq"],
+        )
+        for r in want_df.withColumn("content_sha256", F.sha2(F.col("content"), 256)).collect()
+    }
+    assert got == want
+    n_snapshots = len(table.snapshots())
+    assert n_snapshots >= 2  # multiple micro-batches hit the sink
+
+    # drain again: offsets + committed-epoch guard make it a no-op
+    stream_replay(spark, binlog_dir, table, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    assert len(table.snapshots()) == n_snapshots
