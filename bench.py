@@ -59,12 +59,16 @@ def bench_replay(spark, workdir: str) -> tuple[float, float]:
         num_partitions=max(CPUS * 2, 8),
     )
     binlog_path = os.path.join(workdir, "binlog")
-    events.write.parquet(binlog_path)
+    # epoch-partitioned layout: each epoch's merge scans only its slice
+    # (partition pruning), exactly like Kafka offsets / WAL segments
+    events.write.partitionBy("epoch").parquet(binlog_path)
     stored = spark.read.parquet(binlog_path)
     table = LakeTable.create(spark, os.path.join(workdir, "state"), STATE_SCHEMA, n_buckets=64)
     ckpt = CheckpointStore(os.path.join(workdir, "ckpt.json"))
     t0 = time.time()
-    rep = replay(spark, stored, table, ckpt)
+    # merge-on-read + periodic compaction: the write-optimized CDC path
+    # (see lake.table.merge_changes; COW benched in tests/perf notes)
+    rep = replay(spark, stored, table, ckpt, mode="mor", compact_every=4)
     dt = time.time() - t0
     return round(dt, 3), round(rep.events_in / dt, 1)
 

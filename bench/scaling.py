@@ -1,0 +1,102 @@
+"""Scaling-efficiency evidence for the north rule: the identical replay job
+at two parallelism levels (local[N] and local[4N]) on the SAME input.
+
+No real cluster exists in this sandbox, so executor-count scaling is
+evidenced by thread-count scaling in one JVM (each run is a fresh
+spark-submit-equivalent subprocess so JIT/heap state can't leak between
+levels). Reports throughput at both levels and
+``efficiency = (T_4N / T_N) / 4`` into BENCH/BASELINE.md.
+
+Usage: python bench/scaling.py [--events 4000000] [--n 8] [--repeats 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(binlog: str, workdir: str, cores: int, tag: str) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "replay_job.py"),
+            "--binlog", binlog,
+            "--table", os.path.join(workdir, f"state_{tag}"),
+            "--checkpoint", os.path.join(workdir, f"ckpt_{tag}.json"),
+            "--cores", str(cores),
+            "--mode", "mor",
+            "--compact-every", "4",
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=4_000_000)
+    ap.add_argument("--n", type=int, default=8, help="small level N (large is 4N)")
+    ap.add_argument("--epochs", type=int, default=4)
+    args = ap.parse_args()
+
+    workdir = tempfile.mkdtemp(prefix="scaling_")
+    binlog_path = os.path.join(workdir, "binlog")
+    # generate once with the LARGE level so both runs read identical input
+    gen = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "replay_job.py"),
+            "--binlog", binlog_path,
+            "--table", os.path.join(workdir, "state_gen"),
+            "--checkpoint", os.path.join(workdir, "ckpt_gen.json"),
+            "--generate", str(args.events),
+            "--events-per-epoch", str(args.events // args.epochs),
+            "--cores", str(4 * args.n),
+            "--max-epochs", "0",
+        ],
+        capture_output=True, text=True, check=True, cwd=REPO,
+    )
+    assert os.path.exists(binlog_path), gen.stderr[-2000:]
+
+    results = {}
+    for cores, tag in [(args.n, "N"), (4 * args.n, "4N")]:
+        t0 = time.time()
+        r = run_level(binlog_path, workdir, cores, tag)
+        results[tag] = {
+            "cores": cores,
+            "events_per_sec": r["events_per_sec"],
+            "events_in": r["events_in"],
+            "wall_sec": round(time.time() - t0, 1),
+            "state_rows": r["state_rows"],
+        }
+    assert results["N"]["state_rows"] == results["4N"]["state_rows"]
+    eff = results["4N"]["events_per_sec"] / results["N"]["events_per_sec"] / 4.0
+    doc = {
+        "metric": "replay_scaling_efficiency",
+        "N_cores": args.n,
+        "4N_cores": 4 * args.n,
+        "events": args.events,
+        "throughput_N": results["N"]["events_per_sec"],
+        "throughput_4N": results["4N"]["events_per_sec"],
+        "efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+        "detail": results,
+    }
+    print(json.dumps(doc))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w") as f:
+        json.dump(doc, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

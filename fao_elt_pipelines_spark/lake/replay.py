@@ -45,6 +45,8 @@ def replay(
     max_epochs: int | None = None,
     fail_after_epochs: int | None = None,
     collect_metrics: bool = True,
+    mode: str = "cow",
+    compact_every: int | None = None,
 ) -> ReplayReport:
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.
@@ -80,12 +82,15 @@ def replay(
         if n == 0:
             continue
         table.merge_changes(
-            batch, epoch_id=epoch, metrics={"rows_in_delta": n, "source": source}
+            batch, epoch_id=epoch, metrics={"rows_in_delta": n, "source": source},
+            mode=mode,
         )
         checkpoint.commit(source, epoch, int(seq_hi))
         rep.epochs_applied.append(epoch)
         rep.events_in += n
         applied += 1
+        if compact_every and applied % compact_every == 0:
+            table.compact()
         if fail_after_epochs is not None and applied >= fail_after_epochs:
             raise RuntimeError(f"injected failure after {applied} epochs")
     rep.duration_sec = time.time() - t0

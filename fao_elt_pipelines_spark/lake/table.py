@@ -20,9 +20,11 @@ small interface so a real catalog's ``MERGE INTO`` can be swapped in:
 
 Partition layout & pruning
 --------------------------
-The base table is hash-bucketed: ``bucket = pmod(xxhash64(repo), n_buckets)``.
-Buckets are directories (``_bucket=N``); the bucket of a row is recomputable
-from ``repo`` so reads never depend on directory parsing. MERGE rewrites
+The base table is hash-bucketed on the MERGE key:
+``bucket = pmod(xxhash64(repo, path), n_buckets)`` (uniform under hot-repo
+skew — see bucket_expr). Buckets are directories (``_bucket=N``); the bucket
+of a row is recomputable from the key so reads never depend on directory
+parsing. MERGE rewrites
 *only the buckets the delta touches* (copy-on-write): a distinct on the
 delta's bucket ids (≤ n_buckets values) prunes the base scan to the touched
 files via the manifest — at 100 TB this is the difference between rewriting
@@ -39,11 +41,10 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.dedup import lww_dedup
 from . import schema_evo
 
 STATE_COLUMNS = ["repo", "path", "commit", "lang", "content", "content_sha256", "last_seq"]
@@ -57,8 +58,18 @@ STATE_COLUMNS = ["repo", "path", "commit", "lang", "content", "content_sha256", 
 TOMBSTONE_COL = "_is_deleted"
 
 
-def bucket_expr(n_buckets: int, repo_col: str = "repo") -> F.Column:
-    return F.pmod(F.xxhash64(F.col(repo_col)), F.lit(n_buckets)).cast("int")
+def bucket_expr(n_buckets: int, key_cols: tuple[str, str] = ("repo", "path")) -> F.Column:
+    """Partition bucket = hash of the MERGE key.
+
+    Bucketing on the full key (not repo alone) makes bucket load uniform
+    regardless of the Zipf-hot-repo distribution — the hot repo's paths
+    spread over all buckets — so the merge shuffle, the sort, and the file
+    writes are skew-free by construction. The trade-off (no repo-level
+    partition pruning for readers) is the right one for a CDC sink whose
+    dominant access is key-bucket MERGE; repo-level analytics run on the
+    aggregate outputs, not the base table scan.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
 @dataclass
@@ -98,7 +109,7 @@ class LakeTable:
             "table_uuid": str(uuid.uuid4()),
             "n_buckets": n_buckets,
             "schema": schema_evo.schema_to_registry(schema),
-            "partition_spec": [{"source": "repo", "transform": f"bucket[{n_buckets}]"}],
+            "partition_spec": [{"source": ["repo", "path"], "transform": f"bucket[{n_buckets}]"}],
             "current_snapshot_id": None,
             "snapshots": [],
         }
@@ -162,26 +173,50 @@ class LakeTable:
         return T.StructType(list(logical.fields) + [T.StructField(TOMBSTONE_COL, T.BooleanType(), True)])
 
     # --------------------------------------------------------------- read
-    def read(self, snapshot_id: int | None = None, include_tombstones: bool = False) -> DataFrame:
-        """Read the table at a snapshot (default: current). Time travel =
-        pass any historical snapshot id. Tombstones are hidden unless asked
-        for."""
-        meta = self._load_metadata()
-        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
-        logical = schema_evo.registry_to_schema(meta["schema"])
+    def _read_entries(
+        self,
+        entries: list[dict[str, Any]],
+        include_tombstones: bool = False,
+        merged: bool = True,
+        keys: tuple[str, str] = ("repo", "path"),
+    ) -> DataFrame:
+        """Read manifest entries as a DataFrame.
+
+        ``merged=True`` applies read-time LWW across base+delta files
+        (merge-on-read): per key, the row with max last_seq wins — a
+        max_by hash aggregate (map-side partial agg), only engaged when
+        delta files are actually present. ``merged=False`` returns raw
+        physical rows (used internally by COW merge and compact, which do
+        their own LWW in the single write shuffle)."""
+        logical = self.schema()
         phys = self._physical_schema(logical)
-        if sid is None:
-            return self.spark.createDataFrame([], phys if include_tombstones else logical)
-        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
-        files = [e["path"] for e in snap["manifest"]]
-        if not files:
-            return self.spark.createDataFrame([], phys if include_tombstones else logical)
-        # Explicit schema: old files lacking newly-added fields read as NULL
-        # (additive evolution); extra pruning comes from Parquet stats.
-        df = self.spark.read.schema(phys).parquet(*files)
+        if not entries:
+            df = self.spark.createDataFrame([], phys)
+        else:
+            # Explicit schema: old files lacking newly-added fields read as
+            # NULL (additive evolution); pruning comes from Parquet stats.
+            df = self.spark.read.schema(phys).parquet(*[e["path"] for e in entries])
+        has_delta = any(e.get("kind") == "delta" for e in entries)
+        if merged and has_delta:
+            payload = [c for c in df.columns if c not in keys]
+            packed = F.max_by(F.struct(*payload), F.col("last_seq")).alias("_win")
+            df = df.groupBy(*keys).agg(packed).select(
+                *keys, *[F.col(f"_win.{c}").alias(c) for c in payload]
+            )
         if include_tombstones:
             return df
         return df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(TOMBSTONE_COL)
+
+    def read(self, snapshot_id: int | None = None, include_tombstones: bool = False) -> DataFrame:
+        """Read the table at a snapshot (default: current). Time travel =
+        pass any historical snapshot id. Tombstones are hidden unless asked
+        for; MOR delta files are LWW-merged transparently."""
+        meta = self._load_metadata()
+        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+        if sid is None:
+            return self._read_entries([], include_tombstones)
+        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+        return self._read_entries(snap["manifest"], include_tombstones)
 
     def read_buckets(
         self,
@@ -191,24 +226,16 @@ class LakeTable:
     ) -> DataFrame:
         """Manifest-level partition pruning: only files in the given buckets."""
         snap = snapshot or self.current_snapshot()
-        logical = self.schema()
-        phys = self._physical_schema(logical)
-        out_schema = phys if include_tombstones else logical
-        if snap is None:
-            return self.spark.createDataFrame([], out_schema)
-        files = [e["path"] for e in snap["manifest"] if e["bucket"] in buckets]
-        if not files:
-            return self.spark.createDataFrame([], out_schema)
-        df = self.spark.read.schema(phys).parquet(*files)
-        if include_tombstones:
-            return df
-        return df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(TOMBSTONE_COL)
+        entries = [e for e in (snap["manifest"] if snap else []) if e["bucket"] in buckets]
+        return self._read_entries(entries, include_tombstones)
 
     # -------------------------------------------------------------- write
-    def _write_data_files(self, df: DataFrame, source_epoch: int | None) -> list[dict[str, Any]]:
+    def _write_data_files(
+        self, df: DataFrame, source_epoch: int | None, kind: str = "base"
+    ) -> list[dict[str, Any]]:
         """Write df (must carry ``_bucket``) as bucket-partitioned parquet,
         return manifest entries with per-file stats (lineage grain:
-        one entry per (file, bucket))."""
+        one entry per (file, bucket)). ``kind`` is base or delta (MOR)."""
         commit_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
         (
             df.write.option("maxRecordsPerFile", 4_000_000)
@@ -228,7 +255,13 @@ class LakeTable:
                 fp = os.path.join(commit_dir, bdir, fn)
                 rows = pq.ParquetFile(fp).metadata.num_rows
                 entries.append(
-                    {"path": fp, "bucket": bucket, "rows": rows, "source_epoch": source_epoch}
+                    {
+                        "path": fp,
+                        "bucket": bucket,
+                        "rows": rows,
+                        "source_epoch": source_epoch,
+                        "kind": kind,
+                    }
                 )
         return entries
 
@@ -298,6 +331,56 @@ class LakeTable:
         )
 
     # -------------------------------------------------------------- MERGE
+    def _sorted_lww(
+        self,
+        ev: DataFrame,
+        keys: tuple[str, str],
+        seq_col: str,
+        op_col: str,
+        payload_cols: list[str],
+        n_buckets: int,
+    ) -> DataFrame:
+        """Single-shuffle sorted LWW: hash-repartition events by the key
+        bucket (ONE exchange, keyed exactly like the file layout), sort
+        within partitions by (key, seq DESC), keep the first row per key via
+        a lag comparison. The window's required distribution is satisfied by
+        the repartition, so Catalyst inserts no second exchange — dedup,
+        MERGE resolution, and write alignment all ride the same shuffle.
+        Returns physical-state rows (payload + sha + last_seq + tombstone +
+        _bucket). Delete winners become tombstone rows."""
+        ev = ev.withColumn("_bucket", bucket_expr(n_buckets, keys))
+        packed = ev.repartition(n_buckets, F.col("_bucket"))
+        w = Window.partitionBy("_bucket").orderBy(
+            *[F.col(k) for k in keys], F.col(seq_col).desc()
+        )
+        key_str = F.concat_ws("\x00", *[F.col(k) for k in keys])
+        prev_key = F.lag(key_str).over(w)
+        winners = packed.withColumn(
+            "_is_winner", prev_key.isNull() | (prev_key != key_str)
+        ).filter(F.col("_is_winner"))
+        is_del = F.col(op_col) == "delete"
+        return winners.select(
+            *[F.col(c) for c in payload_cols],
+            F.when(~is_del, F.sha2(F.col("content"), 256)).alias("content_sha256"),
+            F.col(seq_col).cast("long").alias("last_seq"),
+            is_del.alias(TOMBSTONE_COL),
+            F.col("_bucket"),
+        )
+
+    def _as_events(self, phys: DataFrame, payload_cols: list[str], seq_col: str, op_col: str) -> DataFrame:
+        """Physical state rows → synthetic change events at seq=last_seq.
+        Tombstones re-enter as deletes so they keep outranking any older
+        re-delivered event for their key (cross-batch order insensitivity —
+        the late-event monotonicity guard)."""
+        op = F.when(
+            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)), F.lit("delete")
+        ).otherwise(F.lit("base"))
+        return phys.select(
+            *[F.col(c) for c in payload_cols],
+            F.col("last_seq").alias(seq_col),
+            op.alias(op_col),
+        )
+
     def merge_changes(
         self,
         delta: DataFrame,
@@ -306,18 +389,23 @@ class LakeTable:
         seq_col: str = "seq",
         op_col: str = "op",
         metrics: dict[str, Any] | None = None,
+        mode: str = "cow",
     ) -> int:
-        """Copy-on-write MERGE of a change-event batch into the state table.
+        """MERGE a change-event batch into the state table.
 
-        Semantics (SURVEY.md §2.3 — the outer-join-shaped MERGE):
-        - LWW dedup of the delta per key on ``seq_col``
-        - base rows join in as synthetic events at ``seq=last_seq`` — the
-          max-seq winner per key across base ∪ delta decides the row, which
-          IS the late-event monotonicity guard (an old delete/update cannot
-          clobber a newer base row)
-        - winner op == delete → row removed; else upserted
-        - only buckets present in the delta are rewritten; all other data
-          files carry over into the new snapshot untouched.
+        Semantics (SURVEY.md §2.3 — the outer-join-shaped MERGE): per key,
+        the max-seq event across base ∪ delta wins; winner op == delete →
+        tombstone; else upsert. Two physical strategies:
+
+        - ``mode="cow"`` (copy-on-write): read the touched buckets' current
+          merged state, resolve winners, rewrite those buckets. Read-
+          optimized — the table is always one file per bucket.
+        - ``mode="mor"`` (merge-on-read): resolve winners WITHIN the delta
+          only and append them as delta files; base files are never read or
+          rewritten at merge time. Readers (and compact()) LWW base∪deltas
+          on last_seq. Write-optimized — merge cost is O(delta), not
+          O(touched base); call compact() periodically to restore read
+          performance.
 
         Returns the committed snapshot id (or the current one when the
         epoch was already committed — exactly-once replay-skip).
@@ -342,55 +430,51 @@ class LakeTable:
             meta2["schema"] = new_registry
             self._write_metadata(meta2, version=self._version() + 1)
 
-        delta = delta.withColumn("_bucket", bucket_expr(n_buckets))
-        # LWW within the batch first: shrinks the join input and makes the
-        # per-key winner unique before meeting the base.
-        delta_w = lww_dedup(delta, keys=keys, order_col=seq_col)
-
-        # Touched-partition pruning (collect is ≤ n_buckets ints).
-        touched = {r[0] for r in delta_w.select("_bucket").distinct().collect()}
-        snap = self.current_snapshot()
-        kept, base_files = [], []
-        if snap:
-            for e in snap["manifest"]:
-                (base_files if e["bucket"] in touched else kept).append(e)
-
-        if base_files:
-            base = self.read_buckets(touched, snap, include_tombstones=True)
-        else:
-            base = self.spark.createDataFrame([], self._physical_schema(state_schema))
-
         payload_cols = [f.name for f in state_schema.fields if f.name not in ("content_sha256", "last_seq")]
-        # Base rows re-enter as synthetic events at their applied seq;
-        # tombstones re-enter as deletes so they keep outranking any older
-        # re-delivered event for the key (cross-batch order insensitivity).
-        base_op = F.when(
-            F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)), F.lit("delete")
-        ).otherwise(F.lit("base"))
-        base_ev = base.select(
-            *[F.col(c) for c in payload_cols],
-            F.col("last_seq").alias(seq_col),
-            base_op.alias(op_col),
-        )
-        delta_ev = delta_w.select(
+        delta_ev = delta.select(
             *[
-                (F.col(c) if c in delta_w.columns else F.lit(None).cast(dict_field(state_schema, c)))
+                (F.col(c) if c in delta.columns else F.lit(None).cast(dict_field(state_schema, c)))
                 .alias(c)
                 for c in payload_cols
             ],
             F.col(seq_col).cast("long").alias(seq_col),
             F.col(op_col).alias(op_col),
         )
-        winners = lww_dedup(base_ev.unionByName(delta_ev), keys=keys, order_col=seq_col)
-        is_del = F.col(op_col) == "delete"
-        final = winners.select(
-            *[F.col(c) for c in payload_cols],
-            F.when(~is_del, F.sha2(F.col("content"), 256)).alias("content_sha256"),
-            F.col(seq_col).cast("long").alias("last_seq"),
-            is_del.alias(TOMBSTONE_COL),
-        ).withColumn("_bucket", bucket_expr(n_buckets))
-        new_entries = self._write_data_files(final, epoch_id)
+        snap = self.current_snapshot()
+
+        if mode == "mor":
+            final = self._sorted_lww(delta_ev, keys, seq_col, op_col, payload_cols, n_buckets)
+            new_entries = self._write_data_files(final, epoch_id, kind="delta")
+            kept = snap["manifest"] if snap else []
+            summary = {
+                "mode": "mor",
+                "rows_in_delta": None,
+                "rows_written": sum(e["rows"] for e in new_entries),
+                "base_files_rewritten": 0,
+                "duration_sec": round(time.time() - t0, 3),
+            }
+            if metrics:
+                summary.update(metrics)
+            return self._commit("merge", new_entries, kept, epoch_id, summary)
+
+        # --- copy-on-write ---
+        delta_b = delta_ev.withColumn("_bucket", bucket_expr(n_buckets, keys))
+        # Touched-partition pruning (collect is ≤ n_buckets ints).
+        touched = {r[0] for r in delta_b.select("_bucket").distinct().collect()}
+        kept, base_files = [], []
+        if snap:
+            for e in snap["manifest"]:
+                (base_files if e["bucket"] in touched else kept).append(e)
+        if base_files:
+            base = self._read_entries(base_files, include_tombstones=True, merged=False)
+            base_ev = self._as_events(base, payload_cols, seq_col, op_col)
+            all_ev = base_ev.unionByName(delta_ev)
+        else:
+            all_ev = delta_ev
+        final = self._sorted_lww(all_ev, keys, seq_col, op_col, payload_cols, n_buckets)
+        new_entries = self._write_data_files(final, epoch_id, kind="base")
         summary = {
+            "mode": "cow",
             "buckets_touched": sorted(touched),
             "rows_in_delta": None,  # filled by replay driver (avoids extra count job)
             "rows_written": sum(e["rows"] for e in new_entries),
@@ -400,6 +484,40 @@ class LakeTable:
         if metrics:
             summary.update(metrics)
         return self._commit("merge", new_entries, kept, epoch_id, summary)
+
+    def compact(self, metrics: dict[str, Any] | None = None) -> int | None:
+        """Consolidate MOR delta files into base files (one per bucket).
+
+        Buckets with no delta files keep their base files untouched. LWW
+        winners (including tombstones) are preserved exactly, so reads
+        before and after compaction are identical. Returns the committed
+        snapshot id, or None when there is nothing to compact."""
+        t0 = time.time()
+        snap = self.current_snapshot()
+        if snap is None:
+            return None
+        delta_entries = [e for e in snap["manifest"] if e.get("kind") == "delta"]
+        if not delta_entries:
+            return None
+        meta = self._load_metadata()
+        n_buckets = meta["n_buckets"]
+        state_schema = schema_evo.registry_to_schema(meta["schema"])
+        payload_cols = [f.name for f in state_schema.fields if f.name not in ("content_sha256", "last_seq")]
+        touched = {e["bucket"] for e in delta_entries}
+        consumed = [e for e in snap["manifest"] if e["bucket"] in touched]
+        kept = [e for e in snap["manifest"] if e["bucket"] not in touched]
+        phys = self._read_entries(consumed, include_tombstones=True, merged=False)
+        ev = self._as_events(phys, payload_cols, seq_col="seq", op_col="op")
+        final = self._sorted_lww(ev, ("repo", "path"), "seq", "op", payload_cols, n_buckets)
+        new_entries = self._write_data_files(final, None, kind="base")
+        summary = {
+            "files_compacted": len(consumed),
+            "rows_written": sum(e["rows"] for e in new_entries),
+            "duration_sec": round(time.time() - t0, 3),
+        }
+        if metrics:
+            summary.update(metrics)
+        return self._commit("compact", new_entries, kept, None, summary)
 
 
 def _state_schema_for(payload_schema: T.StructType, seq_col: str) -> T.StructType:

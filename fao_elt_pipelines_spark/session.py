@@ -45,7 +45,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Heap sizing measured on this sandbox (see BENCH/BASELINE.md): the
+        # default G1 collector page-faults catastrophically on large fresh
+        # heaps here (48g G1 = 7x slowdown at 32 threads; +AlwaysPreTouch
+        # takes 5 minutes to zero pages). ParallelGC + a moderate heap keeps
+        # 32-thread codegen at full speed; shuffle overflow spills to disk.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet writer: large row groups for scan throughput at 100 TB.

@@ -54,6 +54,8 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
+    ap.add_argument("--compact-every", type=int, default=None)
     args = ap.parse_args()
 
     spark = get_spark("replay_job", cores=args.cores)
@@ -61,7 +63,7 @@ def main() -> None:
         binlog.change_events(
             spark, args.generate, n_repos=args.n_repos,
             events_per_epoch=args.events_per_epoch,
-        ).write.parquet(args.binlog)
+        ).write.partitionBy("epoch").parquet(args.binlog)
     events = spark.read.parquet(args.binlog)
 
     if not LakeTable.exists(args.table):
@@ -71,7 +73,10 @@ def main() -> None:
     ckpt = CheckpointStore(args.checkpoint)
 
     t0 = time.time()
-    rep = replay(spark, events, table, ckpt, max_epochs=args.max_epochs)
+    rep = replay(
+        spark, events, table, ckpt, max_epochs=args.max_epochs,
+        mode=args.mode, compact_every=args.compact_every,
+    )
     dt = time.time() - t0
     state = table.read()
     summary = state.agg(

@@ -118,6 +118,38 @@ def test_merge_replay_matches_oracle(spark, events, events_parquet, tmp_path):
     assert expected.join(state, "repo", "left_anti").count() == 0
 
 
+def test_merge_mor_matches_oracle_and_compact(spark, events, events_parquet, tmp_path):
+    """Merge-on-read: delta-only writes at merge time, read-time LWW, and
+    compaction that preserves the merged state exactly."""
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=16)
+    ckpt = CheckpointStore(str(tmp_path / "ckpt.json"))
+    replay(spark, events, table, ckpt, mode="mor")
+
+    def state():
+        return {
+            (r["repo"], r["path"]): (r["commit"], r["lang"], r["content_sha256"], r["last_seq"])
+            for r in table.read().collect()
+        }
+
+    want = oracle_state(events_parquet)
+    assert state() == want
+    cur = table.current_snapshot()
+    assert any(e.get("kind") == "delta" for e in cur["manifest"])
+
+    assert table.compact() is not None
+    assert state() == want  # identical before/after compaction
+    cur2 = table.current_snapshot()
+    assert all(e.get("kind") == "base" for e in cur2["manifest"])
+    assert table.compact() is None  # nothing left to compact
+
+    # mixed-mode follow-up: a COW merge on top of the compacted MOR table
+    # (exercises COW consuming prior MOR state paths)
+    extra = binlog.change_events(spark, N_EVENTS + 2000, n_repos=100, paths_per_repo=50,
+                                 events_per_epoch=EPOCH).filter(F.col("seq") >= N_EVENTS)
+    table.merge_changes(extra, epoch_id=99, mode="cow")
+    assert table.read().groupBy("repo", "path").count().filter("count > 1").count() == 0
+
+
 def test_resume_after_crash(spark, events, events_parquet, tmp_path):
     table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=16)
     ckpt = CheckpointStore(str(tmp_path / "ckpt.json"))

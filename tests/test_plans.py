@@ -1,0 +1,88 @@
+"""Physical-plan audits: assert the optimizations we claim actually appear
+in the executed plans (pushdown, pruning, broadcast, single-exchange MERGE,
+no Python in hot paths)."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from fao_elt_pipelines_spark.plans.queries import q_gold_region_rollup
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _n_nodes(plan: str, op: str) -> int:
+    """Count physical operators via their detail headers '(k) Op' (the tree
+    rendering would double-count)."""
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    # column pruning: ReadSchema carries only the two needed columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "l_orderkey", "l_quantity",
+    }
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    plan = _plan(q_gold_region_rollup(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_merge_plan_single_exchange(spark, tmp_path):
+    """The sorted-MERGE write plan must contain exactly ONE shuffle: the
+    repartition by bucket. The window's distribution requirement is
+    satisfied by it (no second Exchange), as claimed in lake/table.py."""
+    from fao_elt_pipelines_spark import binlog
+    from fao_elt_pipelines_spark.lake.table import LakeTable, bucket_expr, TOMBSTONE_COL
+    from pyspark.sql import Window
+
+    ev = binlog.change_events(spark, 10_000, n_repos=20)
+    n_buckets = 8
+    evb = ev.withColumn("_bucket", bucket_expr(n_buckets))
+    packed = evb.repartition(n_buckets, F.col("_bucket"))
+    w = Window.partitionBy("_bucket").orderBy("repo", "path", F.col("seq").desc())
+    key_str = F.concat_ws("\x00", F.col("repo"), F.col("path"))
+    prev = F.lag(key_str).over(w)
+    winners = packed.withColumn("_w", prev.isNull() | (prev != key_str)).filter(F.col("_w"))
+    plan = _plan(winners)
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert "EvalPython" not in plan  # expressions stay JVM-side
+
+
+def test_lww_maxby_has_partial_aggregate(spark):
+    """Query-level LWW (max_by strategy) must show a partial hash aggregate
+    before the shuffle (map-side combine)."""
+    from fao_elt_pipelines_spark import binlog
+    from fao_elt_pipelines_spark.operators.dedup import lww_dedup
+
+    ev = binlog.change_events(spark, 10_000, n_repos=20)
+    plan = _plan(lww_dedup(ev))
+    # partial + final aggregate (max_by of a struct plans as SortAggregate)
+    # around exactly one Exchange — the map-side combine is what bounds the
+    # shuffle volume at 10^10 events
+    n_aggs = _n_nodes(plan, "SortAggregate") + _n_nodes(plan, "HashAggregate")
+    assert n_aggs >= 2
+    assert _n_nodes(plan, "Exchange") == 1
+
+
+def test_no_python_udf_in_relational_queries(spark, sf_dir):
+    """Every oracle-checked relational query stays JVM-side (no
+    BatchEvalPython / ArrowEvalPython nodes) — UDFs are reserved for the
+    explicitly-Python surfaces (simhash, multimodal)."""
+    from fao_elt_pipelines_spark.plans.registry import REGISTRY
+
+    for name, (fn, sql) in REGISTRY.items():
+        if name in ("simhash_signatures",):
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} plan contains Python eval"

@@ -1,0 +1,59 @@
+"""Source readers: delimiter/encoding sniff, structure detection, JDBC
+partition options, JSON bronze landing."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from fao_elt_pipelines_spark.sources import readers as R
+
+
+def test_sniff_delimiter():
+    assert R.sniff_delimiter(["a,b,c", "1,2,3"]) == ","
+    assert R.sniff_delimiter(["a\tb\tc", "1\t2\t3"]) == "\t"
+    assert R.sniff_delimiter(["a|b|c|d", "1|2|3|4"]) == "|"
+
+
+def test_read_delimited_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t.tsv")
+    with open(p, "w") as f:
+        f.write("k\tv\n1\tx\n2\ty\n3\tz\n")
+    df = R.read_delimited(spark, p)
+    assert df.columns == ["k", "v"]
+    assert df.count() == 3
+    assert df.filter(F.col("k") == 2).first()["v"] == "y"
+
+
+def test_sniff_encoding_latin1(tmp_path):
+    p = str(tmp_path / "latin.csv")
+    with open(p, "wb") as f:
+        f.write("name\nCôte\n".encode("latin-1"))
+    assert R.sniff_encoding(p) == "latin-1"
+
+
+def test_detect_structure_parquet(spark, sf_dir):
+    info = R.detect_structure(spark, f"{sf_dir}/orders.parquet")
+    assert info["row_count_exact"] is True
+    assert info["estimated_rows"] == 1500
+    assert info["dtype_classes"]["o_totalprice"] == "numeric"
+    assert info["dtype_classes"]["o_orderdate"] == "datetime"
+    assert info["dtype_classes"]["o_orderpriority"] == "object"
+    assert len(info["sample"]) == 5
+
+
+def test_jdbc_partition_opts():
+    opts = R.jdbc_partitioned_opts("jdbc:postgresql://h/db", "t", "id", 0, 1_000_000, 32)
+    assert opts["numPartitions"] == "32"
+    assert opts["partitionColumn"] == "id"
+    assert int(opts["upperBound"]) > int(opts["lowerBound"])
+
+
+def test_read_json_bronze(spark, tmp_path):
+    p = str(tmp_path / "b.jsonl")
+    with open(p, "w") as f:
+        f.write('{"area": "China", "value": 5}\n{"area": "India", "value": 7}\n')
+    df = R.read_json_bronze(spark, p, source_url="u", api_endpoint="/e")
+    assert df.columns == ["id", "data", "loaded_at", "source_url", "api_endpoint"]
+    assert df.count() == 2
+    got = df.select(F.get_json_object("data", "$.area").alias("a")).orderBy("a").collect()
+    assert [r["a"] for r in got] == ["China", "India"]
