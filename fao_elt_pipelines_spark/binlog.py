@@ -56,6 +56,7 @@ def change_events(
     seed: int = 42,
     num_partitions: int | None = None,
     with_v2_columns: bool = False,
+    content_reps: int | None = None,
 ) -> DataFrame:
     """Build the change-event DataFrame lazily (never collected).
 
@@ -99,7 +100,12 @@ def change_events(
     # short seed phrase a hash-chosen number of times. repeat+substr are
     # codegen'd JVM ops — no Python in the generator.
     base = F.concat_ws("@", repo, path, seq.cast("string"))
-    reps = (F.floor(_unit(seed, "len", seq) * 30) + 1).cast("int")
+    # content_reps pins payload size (1 rep = 50 chars); None = hash-chosen
+    # 50-1500 chars (the realistic default)
+    if content_reps is not None:
+        reps = F.lit(content_reps)
+    else:
+        reps = (F.floor(_unit(seed, "len", seq) * 30) + 1).cast("int")
     content_raw = F.substring(F.repeat(F.concat(base, F.lit(" ")), 40), 1, 50)
     content = F.when(
         op == "delete", F.lit(None).cast("string")

@@ -47,6 +47,7 @@ def replay(
     collect_metrics: bool = True,
     mode: str = "cow",
     compact_every: int | None = None,
+    collect_delta_stats: bool = True,
 ) -> ReplayReport:
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.
@@ -75,16 +76,33 @@ def replay(
             rep.epochs_skipped.append(epoch)
             continue
         batch = events.filter(F.col(epoch_col) == epoch)
-        agg = batch.agg(
-            F.count("*").alias("n"), F.max("seq").alias("seq_hi")
-        ).collect()[0]
-        n, seq_hi = agg["n"], agg["seq_hi"]
-        if n == 0:
-            continue
-        table.merge_changes(
+        if collect_delta_stats:
+            # exact per-epoch stats: one extra column-pruned scan of the slice
+            agg = batch.agg(
+                F.count("*").alias("n"), F.max("seq").alias("seq_hi")
+            ).collect()[0]
+            n, seq_hi = agg["n"], agg["seq_hi"]
+            if n == 0:
+                continue
+        else:
+            n = seq_hi = None  # derived from written-file stats below
+        sid = table.merge_changes(
             batch, epoch_id=epoch, metrics={"rows_in_delta": n, "source": source},
             mode=mode,
         )
+        if seq_hi is None:
+            # seq_hi from the committed files' parquet column bounds — no
+            # extra scan of the delta (manifest stats, lake.table)
+            snap = table.current_snapshot()
+            bounds = [
+                e["stats"]["last_seq"][1]
+                for e in snap["manifest"]
+                if e.get("source_epoch") == epoch and e.get("stats", {}).get("last_seq")
+            ]
+            seq_hi = max(bounds) if bounds else checkpoint.load()["sources"].get(source, {}).get("seq_hi", -1)
+            n = sum(
+                e["rows"] for e in snap["manifest"] if e.get("source_epoch") == epoch
+            )
         checkpoint.commit(source, epoch, int(seq_hi))
         rep.epochs_applied.append(epoch)
         rep.events_in += n

@@ -253,14 +253,33 @@ class LakeTable:
                 if not fn.endswith(".parquet"):
                     continue
                 fp = os.path.join(commit_dir, bdir, fn)
-                rows = pq.ParquetFile(fp).metadata.num_rows
+                md = pq.ParquetFile(fp).metadata
+                # Iceberg-style per-file column bounds (from parquet footers,
+                # no data read): used for pruning and to derive the epoch's
+                # seq_hi without re-scanning the delta (lake.replay).
+                stats: dict[str, list[Any]] = {}
+                try:
+                    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                    if "last_seq" in idx:
+                        j = idx["last_seq"]
+                        mins, maxs = [], []
+                        for rg in range(md.num_row_groups):
+                            st = md.row_group(rg).column(j).statistics
+                            if st is not None and st.has_min_max:
+                                mins.append(st.min)
+                                maxs.append(st.max)
+                        if mins:
+                            stats["last_seq"] = [min(mins), max(maxs)]
+                except Exception:  # stats are an optimization, never fatal
+                    pass
                 entries.append(
                     {
                         "path": fp,
                         "bucket": bucket,
-                        "rows": rows,
+                        "rows": md.num_rows,
                         "source_epoch": source_epoch,
                         "kind": kind,
+                        "stats": stats,
                     }
                 )
         return entries

@@ -56,6 +56,12 @@ def main() -> None:
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument(
+        "--fast-stats", action="store_true",
+        help="skip the per-epoch delta pre-scan; seq_hi from written-file "
+        "parquet bounds (events_in then derived from the seq span — exact "
+        "for dense-seq binlogs)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("replay_job", cores=args.cores)
@@ -72,12 +78,17 @@ def main() -> None:
         table = LakeTable(spark, args.table)
     ckpt = CheckpointStore(args.checkpoint)
 
+    start_seq = ckpt.load()["sources"].get("binlog", {}).get("seq_hi", -1)
     t0 = time.time()
     rep = replay(
         spark, events, table, ckpt, max_epochs=args.max_epochs,
         mode=args.mode, compact_every=args.compact_every,
+        collect_delta_stats=not args.fast_stats,
     )
     dt = time.time() - t0
+    if args.fast_stats and rep.epochs_applied:
+        end_seq = ckpt.load()["sources"].get("binlog", {}).get("seq_hi", start_seq)
+        rep.events_in = end_seq - start_seq
     state = table.read()
     summary = state.agg(
         F.count("*").alias("rows"),
