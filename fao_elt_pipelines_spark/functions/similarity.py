@@ -90,6 +90,47 @@ def candidate_pairs(bands_df: DataFrame, doc_col: str) -> DataFrame:
     )
 
 
+def sign_projection(emb: Column, plane: int) -> Column:
+    """Signed projection of a vector onto deterministic hyperplane ``plane``
+    whose components are ±1 derived from ``md5(plane || '|' || (i+1))``
+    (first hex digit < '8' → +1). Bit-portable: the DuckDB oracle rebuilds
+    the identical plane from the same md5 string, and the left-fold double
+    accumulation matches ``list_sum(list_transform(...))`` order."""
+    weighted = F.transform(
+        emb,
+        lambda x, i: x.cast("double")
+        * F.when(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{plane}|"), (i + F.lit(1)).cast("string"))), 1, 1
+            )
+            < "8",
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    return F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_bucket(emb: Column, n_planes: int = 4) -> Column:
+    """Coarse IVF cell id in [0, 2^n_planes): bit b set iff the plane-b
+    signed projection is >= 0. This is random-hyperplane (sign) LSH — the
+    coarse quantizer of an IVF index, built from expressions only (no UDF,
+    no trained centroids to ship)."""
+    bucket = F.lit(0)
+    for b in range(n_planes):
+        bucket = bucket + F.when(sign_projection(emb, b) >= 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def ivf_probe_buckets(emb: Column, n_planes: int = 4) -> Column:
+    """Multi-probe list: the exact cell plus every single-bit-flip neighbor
+    cell (Hamming-1 probing), so a query near a hyperplane boundary still
+    finds neighbors quantized to the adjacent cell."""
+    exact = ivf_bucket(emb, n_planes)
+    return F.array(exact, *[exact.bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)])
+
+
 @pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """Vectorized 64-bit SimHash over whitespace tokens (md5-derived token

@@ -328,6 +328,122 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {COSINE_TAU}
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed ANN top-5 — the scale path ann_cosine_topk's
+    brute-force baseline approximates. Vectors are coarse-quantized into
+    2^4 sign-LSH cells (SIM.ivf_bucket); each query probes its own cell
+    plus Hamming-1 neighbors (SIM.ivf_probe_buckets) and ranks only that
+    candidate set. At 10^9 vectors this replaces the O(Q·N) cross join
+    with an equi-join on bucket id: one shuffle, per-bucket fanout bounded
+    by cell population, no trained state to broadcast."""
+    e = load(spark, sf_dir, "embeddings")
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        SIM.ivf_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(SIM.ivf_probe_buckets(F.col("embedding"))).alias("bucket"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            SIM.cosine(F.col("qe"), F.col("ce")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), "cosine_sim")
+    )
+
+
+# ±1 hyperplane component b,i (1-based i), identical md5 derivation as
+# similarity.sign_projection; left-fold sum order matches F.aggregate.
+_PROJ = (
+    "list_sum(list_transform(range(1, len({v})+1), "
+    "i -> CAST({v}[i] AS DOUBLE) * "
+    "CASE WHEN substr(md5('{b}|' || i), 1, 1) < '8' THEN 1.0 ELSE -1.0 END))"
+)
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN {_PROJ.format(v='{v}', b=b)} >= 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(4)
+)
+
+SQL_ANN_IVF_TOPK = f"""
+WITH cand AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce,
+         {_BUCKET.format(v="embedding")} AS bucket
+  FROM embeddings
+),
+qb AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         {_BUCKET.format(v="embedding")} AS b0
+  FROM embeddings WHERE vec_id < 10
+),
+q AS (
+  SELECT query_id, qe, unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+  FROM qb
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a="qe", b="ce")}
+           / sqrt({_DOT.format(a="qe", b="qe")})
+           / sqrt({_DOT.format(a="ce", b="ce")}) AS cosine_sim
+  FROM q JOIN cand USING (bucket)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rnk,
+       cosine_sim
+FROM scored
+QUALIFY rnk <= 5
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: binary payload + typed metadata →
+    Arrow-batched mapInPandas feature extraction (deterministic fake decode
+    at the PIL/librosa seam — see functions.multimodal). Oracle-checked:
+    the fake decode is pure byte arithmetic DuckDB reproduces from the
+    utf-8 bytes."""
+    from ..functions import multimodal as MM
+
+    assets = MM.synthesize_assets(spark, sf_dir)
+    return MM.decode_features(assets)
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH b AS (
+  SELECT doc_id AS asset_id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n_bytes,
+         ((doc_id % 8) + 1) * 64 AS width,
+         ((doc_id % 4) + 1) * 64 AS height
+  FROM documents
+)
+SELECT asset_id, kind, n_bytes,
+       coalesce(list_sum(list_transform(range(1, n_bytes + 1),
+         i -> (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
+            + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))), 0) AS byte_sum,
+       width, height,
+       greatest(n_bytes // 16, 1) AS n_frames_sampled
+FROM b
+"""
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 per document (pandas-UDF path — no SQL oracle; the
     driver's rows-only check applies, semantics are pytest-verified in
@@ -345,6 +461,8 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "simhash_signatures": (q_simhash_signatures, None),
 }

@@ -67,3 +67,30 @@ def test_windowed_op_counts_batch_parity(spark):
     total = out.agg(F.sum("events")).collect()[0][0]
     assert total == 5000
     assert out.filter(F.col("window_end") <= F.col("window_start")).count() == 0
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """The IVF/LSH-bucketed ANN must recover most of the true top-5
+    (recall@5 >= 0.5 with 4 planes + Hamming-1 multiprobe on this data) and
+    never return a pair the brute-force scorer would rank above 1.0."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_ann_cosine_topk, q_ann_ivf_topk
+
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in q_ann_ivf_topk(spark, sf_dir).collect()
+    }
+    assert truth, "brute-force baseline returned nothing"
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, f"recall@5 {recall:.2f} too low"
+
+
+def test_ivf_bucket_is_deterministic_and_bounded(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = e.select(SIM.ivf_bucket(F.col("embedding")).alias("b"))
+    stats = b1.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
+    assert 0 <= stats.lo and stats.hi <= 15
+    assert b1.collect() == e.select(SIM.ivf_bucket(F.col("embedding")).alias("b")).collect()
