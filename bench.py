@@ -81,6 +81,9 @@ def main() -> None:
     queries: dict[str, float] = {}
     for name in HEADLINE:
         queries[name] = bench_query(spark, name)
+        # queries may persist() intermediates; drop them so later timings
+        # aren't taxed by a growing storage-memory footprint
+        spark.catalog.clearCache()
 
     workdir = tempfile.mkdtemp(prefix="bench_cdc_")
     try:

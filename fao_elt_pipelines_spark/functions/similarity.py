@@ -56,36 +56,47 @@ def minhash_signature(sh_df: DataFrame, doc_col: str, shingle_col: str, k: int =
 
 def lsh_bands(sig_df: DataFrame, doc_col: str, k: int = 8, rows_per_band: int = 2) -> DataFrame:
     """Signature → (doc, band_id, band_val) rows; docs sharing any band
-    value are candidate pairs."""
+    value are candidate pairs.
+
+    Single-pass: bands come from one explode over an inline array of
+    (band_id, band_val) structs — NOT a union of per-band branches, which
+    would recompute the signature aggregation once per band."""
     n_bands = k // rows_per_band
-    bands = []
+    structs = []
     for b in range(n_bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig_df.select(
-                F.col(doc_col),
-                F.lit(b).alias("band_id"),
-                F.concat(*cols).alias("band_val"),
-            )
+        structs.append(
+            F.struct(F.lit(b).alias("band_id"), F.concat(*cols).alias("band_val"))
         )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out
+    return sig_df.select(
+        F.col(doc_col), F.explode(F.array(*structs)).alias("_b")
+    ).select(doc_col, "_b.band_id", "_b.band_val")
 
 
 def candidate_pairs(bands_df: DataFrame, doc_col: str) -> DataFrame:
-    """Self-join per band bucket → distinct unordered candidate pairs."""
-    a = bands_df.select(
-        F.col("band_id"), F.col("band_val"), F.col(doc_col).alias("doc_a")
-    )
-    b = bands_df.select(
-        F.col("band_id"), F.col("band_val"), F.col(doc_col).alias("doc_b")
+    """Distinct unordered candidate pairs per band bucket.
+
+    groupBy bucket + in-bucket pair expansion (sorted array → upper
+    triangle) instead of a bucket self-join: one shuffle, no recomputation
+    of the upstream signature plan for a second join side. Bucket
+    population bounds the per-group fanout; a degenerate bucket (mass-
+    duplicated content) is the caller's signal to exact-dedup first."""
+    ds = F.col("_ds")
+    pairs = F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
     )
     return (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands_df.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_set(F.col(doc_col))).alias("_ds"))
+        .filter(F.size("_ds") > 1)
+        .select(F.explode(pairs).alias("_p"))
+        .select("_p.doc_a", "_p.doc_b")
         .distinct()
     )
 

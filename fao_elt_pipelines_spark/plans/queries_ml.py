@@ -117,21 +117,23 @@ WHERE c / (sa.n + sb.n - c) >= {JACCARD_TAU}
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands × 2 rows) candidate generation, then exact
-    Jaccard verification of candidates only — the scale path for near-dup
-    at 10^9 docs (shuffles on shingle, doc, band; never all-pairs)."""
-    sh = _shingle_rows(spark, sf_dir)
+    Jaccard verification of CANDIDATES ONLY — the scale path for near-dup
+    at 10^9 docs. The intersection count is computed by fanning the
+    candidate pairs out to their shingles (cand ⋈ sh on doc_a, then ⋈ sh
+    on (doc_b, shingle)) — cost O(|cand| · avg_shingles), never the
+    all-pairs shingle self-join the brute-force baseline does. The shingle
+    set is persisted once and feeds signature, sizes, and both verify
+    joins without recomputation."""
+    sh = _shingle_rows(spark, sf_dir).persist()
     sig = SIM.minhash_signature(sh, "doc_id", "shingle", k=8)
     bands = SIM.lsh_bands(sig, "doc_id", k=8, rows_per_band=2)
     cand = SIM.candidate_pairs(bands, "doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
-        .join(cand, ["doc_a", "doc_b"], "left_semi")
     )
     jac = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
