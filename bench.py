@@ -35,8 +35,11 @@ from scripts.replay_job import STATE_SCHEMA  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "1000000"))
-REPLAY_EPOCHS = int(os.environ.get("BENCH_REPLAY_EPOCHS", "4"))
+# 4M events / 2 epochs: large enough that per-epoch fixed cost (merge
+# planning, snapshot commit) amortizes and events/sec reflects the steady
+# state replay rate (~1.5e5/s here), matching BENCH/BASELINE.md's series
+REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "4000000"))
+REPLAY_EPOCHS = int(os.environ.get("BENCH_REPLAY_EPOCHS", "2"))
 
 #: queries benched (all registry entries; heavier ones drive the signal)
 HEADLINE = sorted(REGISTRY.keys())
@@ -75,8 +78,15 @@ def bench_replay(spark, workdir: str) -> tuple[float, float]:
 
 def main() -> None:
     spark = get_spark("bench", cores=CPUS)
-    # tiny warmup so JVM/codegen startup doesn't land on the first query
-    spark.range(1000).agg({"id": "sum"}).collect()
+    # warmup: run every query once at the tiny SF so JIT/codegen compilation
+    # of each expression class (md5, regex, window, HOF lambdas, Arrow UDF
+    # init) doesn't land inside the timed sf run
+    if os.environ.get("BENCH_WARMUP", "1") == "1":
+        warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+        if os.path.isdir(warm_dir):
+            for name in HEADLINE:
+                REGISTRY[name][0](spark, warm_dir).write.mode("overwrite").format("noop").save()
+                spark.catalog.clearCache()
 
     queries: dict[str, float] = {}
     for name in HEADLINE:
@@ -90,7 +100,7 @@ def main() -> None:
         replay_sec, eps = bench_replay(spark, workdir)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
-    queries["cdc_replay_1m_events"] = replay_sec
+    queries[f"cdc_replay_{REPLAY_EVENTS // 1_000_000}m_events"] = replay_sec
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     total = round(sum(queries.values()), 3)

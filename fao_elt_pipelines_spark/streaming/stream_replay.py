@@ -56,6 +56,45 @@ def stream_replay(
     q.awaitTermination()
 
 
+PROGRESS_OUT_SCHEMA = "repo STRING, events BIGINT, max_seq BIGINT, deletes BIGINT"
+PROGRESS_STATE_SCHEMA = "events BIGINT, max_seq BIGINT, deletes BIGINT"
+
+
+def repo_progress_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-repo ingest progress (event count,
+    max seq applied, delete count) carried ACROSS micro-batches via
+    ``applyInPandasWithState`` — the Spark primitive for state the built-in
+    windowed aggregates can't express (here: unbounded monotonic counters
+    keyed by repo, emitted on every update). Arrow-batched per group; state
+    is a 3-tuple per repo, so the state store stays O(#repos) no matter how
+    many events stream through."""
+    import pandas as pd
+
+    def update(key, pdfs, state):
+        ev, mx, dl = state.get if state.exists else (0, -1, 0)
+        for pdf in pdfs:
+            ev += len(pdf)
+            if len(pdf):
+                mx = max(mx, int(pdf["seq"].max()))
+                dl += int((pdf["op"] == "delete").sum())
+        state.update((ev, mx, dl))
+        yield pd.DataFrame(
+            {"repo": [key[0]], "events": [ev], "max_seq": [mx], "deletes": [dl]}
+        )
+
+    return (
+        events.select("repo", "seq", "op")
+        .groupBy("repo")
+        .applyInPandasWithState(
+            update,
+            outputStructType=PROGRESS_OUT_SCHEMA,
+            stateStructType=PROGRESS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def windowed_op_counts(
     events: DataFrame,
     window_duration: str = "1 minute",

@@ -56,3 +56,48 @@ def test_stream_replay_matches_batch_lww(spark, binlog_dir, tmp_path):
     # drain again: offsets + committed-epoch guard make it a no-op
     stream_replay(spark, binlog_dir, table, str(tmp_path / "ckpt"), max_files_per_trigger=2)
     assert len(table.snapshots()) == n_snapshots
+
+
+def test_repo_progress_stateful_stream(spark, binlog_dir, tmp_path):
+    """applyInPandasWithState progress counters must survive across
+    micro-batches: final per-repo (events, max_seq, deletes) equals the
+    batch aggregate over the whole binlog."""
+    from fao_elt_pipelines_spark.streaming.stream_replay import repo_progress_stream
+
+    schema = spark.read.parquet(binlog_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(binlog_dir)
+    )
+    q = (
+        repo_progress_stream(src)
+        .writeStream.format("memory")
+        .queryName("repo_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_prog"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per (repo, batch); counters are monotonic,
+    # so the final value per repo is the max
+    got = {
+        r["repo"]: (r["events"], r["max_seq"], r["deletes"])
+        for r in spark.sql(
+            "SELECT repo, max(events) AS events, max(max_seq) AS max_seq, "
+            "max(deletes) AS deletes FROM repo_progress GROUP BY repo"
+        ).collect()
+    }
+    want = {
+        r["repo"]: (r["events"], r["max_seq"], r["deletes"])
+        for r in spark.read.parquet(binlog_dir)
+        .groupBy("repo")
+        .agg(
+            F.count("*").alias("events"),
+            F.max("seq").alias("max_seq"),
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("deletes"),
+        )
+        .collect()
+    }
+    assert got == want
