@@ -86,3 +86,24 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
             continue
         plan = _plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} plan contains Python eval"
+
+
+def test_ann_ivf_no_cartesian_no_python(spark, sf_dir):
+    """The IVF ANN's candidate join must be an equi-join on bucket id
+    (shuffle/broadcast hash), never a cartesian product, and the whole
+    plan stays JVM-side."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_ann_ivf_topk
+
+    plan = _plan(q_ann_ivf_topk(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    """LSH near-dup never degenerates to an all-pairs cross join: every
+    join in the plan is keyed (band bucket / doc id / shingle)."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_dedup_minhash_lsh
+
+    plan = _plan(q_dedup_minhash_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
