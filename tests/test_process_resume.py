@@ -1,0 +1,92 @@
+"""Process-level crash-resume: SIGKILL the spark-submit replay job
+mid-replay, rerun it, and require the final table state to be byte-identical
+to an uninterrupted control run (the north rule's 'restarting mid-replay
+without duplicate or lost applies', proven at the process boundary rather
+than with an injected in-process exception)."""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JOB = os.path.join(REPO, "scripts", "replay_job.py")
+
+EVENTS = 60_000
+EPOCHS = 12
+
+
+def _cmd(binlog, table, ckpt):
+    return [
+        sys.executable, JOB,
+        "--binlog", binlog, "--table", table, "--checkpoint", ckpt,
+        "--generate", str(EVENTS),
+        "--events-per-epoch", str(EVENTS // EPOCHS),
+        "--n-repos", "100", "--n-buckets", "8", "--cores", "4",
+    ]
+
+
+def _state_sha_set(spark, table_path):
+    from fao_elt_pipelines_spark.lake.table import LakeTable
+
+    rows = LakeTable(spark, table_path).read().select(
+        "repo", "path", "content_sha256", "last_seq"
+    ).collect()
+    return {tuple(r) for r in rows}
+
+
+@pytest.mark.slow
+def test_kill9_resume_matches_uninterrupted(spark, tmp_path):
+    binlog = str(tmp_path / "binlog")
+    ckpt_a, table_a = str(tmp_path / "a.json"), str(tmp_path / "a_state")
+    ckpt_b, table_b = str(tmp_path / "b.json"), str(tmp_path / "b_state")
+
+    # control: uninterrupted run
+    out = subprocess.run(
+        _cmd(binlog, table_a, ckpt_a), capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    control = json.loads(out.stdout.strip().splitlines()[-1])
+    assert control["epochs_applied"] == list(range(EPOCHS))
+
+    # victim: same binlog, kill -9 once >= 2 merge versions are committed
+    proc = subprocess.Popen(
+        _cmd(binlog, table_b, ckpt_b),
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    version_file = os.path.join(table_b, "metadata", "VERSION")
+    deadline = time.time() + 300
+    killed = False
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            break  # finished before we could kill — resume run must no-op
+        try:
+            with open(version_file) as f:
+                if int(f.read().strip()) >= 2:
+                    os.kill(proc.pid, signal.SIGKILL)
+                    proc.wait(timeout=30)
+                    killed = True
+                    break
+        except (FileNotFoundError, ValueError):
+            pass
+        time.sleep(0.05)
+
+    # resume: identical command converges without duplicate/lost applies
+    out2 = subprocess.run(
+        _cmd(binlog, table_b, ckpt_b), capture_output=True, text=True, timeout=600
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    resumed = json.loads(out2.stdout.strip().splitlines()[-1])
+    applied_twice = set(resumed["epochs_applied"]) & set(resumed["epochs_skipped"])
+    assert not applied_twice
+    if killed:
+        # at least one epoch survived the crash and was NOT re-applied
+        assert resumed["epochs_applied"] != list(range(EPOCHS))
+
+    assert resumed["state_rows"] == control["state_rows"]
+    assert resumed["max_seq"] == control["max_seq"]
+    assert _state_sha_set(spark, table_b) == _state_sha_set(spark, table_a)
