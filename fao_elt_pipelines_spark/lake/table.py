@@ -504,13 +504,25 @@ class LakeTable:
             summary.update(metrics)
         return self._commit("merge", new_entries, kept, epoch_id, summary)
 
-    def compact(self, metrics: dict[str, Any] | None = None) -> int | None:
+    def compact(
+        self,
+        metrics: dict[str, Any] | None = None,
+        expire_tombstones_below: int | None = None,
+    ) -> int | None:
         """Consolidate MOR delta files into base files (one per bucket).
 
         Buckets with no delta files keep their base files untouched. LWW
         winners (including tombstones) are preserved exactly, so reads
         before and after compaction are identical. Returns the committed
-        snapshot id, or None when there is nothing to compact."""
+        snapshot id, or None when there is nothing to compact.
+
+        ``expire_tombstones_below``: physically drop tombstone rows whose
+        ``last_seq`` is below this replay watermark. Safe iff the caller
+        guarantees no event with seq < watermark can still arrive (e.g.
+        the checkpoint's committed seq_hi): a tombstone only exists to
+        outrank late re-deliveries of older events for its key, so once
+        those can no longer arrive it is dead metadata. Without a
+        watermark, tombstones are retained indefinitely."""
         t0 = time.time()
         snap = self.current_snapshot()
         if snap is None:
@@ -528,10 +540,16 @@ class LakeTable:
         phys = self._read_entries(consumed, include_tombstones=True, merged=False)
         ev = self._as_events(phys, payload_cols, seq_col="seq", op_col="op")
         final = self._sorted_lww(ev, ("repo", "path"), "seq", "op", payload_cols, n_buckets)
+        if expire_tombstones_below is not None:
+            final = final.filter(
+                ~F.col(TOMBSTONE_COL)
+                | (F.col("last_seq") >= F.lit(int(expire_tombstones_below)))
+            )
         new_entries = self._write_data_files(final, None, kind="base")
         summary = {
             "files_compacted": len(consumed),
             "rows_written": sum(e["rows"] for e in new_entries),
+            "tombstone_watermark": expire_tombstones_below,
             "duration_sec": round(time.time() - t0, 3),
         }
         if metrics:

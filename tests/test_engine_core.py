@@ -235,3 +235,46 @@ def test_state_schema_helper():
     payload = T.StructType([T.StructField("repo", T.StringType())])
     s = _state_schema_for(payload, "seq")
     assert [f.name for f in s.fields] == ["repo", "content_sha256", "last_seq"]
+
+
+def test_tombstone_expiry_watermark(spark, tmp_path):
+    """Compaction with a replay watermark physically drops only tombstones
+    the watermark proves dead; without (or below) the watermark the
+    tombstone survives and keeps blocking late re-delivery of older
+    events for its key."""
+    ev_schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ev_schema)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+    table.merge_changes(
+        mk([(1, "insert", "r", "a", "c1", "py", "A1"), (2, "insert", "r", "b", "c2", "py", "B1")]),
+        epoch_id=0, mode="mor",
+    )
+    table.merge_changes(mk([(5, "delete", "r", "a", "c3", "py", "")]), epoch_id=1, mode="mor")
+
+    # watermark BELOW the delete seq: tombstone must survive compaction
+    table.compact(expire_tombstones_below=5)
+    phys = table.read(include_tombstones=True)
+    assert phys.filter("_is_deleted AND path = 'a'").count() == 1
+    # and still outranks a late re-delivered older event for the key
+    table.merge_changes(mk([(3, "update", "r", "a", "c4", "py", "A-late")]), epoch_id=2, mode="mor")
+    assert table.read().filter("path = 'a'").count() == 0
+
+    # watermark ABOVE every seq: tombstone is dead metadata, dropped
+    table.compact(expire_tombstones_below=100)
+    phys = table.read(include_tombstones=True)
+    assert phys.filter("_is_deleted").count() == 0
+    live = {(r["path"], r["last_seq"]) for r in table.read().collect()}
+    assert live == {("b", 2)}
