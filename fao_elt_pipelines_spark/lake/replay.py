@@ -48,6 +48,7 @@ def replay(
     mode: str = "cow",
     compact_every: int | None = None,
     collect_delta_stats: bool = True,
+    expire_tombstones: bool = False,
 ) -> ReplayReport:
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.
@@ -108,7 +109,13 @@ def replay(
         rep.events_in += n
         applied += 1
         if compact_every and applied % compact_every == 0:
-            table.compact()
+            # watermark = last committed seq: the binlog is seq-ordered by
+            # epoch and committed epochs are never re-applied, so no event
+            # below it can arrive again — tombstones under it are safely
+            # expired (see LakeTable.compact)
+            table.compact(
+                expire_tombstones_below=int(seq_hi) + 1 if expire_tombstones else None
+            )
         if fail_after_epochs is not None and applied >= fail_after_epochs:
             raise RuntimeError(f"injected failure after {applied} epochs")
     rep.duration_sec = time.time() - t0

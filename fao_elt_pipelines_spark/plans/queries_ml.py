@@ -469,6 +469,49 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", SIM.simhash64(F.col("text")).alias("simhash"))
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 3, found without any
+    all-pairs comparison: each 64-bit signature splits into four 16-bit
+    bands; by pigeonhole, any pair differing in <= 3 bits shares at least
+    one band verbatim, so an equi-join on (band_id, band_val) generates a
+    candidate set with guaranteed recall and the cheap bit_count(xor)
+    check verifies it. Same banding shape as the MinHash LSH path —
+    shuffle on band value, fanout bounded by bucket population. No SQL
+    oracle (the signature is a pandas UDF); semantics are pytest-verified
+    in tests/test_ml_ops.py."""
+    d = load(spark, sf_dir, "documents")
+    sig = d.select("doc_id", SIM.simhash64(F.col("text")).alias("simhash")).persist()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.band_id", "_b.band_val")
+    cand = SIM.candidate_pairs(bands, "doc_id")
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            SIM.hamming64(F.col("sh_a"), F.col("sh_b")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
 REGISTRY_ML: dict[str, QuerySpec] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
@@ -482,4 +525,5 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "simhash_signatures": (q_simhash_signatures, None),
+    "simhash_neardup": (q_simhash_neardup, None),
 }

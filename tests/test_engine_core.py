@@ -278,3 +278,20 @@ def test_tombstone_expiry_watermark(spark, tmp_path):
     assert phys.filter("_is_deleted").count() == 0
     live = {(r["path"], r["last_seq"]) for r in table.read().collect()}
     assert live == {("b", 2)}
+
+
+def test_replay_expires_tombstones(spark, events, events_parquet, tmp_path):
+    """MOR replay with expire_tombstones drops dead tombstones at each
+    compaction while the live state still matches the oracle."""
+    stored = spark.read.parquet(events_parquet)
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ckpt = CheckpointStore(str(tmp_path / "c.json"))
+    replay(spark, stored, table, ckpt, mode="mor", compact_every=2, expire_tombstones=True)
+    table.compact(expire_tombstones_below=N_EVENTS)  # final sweep past all seqs
+    phys = table.read(include_tombstones=True)
+    assert phys.filter("_is_deleted").count() == 0
+    got = {
+        (r["repo"], r["path"]): (r["commit"], r["lang"], r["content_sha256"], r["last_seq"])
+        for r in table.read().collect()
+    }
+    assert got == oracle_state(events_parquet)

@@ -94,3 +94,43 @@ def test_ivf_bucket_is_deterministic_and_bounded(spark, sf_dir):
     stats = b1.agg(F.min("b").alias("lo"), F.max("b").alias("hi")).first()
     assert 0 <= stats.lo and stats.hi <= 15
     assert b1.collect() == e.select(SIM.ivf_bucket(F.col("embedding")).alias("b")).collect()
+
+
+def test_simhash_neardup_semantics(spark, tmp_path):
+    """Banded SimHash near-dup must find identical docs (hamming 0) and
+    one-token edits (small hamming), and never miss a pair within the
+    hamming<=3 guarantee (pigeonhole over 4 bands)."""
+    import itertools
+
+    from fao_elt_pipelines_spark.plans.queries_ml import q_simhash_neardup
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),                  # identical -> hamming 0
+        (2, base.replace("dog", "cat"), "en", "s", 1),    # one-token edit
+        (3, "completely different text about spark shuffles and parquet files", "en", "s", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    got = {(r.doc_a, r.doc_b): r.hamming for r in q_simhash_neardup(spark, sf).collect()}
+    assert got.get((0, 1)) == 0
+
+    # exhaustive ground truth: every pair with hamming<=3 must be reported
+    from fao_elt_pipelines_spark.functions import similarity as SIM
+    from pyspark.sql import functions as F
+
+    sigs = {
+        r.doc_id: r.sh
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", SIM.simhash64(F.col("text")).alias("sh"))
+        .collect()
+    }
+    for a, b in itertools.combinations(sorted(sigs), 2):
+        h = bin((sigs[a] ^ sigs[b]) & (2**64 - 1)).count("1")
+        if h <= 3:
+            assert (a, b) in got and got[(a, b)] == h
+        else:
+            assert got.get((a, b), 99) == h or (a, b) not in got
