@@ -74,49 +74,54 @@ def lsh_bands(sig_df: DataFrame, doc_col: str, k: int = 8, rows_per_band: int = 
 
 
 def candidate_pairs(bands_df: DataFrame, doc_col: str) -> DataFrame:
-    """Distinct unordered candidate pairs per band bucket.
+    """Distinct unordered candidate pairs per band bucket, via a bucket
+    self-join.
 
-    groupBy bucket + in-bucket pair expansion (sorted array → upper
-    triangle) instead of a bucket self-join: one shuffle, no recomputation
-    of the upstream signature plan for a second join side. Bucket
-    population bounds the per-group fanout; a degenerate bucket (mass-
-    duplicated content) is the caller's signal to exact-dedup first."""
-    ds = F.col("_ds")
-    pairs = F.flatten(
-        F.transform(
-            ds,
-            lambda x, i: F.transform(
-                F.slice(ds, i + F.lit(2), F.size(ds)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    The self-join STREAMS pairs (a degenerate bucket of m duplicated docs
+    yields m^2/2 rows spread over tasks, which AQE's skew-split handles)
+    — a groupBy+collect_set pair expansion was measured slightly faster on
+    balanced data but materializes a whole bucket's m^2/2 pairs as one
+    array value in one row, which breaks on mass-duplicated corpora.
+    Callers should persist ``bands_df``'s upstream (signatures/shingles)
+    so the two join sides don't recompute it."""
+    a = bands_df.select(
+        F.col("band_id"), F.col("band_val"), F.col(doc_col).alias("doc_a")
+    )
+    b = bands_df.select(
+        F.col("band_id"), F.col("band_val"), F.col(doc_col).alias("doc_b")
     )
     return (
-        bands_df.groupBy("band_id", "band_val")
-        .agg(F.array_sort(F.collect_set(F.col(doc_col))).alias("_ds"))
-        .filter(F.size("_ds") > 1)
-        .select(F.explode(pairs).alias("_p"))
-        .select("_p.doc_a", "_p.doc_b")
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
         .distinct()
     )
 
 
-def sign_projection(emb: Column, plane: int) -> Column:
-    """Signed projection of a vector onto deterministic hyperplane ``plane``
-    whose components are ±1 derived from ``md5(plane || '|' || (i+1))``
-    (first hex digit < '8' → +1). Bit-portable: the DuckDB oracle rebuilds
-    the identical plane from the same md5 string, and the left-fold double
-    accumulation matches ``list_sum(list_transform(...))`` order."""
-    weighted = F.transform(
-        emb,
-        lambda x, i: x.cast("double")
-        * F.when(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{plane}|"), (i + F.lit(1)).cast("string"))), 1, 1
-            )
-            < "8",
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
+def plane_signs(plane: int, dim: int) -> list[float]:
+    """±1 hyperplane components, derived once at plan-build time from
+    ``md5(plane || '|' || (i+1))`` (first hex digit < '8' → +1) — the same
+    derivation the DuckDB oracle performs in SQL, so buckets match
+    bit-exactly while the executed plan carries only literals."""
+    out = []
+    for i in range(1, dim + 1):
+        h = hashlib.md5(f"{plane}|{i}".encode()).hexdigest()
+        out.append(1.0 if h[0] < "8" else -1.0)
+    return out
+
+
+def sign_projection(emb: Column, plane: int, dim: int = 64) -> Column:
+    """Signed projection of a vector onto deterministic hyperplane
+    ``plane``. The ±1 components are precomputed Python-side (plane_signs)
+    and baked in as an array literal: no per-row hashing — at 10^9 vectors
+    the previous expression-side md5 cost 4·dim·10^9 row-constant hashes
+    Catalyst cannot fold. Left-fold double accumulation matches the
+    oracle's ``list_sum(list_transform(...))`` order."""
+    signs = F.array(*[F.lit(s) for s in plane_signs(plane, dim)])
+    # slice signs to the vector's length so shorter vectors never zip
+    # against null padding; ``dim`` must be >= the longest vector
+    weighted = F.zip_with(
+        emb, F.slice(signs, 1, F.size(emb)), lambda x, s: x.cast("double") * s
     )
     return F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
 

@@ -35,6 +35,22 @@ class ReplayReport:
     metrics: list[dict[str, Any]] = field(default_factory=list)
 
 
+def _check_expiry_precondition(
+    epoch: int, seq_lo: int | None, expiry_watermark: int | None
+) -> None:
+    """Tombstone expiry assumed no event below the watermark would ever
+    arrive; a later epoch violating that would silently resurrect deleted
+    keys (the tombstone that would have outranked it is gone). Make it a
+    hard error instead."""
+    if expiry_watermark is not None and seq_lo is not None and seq_lo < expiry_watermark:
+        raise RuntimeError(
+            f"epoch {epoch} carries seq {seq_lo} below the tombstone-expiry "
+            f"watermark {expiry_watermark}: the event source violates the "
+            "monotone-seq precondition of expire_tombstones; disable expiry "
+            "for this source or fix its epoch/seq alignment"
+        )
+
+
 def replay(
     spark: SparkSession,
     events: DataFrame,
@@ -70,6 +86,7 @@ def replay(
     start = checkpoint.last_epoch(source)
     lo = bounds["lo"] if start is None else max(bounds["lo"], start + 1)
     applied = 0
+    expiry_watermark: int | None = None  # highest seq expiry has assumed final
     for epoch in range(int(lo), int(bounds["hi"]) + 1):
         if max_epochs is not None and applied >= max_epochs:
             break
@@ -77,14 +94,18 @@ def replay(
             rep.epochs_skipped.append(epoch)
             continue
         batch = events.filter(F.col(epoch_col) == epoch)
+        seq_lo = None
         if collect_delta_stats:
             # exact per-epoch stats: one extra column-pruned scan of the slice
             agg = batch.agg(
-                F.count("*").alias("n"), F.max("seq").alias("seq_hi")
+                F.count("*").alias("n"),
+                F.max("seq").alias("seq_hi"),
+                F.min("seq").alias("seq_lo"),
             ).collect()[0]
-            n, seq_hi = agg["n"], agg["seq_hi"]
+            n, seq_hi, seq_lo = agg["n"], agg["seq_hi"], agg["seq_lo"]
             if n == 0:
                 continue
+            _check_expiry_precondition(epoch, seq_lo, expiry_watermark)
         else:
             n = seq_hi = None  # derived from written-file stats below
         sid = table.merge_changes(
@@ -92,18 +113,23 @@ def replay(
             mode=mode,
         )
         if seq_hi is None:
-            # seq_hi from the committed files' parquet column bounds — no
+            # seq bounds from the committed files' parquet column stats — no
             # extra scan of the delta (manifest stats, lake.table)
             snap = table.current_snapshot()
-            bounds = [
-                e["stats"]["last_seq"][1]
+            stat_bounds = [
+                e["stats"]["last_seq"]
                 for e in snap["manifest"]
                 if e.get("source_epoch") == epoch and e.get("stats", {}).get("last_seq")
             ]
-            seq_hi = max(bounds) if bounds else checkpoint.load()["sources"].get(source, {}).get("seq_hi", -1)
+            if stat_bounds:
+                seq_hi = max(b[1] for b in stat_bounds)
+                seq_lo = min(b[0] for b in stat_bounds)
+            else:
+                seq_hi = checkpoint.load()["sources"].get(source, {}).get("seq_hi", -1)
             n = sum(
                 e["rows"] for e in snap["manifest"] if e.get("source_epoch") == epoch
             )
+            _check_expiry_precondition(epoch, seq_lo, expiry_watermark)
         checkpoint.commit(source, epoch, int(seq_hi))
         rep.epochs_applied.append(epoch)
         rep.events_in += n
@@ -112,10 +138,15 @@ def replay(
             # watermark = last committed seq: the binlog is seq-ordered by
             # epoch and committed epochs are never re-applied, so no event
             # below it can arrive again — tombstones under it are safely
-            # expired (see LakeTable.compact)
-            table.compact(
-                expire_tombstones_below=int(seq_hi) + 1 if expire_tombstones else None
-            )
+            # expired (see LakeTable.compact). The per-epoch precondition
+            # check above turns a violating source (later epoch carrying a
+            # lower seq) into a hard error instead of a silent resurrect.
+            if expire_tombstones:
+                wm = int(seq_hi) + 1
+                table.compact(expire_tombstones_below=wm)
+                expiry_watermark = max(expiry_watermark or 0, wm)
+            else:
+                table.compact()
         if fail_after_epochs is not None and applied >= fail_after_epochs:
             raise RuntimeError(f"injected failure after {applied} epochs")
     rep.duration_sec = time.time() - t0

@@ -16,6 +16,28 @@ from .queries import QuerySpec, load
 JACCARD_TAU = 0.5
 COSINE_TAU = 0.3
 
+#: DataFrames persisted by query functions in this module. A query's result
+#: depends on its persisted intermediates, so they cannot be unpersisted
+#: before the caller consumes the result — instead each new query call
+#: releases the PREVIOUS call's caches. Long-lived sessions running many
+#: registry queries (the driver's differential harness, bench.py) therefore
+#: hold at most one query's intermediates.
+_MANAGED_CACHES: list[DataFrame] = []
+
+
+def _managed_persist(df: DataFrame) -> DataFrame:
+    _MANAGED_CACHES.append(df.persist())
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every intermediate cached by prior query calls."""
+    while _MANAGED_CACHES:
+        try:
+            _MANAGED_CACHES.pop().unpersist()
+        except Exception:
+            pass
+
 # Shared DuckDB CTE: distinct word-3-gram shingles per doc.
 _SH_SQL = """
 toks AS (
@@ -137,10 +159,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs out to their shingles (cand ⋈ sh on doc_a, then ⋈ sh
     on (doc_b, shingle)) — cost O(|cand| · avg_shingles), never the
     all-pairs shingle self-join the brute-force baseline does. The shingle
-    set is persisted once and feeds signature, sizes, and both verify
-    joins without recomputation."""
-    sh = _shingle_rows(spark, sf_dir).persist()
-    sig = SIM.minhash_signature(sh, "doc_id", "shingle", k=8)
+    set and signatures are persisted once (managed — released on the next
+    registry query call) and feed banding, sizes, and both verify joins
+    without recomputation."""
+    release_caches()
+    sh = _managed_persist(_shingle_rows(spark, sf_dir))
+    sig = _managed_persist(SIM.minhash_signature(sh, "doc_id", "shingle", k=8))
     bands = SIM.lsh_bands(sig, "doc_id", k=8, rows_per_band=2)
     cand = SIM.candidate_pairs(bands, "doc_id")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -479,8 +503,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on band value, fanout bounded by bucket population. No SQL
     oracle (the signature is a pandas UDF); semantics are pytest-verified
     in tests/test_ml_ops.py."""
+    release_caches()
     d = load(spark, sf_dir, "documents")
-    sig = d.select("doc_id", SIM.simhash64(F.col("text")).alias("simhash")).persist()
+    sig = _managed_persist(
+        d.select("doc_id", SIM.simhash64(F.col("text")).alias("simhash"))
+    )
     bands = sig.select(
         "doc_id",
         F.explode(

@@ -295,3 +295,20 @@ def test_replay_expires_tombstones(spark, events, events_parquet, tmp_path):
         for r in table.read().collect()
     }
     assert got == oracle_state(events_parquet)
+
+
+def test_replay_expiry_guard_rejects_misaligned_source(spark, tmp_path):
+    """A source whose later epoch carries a seq below the expiry watermark
+    must hard-fail, not silently resurrect deleted keys."""
+    ev_schema = "seq LONG, epoch LONG, op STRING, repo STRING, path STRING, commit STRING, lang STRING, content STRING"
+    rows = [
+        (10, 0, "insert", "r", "a", "c", "py", "X"),
+        (11, 0, "delete", "r", "a", "c", "py", ""),
+        (12, 1, "insert", "r", "b", "c", "py", "Y"),
+        (2, 2, "update", "r", "a", "c", "py", "stale"),  # below watermark
+    ]
+    ev = spark.createDataFrame(rows, ev_schema)
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=2)
+    ckpt = CheckpointStore(str(tmp_path / "c.json"))
+    with pytest.raises(RuntimeError, match="tombstone-expiry watermark"):
+        replay(spark, ev, table, ckpt, mode="mor", compact_every=1, expire_tombstones=True)
