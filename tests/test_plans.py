@@ -82,7 +82,7 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
     from fao_elt_pipelines_spark.plans.registry import REGISTRY
 
     for name, (fn, sql) in REGISTRY.items():
-        if name in ("simhash_signatures",):
+        if name in ("simhash_signatures", "simhash_neardup"):
             continue
         plan = _plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} plan contains Python eval"
