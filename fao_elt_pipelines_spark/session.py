@@ -51,9 +51,17 @@ def get_spark(
         # takes 5 minutes to zero pages). ParallelGC + a moderate heap keeps
         # 32-thread codegen at full speed; shuffle overflow spills to disk.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # GCLockerRetryAllocationCount: ParallelGC's default of 2 starves
+        # allocation under 8+ threads holding JNI-critical sections
+        # (snappy/parquet writers) — observed as 'Retried waiting for
+        # GCLocker too often' task deaths at the 10^8-event generation.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions "
+                "-XX:GCLockerRetryAllocationCount=100",
+            ),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -66,9 +66,18 @@ def main() -> None:
 
     spark = get_spark("replay_job", cores=args.cores)
     if args.generate and not os.path.exists(args.binlog):
+        # partition count must scale with event count, not just cores:
+        # a dynamic-partition parquet write holds sort buffers + one open
+        # writer per epoch per task, so tasks are capped at ~2M rows each
+        # (12.5M-row tasks OOMed the 16g JVM at 10^8 events)
+        n_parts = max(
+            spark.sparkContext.defaultParallelism * 2,
+            args.generate // 2_000_000 + 1,
+        )
         binlog.change_events(
             spark, args.generate, n_repos=args.n_repos,
             events_per_epoch=args.events_per_epoch,
+            num_partitions=n_parts,
         ).write.partitionBy("epoch").parquet(args.binlog)
     events = spark.read.parquet(args.binlog)
 
