@@ -1,0 +1,94 @@
+"""Operational CLI for the lake table: inspect, time-travel, compact.
+
+The admin-side surface a real operator needs next to the replay job —
+the analogue of the reference's catalog/stats introspection
+(``/root/reference/ingestion/pg_client.py:96-163``) re-expressed over
+snapshot metadata.
+
+    python scripts/table_tool.py --table /path describe
+    python scripts/table_tool.py --table /path history
+    python scripts/table_tool.py --table /path compact [--expire-below SEQ]
+    python scripts/table_tool.py --table /path read [--snapshot K] [--limit N]
+
+Each subcommand prints one JSON document (``read`` prints one JSON line
+per row) so output is scriptable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from fao_elt_pipelines_spark.lake.table import LakeTable  # noqa: E402
+from fao_elt_pipelines_spark.session import get_spark  # noqa: E402
+
+
+def cmd_describe(table: LakeTable) -> dict:
+    meta = table._load_metadata()
+    snap = table.current_snapshot()
+    manifest = snap["manifest"] if snap else []
+    return {
+        "table_uuid": meta["table_uuid"],
+        "n_buckets": meta["n_buckets"],
+        "schema": meta["schema"],
+        "partition_spec": meta["partition_spec"],
+        "current_snapshot_id": meta["current_snapshot_id"],
+        "snapshots": len(meta["snapshots"]),
+        "data_files": len(manifest),
+        "delta_files": sum(1 for e in manifest if e.get("kind") == "delta"),
+        "rows": sum(e["rows"] for e in manifest),
+        "committed_epochs": sorted(table.committed_epochs()),
+    }
+
+
+def cmd_history(table: LakeTable) -> list[dict]:
+    return [
+        {
+            "snapshot_id": s["snapshot_id"],
+            "parent_id": s["parent_id"],
+            "timestamp_ms": s["timestamp_ms"],
+            "operation": s["operation"],
+            "epoch_id": s["epoch_id"],
+            "files": len(s["manifest"]),
+            "summary": s["summary"],
+        }
+        for s in table.snapshots()
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--cores", type=int, default=4)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("describe")
+    sub.add_parser("history")
+    p_compact = sub.add_parser("compact")
+    p_compact.add_argument("--expire-below", type=int, default=None)
+    p_read = sub.add_parser("read")
+    p_read.add_argument("--snapshot", type=int, default=None)
+    p_read.add_argument("--limit", type=int, default=20)
+    args = ap.parse_args()
+
+    spark = get_spark("table_tool", cores=args.cores)
+    table = LakeTable(spark, args.table)
+    if args.cmd == "describe":
+        print(json.dumps(cmd_describe(table)))
+    elif args.cmd == "history":
+        print(json.dumps(cmd_history(table)))
+    elif args.cmd == "compact":
+        sid = table.compact(expire_tombstones_below=args.expire_below)
+        print(json.dumps({"compacted_snapshot_id": sid}))
+    elif args.cmd == "read":
+        df = table.read(snapshot_id=args.snapshot)
+        for row in df.limit(args.limit).toJSON().collect():
+            print(row)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,34 @@ def test_kill9_resume_matches_uninterrupted(spark, tmp_path):
     assert resumed["state_rows"] == control["state_rows"]
     assert resumed["max_seq"] == control["max_seq"]
     assert _state_sha_set(spark, table_b) == _state_sha_set(spark, table_a)
+
+
+def test_table_tool_cli(spark, tmp_path):
+    """The ops CLI must describe, compact, and read a real table."""
+    binlog = str(tmp_path / "b")
+    table = str(tmp_path / "t")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "replay_job.py"),
+         "--binlog", binlog, "--table", table, "--checkpoint", str(tmp_path / "c.json"),
+         "--generate", "20000", "--events-per-epoch", "10000",
+         "--n-repos", "20", "--n-buckets", "4", "--cores", "4", "--mode", "mor"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-1500:]
+
+    def tool(*args):
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "table_tool.py"),
+             "--table", table, *args],
+            capture_output=True, text=True, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        return r.stdout.strip().splitlines()
+
+    desc = json.loads(tool("describe")[-1])
+    assert desc["committed_epochs"] == [0, 1] and desc["rows"] > 0
+    assert json.loads(tool("compact")[-1])["compacted_snapshot_id"] == 3
+    hist = json.loads(tool("history")[-1])
+    assert [s["operation"] for s in hist] == ["merge", "merge", "compact"]
+    rows = [json.loads(l) for l in tool("read", "--limit", "3") if l.startswith("{")]
+    assert len(rows) == 3 and all("content_sha256" in r for r in rows)
