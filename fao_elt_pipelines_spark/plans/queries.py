@@ -663,7 +663,40 @@ FROM agg
 # Registry
 # --------------------------------------------------------------------------
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation (the batch twin of the
+    streaming metrics feed, streaming/stream_replay.windowed_op_counts):
+    1-hour windows per event_type, count + decimal-exact value sum.
+    ``F.window`` aligns buckets to the epoch origin, matching DuckDB's
+    ``time_bucket`` bit-for-bit under the UTC session timezone."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(w.alias("win"), "event_type")
+        .agg(F.count("*").alias("events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+SQL_WINDOWED_EVENT_COUNTS = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+       event_type,
+       count(*) AS events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
+    "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
     "cdc_lww_state": (q_cdc_lww_state, SQL_CDC_LWW_STATE),
     "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_LWW_STATE),  # MERGE ≡ LWW (see docstring)
     "cdc_epoch_metrics": (q_cdc_epoch_metrics, SQL_CDC_EPOCH_METRICS),
