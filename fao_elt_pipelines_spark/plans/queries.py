@@ -695,8 +695,90 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 hour, sliding every 30 minutes):
+    every event lands in exactly two windows. The DuckDB oracle rebuilds
+    the same assignment by unnesting the two 30-minute-grid starts that
+    cover each timestamp."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("win"))
+        .agg(F.count("*").alias("events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "events",
+            "total_value",
+        )
+    )
+
+
+SQL_SLIDING_WINDOW_COUNTS = """
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+           AS window_start,
+         value
+  FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL '1 hour' AS window_end,
+       count(*) AS events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def q_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-minute inactivity gap): Spark's
+    ``session_window`` in batch mode; the oracle rebuilds identical
+    sessions with the classic gaps-and-islands window-function pattern
+    (lag → new-session flag → running sum → group). Window end is
+    last-event + gap, matching Spark's batch semantics."""
+    ev = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy(sw.alias("win"), "user_id")
+        .agg(F.count("*").alias("events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "events",
+        )
+    )
+
+
+SQL_SESSION_WINDOW_COUNTS = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS events
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
     "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
+    "sliding_window_counts": (q_sliding_window_counts, SQL_SLIDING_WINDOW_COUNTS),
+    "session_window_counts": (q_session_window_counts, SQL_SESSION_WINDOW_COUNTS),
     "cdc_lww_state": (q_cdc_lww_state, SQL_CDC_LWW_STATE),
     "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_LWW_STATE),  # MERGE ≡ LWW (see docstring)
     "cdc_epoch_metrics": (q_cdc_epoch_metrics, SQL_CDC_EPOCH_METRICS),
