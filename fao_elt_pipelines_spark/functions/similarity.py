@@ -150,25 +150,41 @@ def ivf_probe_buckets(emb: Column, n_planes: int = 4) -> Column:
 @pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """Vectorized 64-bit SimHash over whitespace tokens (md5-derived token
-    hashes). Arrow-batched; the per-batch loop is numpy-light but never
-    per-row-per-Spark-task Python."""
+    hashes, with multiplicity). Arrow-batched AND numpy-vectorized inside
+    the batch: each distinct token in the batch is md5'd once, its 64 sign
+    bits come from one ``unpackbits`` over the first 8 digest bytes, and
+    the per-document ±1 accumulation is a single ``add.reduceat`` segment
+    sum — no 64-iteration Python bit loop per token. Bit b of the result
+    is set iff the signed sum over token-hash bit b is > 0 (ties clear),
+    folded to signed int64."""
+    import numpy as np
 
-    def one(t: str) -> int:
-        if t is None:
-            return 0
-        acc = [0] * 64
-        for tok in t.split():
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        # fold to signed 64-bit
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    return texts.map(one)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    tok_lists = [t.split() if isinstance(t, str) else [] for t in texts]
+    counts = np.array([len(tl) for tl in tok_lists], dtype=np.int64)
+    all_toks = [tok for tl in tok_lists for tok in tl]
+    if all_toks:
+        uniq, inv = np.unique(np.array(all_toks, dtype=object), return_inverse=True)
+        dig = np.frombuffer(
+            b"".join(hashlib.md5(u.encode()).digest()[:8] for u in uniq),
+            dtype=np.uint8,
+        ).reshape(-1, 8)
+        # column j of unpackbits is bit (63-j) of the big-endian uint64;
+        # reverse so column b == bit b, matching (h >> b) & 1
+        signs = (np.unpackbits(dig, axis=1, bitorder="big").astype(np.int32) * 2 - 1)[
+            :, ::-1
+        ]
+        tok_signs = signs[inv]
+        nz = counts > 0
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))[nz]
+        acc = np.add.reduceat(tok_signs, starts, axis=0)
+        pos = acc > 0
+        packed = np.packbits(pos[:, ::-1], axis=1, bitorder="big")
+        out[nz] = (
+            packed.view(">u8").ravel().astype(np.uint64).view(np.int64)
+        )
+    return pd.Series(out)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -182,9 +182,9 @@ SQL_CDC_EPOCH_METRICS = f"""
 WITH binlog AS ({_BINLOG_SQL})
 SELECT CAST((seq - seq % 2000) / 2000 AS BIGINT) AS epoch,
        count(*) AS events,
-       sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS n_insert,
-       sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS n_update,
-       sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_delete,
+       CAST(sum(CASE WHEN op = 'insert' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op = 'update' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
        count(DISTINCT repo || '|' || path) AS distinct_keys,
        sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) * 100.0 / count(*) AS upsert_rate_pct
 FROM binlog GROUP BY 1

@@ -475,22 +475,70 @@ WITH b AS (
          ((doc_id % 4) + 1) * 64 AS height
   FROM documents
 )
-SELECT asset_id, kind, n_bytes,
-       coalesce(list_sum(list_transform(range(1, n_bytes + 1),
+SELECT asset_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(coalesce(list_sum(list_transform(range(1, n_bytes + 1),
          i -> (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
-            + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))), 0) AS byte_sum,
-       width, height,
-       greatest(n_bytes // 16, 1) AS n_frames_sampled
+            + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))), 0) AS BIGINT) AS byte_sum,
+       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       CAST(greatest(n_bytes // 16, 1) AS INTEGER) AS n_frames_sampled
 FROM b
 """
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 per document (pandas-UDF path — no SQL oracle; the
-    driver's rows-only check applies, semantics are pytest-verified in
-    tests/test_ml_ops.py)."""
+    """SimHash-64 per document (numpy-vectorized pandas UDF). Oracle-checked:
+    the DuckDB twin re-derives every bit from md5 hex digits — per-token
+    bit-sign sums over range(0,64), signed bit-63 fold — so the differential
+    is bit-exact; semantics are additionally pytest-verified against a
+    pure-Python reference in tests/test_ml_ops.py."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", SIM.simhash64(F.col("text")).alias("simhash"))
+
+
+# Bit b of the uint64 built big-endian from md5's first 8 bytes lives in hex
+# digit (15 - b//4) counting from the left (substr position 16 - b//4), at
+# in-digit bit (b % 4). Summing ±1 per token occurrence and setting bits
+# where the sum is > 0 reproduces functions.similarity.simhash64 exactly;
+# bit 63 contributes -2^63 (the signed fold).
+_SIMHASH_SIG_SQL = r"""
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), 16 - bit // 4, 1)) - 1)
+                        >> (bit % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM toks, (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0
+                  THEN CASE WHEN bit = 63 THEN -9223372036854775808
+                            ELSE (1::BIGINT << CAST(bit AS INTEGER)) END
+                  ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+),
+simhashes AS (
+  SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+"""
+
+SQL_SIMHASH_SIGNATURES = f"""
+WITH {_SIMHASH_SIG_SQL}
+SELECT doc_id, simhash FROM simhashes
+"""
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH {_SIMHASH_SIG_SQL}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,9 +548,11 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one band verbatim, so an equi-join on (band_id, band_val) generates a
     candidate set with guaranteed recall and the cheap bit_count(xor)
     check verifies it. Same banding shape as the MinHash LSH path —
-    shuffle on band value, fanout bounded by bucket population. No SQL
-    oracle (the signature is a pandas UDF); semantics are pytest-verified
-    in tests/test_ml_ops.py."""
+    shuffle on band value, fanout bounded by bucket population. The DuckDB
+    oracle recomputes signatures in SQL and does all-pairs bit_count(xor)
+    at test scale (guaranteed-recall banding makes the banded and all-pairs
+    answers identical at Hamming <= 3); semantics also pytest-verified in
+    tests/test_ml_ops.py."""
     release_caches()
     d = load(spark, sf_dir, "documents")
     sig = _managed_persist(
@@ -551,6 +601,6 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "simhash_signatures": (q_simhash_signatures, None),
-    "simhash_neardup": (q_simhash_neardup, None),
+    "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
+    "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
 }

@@ -47,6 +47,18 @@ def compare(spark_df, con, sql: str) -> list[str]:
     s_cols, d_cols = sorted(sdf.columns), sorted(ddf.columns)
     if s_cols != d_cols:
         return [f"columns differ: spark={s_cols} duckdb={d_cols}"]
+    # The driver hashes *typed* values, so an int64-vs-float64 (or
+    # Decimal/HUGEINT) skew fails its check even when values are equal.
+    # Mirror that here: flag numeric-kind mismatches per column.
+    for c in s_cols:
+        sk = sdf[c].dtype.kind  # i/u int, f float, O object, M datetime, b bool
+        dk = ddf[c].dtype.kind
+        s_num = sk in "iuf"
+        d_num = dk in "iuf" or (
+            dk == "O" and any(isinstance(v, Decimal) for v in ddf[c].dropna().head(5))
+        )
+        if s_num != d_num or (s_num and d_num and (sk == "f") != (dk == "f")):
+            issues.append(f"dtype kind skew on {c}: spark={sdf[c].dtype} duckdb={ddf[c].dtype}")
     if len(sdf) != len(ddf):
         issues.append(f"row count: spark={len(sdf)} duckdb={len(ddf)}")
     s_rows = sorted(
