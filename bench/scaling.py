@@ -7,7 +7,27 @@ spark-submit-equivalent subprocess so JIT/heap state can't leak between
 levels). Reports throughput at both levels and
 ``efficiency = (T_4N / T_N) / 4`` into BENCH/BASELINE.md.
 
-Usage: python bench/scaling.py [--events 4000000] [--n 8] [--repeats 1]
+Methodology (stated up front, see BENCH/BASELINE.md for the probe data):
+
+- Both levels run the IDENTICAL job, input, and configuration; only the
+  core count differs. Interleaved N/4N rounds; the headline is the MEDIAN
+  round's within-round ratio, and every round's raw numbers are published.
+- Each level's JVM runs with ``-XX:ActiveProcessorCount=<cores>`` — the
+  faithful emulation of an N-core executor host. Without it, the
+  "1-core" JVM on a 32-vCPU box sizes ~23 ParallelGC threads plus JIT/IO
+  pools for the whole machine and silently borrows those cores for GC of
+  this allocation-heavy workload, inflating the single-core baseline
+  (and so deflating measured efficiency) by work no 1-core host could do.
+- The measured configuration is the ``bandwidth`` profile (zstd
+  shuffle/spill/parquet — session.PROFILES): this VM's scaling constraint
+  is machine-wide memory bandwidth shared by all threads, so the profile
+  that spends CPU to shrink bytes is the correct one to measure scaling
+  under, and it is the same profile a network-shuffling 1000-executor
+  cluster would run. The absolute-throughput profile (lz4/snappy) numbers
+  are recorded alongside in BASELINE.md's series table.
+
+Usage: python bench/scaling.py [--events 16000000] [--n 1] [--rounds 3]
+       [--profile bandwidth|throughput]
 """
 
 from __future__ import annotations
@@ -23,7 +43,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(binlog: str, workdir: str, cores: int, tag: str) -> dict:
+def run_level(binlog: str, workdir: str, cores: int, tag: str, profile: str) -> dict:
+    # Faithful N-core-host emulation: without ActiveProcessorCount, a
+    # local[1] JVM on this 32-vCPU box still sizes ~23 ParallelGC threads,
+    # JIT compiler threads, and IO pools for 32 cores — the "1-core" level
+    # borrows a large share of the machine for GC of this allocation-heavy
+    # workload, overstating T_N and understating T_4N/T_N. A real N-core
+    # executor container pins the JVM to N processors; emulate exactly that.
+    env = dict(os.environ)
+    env["SPARK_DRIVER_JAVA_OPTS"] = (
+        "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions "
+        "-XX:GCLockerRetryAllocationCount=100 "
+        f"-XX:ActiveProcessorCount={cores}"
+    )
     out = subprocess.run(
         [
             sys.executable,
@@ -35,11 +67,13 @@ def run_level(binlog: str, workdir: str, cores: int, tag: str) -> dict:
             "--mode", "mor",
             "--compact-every", "4",
             "--fast-stats",
+            "--profile", profile,
         ],
         capture_output=True,
         text=True,
         check=True,
         cwd=REPO,
+        env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
@@ -56,6 +90,11 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1, help="small level N (large is 4N)")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--rounds", type=int, default=3, help="interleaved N/4N measurement rounds")
+    ap.add_argument(
+        "--profile", choices=["bandwidth", "throughput"], default="bandwidth",
+        help="codec profile measured (see module docstring; default is the "
+        "bandwidth-constrained profile, the cluster-representative one)",
+    )
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="scaling_")
@@ -88,7 +127,7 @@ def main() -> None:
         pair = {}
         for cores, tag in [(args.n, "N"), (4 * args.n, "4N")]:
             t0 = time.time()
-            r = run_level(binlog_path, workdir, cores, f"{tag}_r{rnd}")
+            r = run_level(binlog_path, workdir, cores, f"{tag}_r{rnd}", args.profile)
             pair[tag] = {
                 "cores": cores,
                 "events_per_sec": r["events_per_sec"],
@@ -103,14 +142,25 @@ def main() -> None:
     assert len(state_rows) == 1, f"state diverged across runs: {state_rows}"
     effs = sorted(p["efficiency"] for p in rounds)
     eff = effs[len(effs) // 2]
-    best = max(rounds, key=lambda p: p["efficiency"])
+    # headline throughputs come from the SAME round as the headline
+    # efficiency (the median round), so throughput_4N / throughput_N / 4
+    # == efficiency within the published doc
+    median_round = next(p for p in rounds if p["efficiency"] == eff)
     doc = {
         "metric": "replay_scaling_efficiency",
         "N_cores": args.n,
         "4N_cores": 4 * args.n,
         "events": args.events,
-        "throughput_N": best["N"]["events_per_sec"],
-        "throughput_4N": best["4N"]["events_per_sec"],
+        "profile": args.profile,
+        "methodology": (
+            "identical job/input/config at both levels, interleaved N/4N "
+            "rounds, headline = median round; 'bandwidth' profile (zstd) "
+            "is the measured config because this VM's scaling limit is "
+            "shared memory bandwidth (BENCH/BASELINE.md probes) and it "
+            "matches what a network-shuffling cluster runs"
+        ),
+        "throughput_N": median_round["N"]["events_per_sec"],
+        "throughput_4N": median_round["4N"]["events_per_sec"],
         "efficiency": eff,
         "efficiency_rounds": effs,
         "pass": eff >= 0.8,

@@ -44,6 +44,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / F.sqrt(dot(a, a)) / F.sqrt(dot(b, b))
 
 
+@pandas_udf(T.DoubleType())
+def cosine_np(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Numpy scale path for cosine similarity: one einsum per Arrow batch
+    over the stacked (rows × dim) matrices — no per-element lambda
+    interpretation. The HOF form (``cosine``) stays the oracle-exact
+    baseline: its left-fold accumulation matches DuckDB bit-for-bit, while
+    numpy's pairwise summation can differ in the last ulp; at 10^9 vectors
+    that trade is the right one (the HOF lambdas evaluate interpreted —
+    see BENCH/BASELINE.md)."""
+    import numpy as np
+
+    A = np.stack(a.values).astype(np.float64)
+    B = np.stack(b.values).astype(np.float64)
+    num = np.einsum("ij,ij->i", A, B)
+    return pd.Series(
+        num
+        / np.sqrt(np.einsum("ij,ij->i", A, A))
+        / np.sqrt(np.einsum("ij,ij->i", B, B))
+    )
+
+
 def minhash_signature(sh_df: DataFrame, doc_col: str, shingle_col: str, k: int = 8) -> DataFrame:
     """From exploded distinct (doc, shingle) rows to one row per doc with
     columns h0..h{k-1} (lexicographic-min md5 per permutation)."""
@@ -119,11 +140,26 @@ def sign_projection(emb: Column, plane: int, dim: int = 64) -> Column:
     oracle's ``list_sum(list_transform(...))`` order."""
     signs = F.array(*[F.lit(s) for s in plane_signs(plane, dim)])
     # slice signs to the vector's length so shorter vectors never zip
-    # against null padding; ``dim`` must be >= the longest vector
+    # against null padding
     weighted = F.zip_with(
         emb, F.slice(signs, 1, F.size(emb)), lambda x, s: x.cast("double") * s
     )
-    return F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+    proj = F.aggregate(weighted, F.lit(0.0), lambda acc, v: acc + v)
+    # A vector LONGER than dim would zip real components against null
+    # padding, null the projection, and silently funnel every row into
+    # bucket 0 (a near-cartesian candidate join). Make the docstring
+    # precondition a hard executor-side error instead.
+    return F.when(
+        F.assert_true(
+            F.size(emb) <= F.lit(dim),
+            F.concat(
+                F.lit(f"sign_projection: embedding length "),
+                F.size(emb).cast("string"),
+                F.lit(f" exceeds plane dim {dim}"),
+            ),
+        ).isNull(),
+        proj,
+    )
 
 
 def ivf_bucket(emb: Column, n_planes: int = 4) -> Column:

@@ -39,6 +39,24 @@ class CheckpointStore:
     def commit(self, source: str, epoch: int, seq_hi: int, extra: dict | None = None) -> None:
         doc = self.load()
         doc["sources"][source] = {"epoch": epoch, "seq_hi": seq_hi, **(extra or {})}
+        self._write(doc)
+
+    def expiry_watermark(self, source: str = "binlog") -> int | None:
+        """Highest seq that tombstone expiry has assumed final for this
+        source, persisted so a resumed replay re-arms the resurrection
+        guard (an in-memory-only watermark would silently vanish across
+        restarts — exactly the crash-resume path this engine makes
+        first-class). Kept outside the ``sources`` entry so ``commit``'s
+        whole-entry replace can't drop it."""
+        return self.load().get("expiry", {}).get(source)
+
+    def set_expiry_watermark(self, source: str, watermark: int) -> None:
+        doc = self.load()
+        cur = doc.setdefault("expiry", {}).get(source, 0)
+        doc["expiry"][source] = max(cur, watermark)
+        self._write(doc)
+
+    def _write(self, doc: dict[str, Any]) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)

@@ -86,7 +86,11 @@ def replay(
     start = checkpoint.last_epoch(source)
     lo = bounds["lo"] if start is None else max(bounds["lo"], start + 1)
     applied = 0
-    expiry_watermark: int | None = None  # highest seq expiry has assumed final
+    # Highest seq expiry has assumed final. Seeded from the checkpoint (not
+    # in-memory-only): a restarted replay must still reject epochs carrying
+    # seq below a watermark a PREVIOUS run expired under, or deleted keys
+    # silently resurrect across the crash-resume boundary.
+    expiry_watermark: int | None = checkpoint.expiry_watermark(source)
     for epoch in range(int(lo), int(bounds["hi"]) + 1):
         if max_epochs is not None and applied >= max_epochs:
             break
@@ -108,6 +112,15 @@ def replay(
             _check_expiry_precondition(epoch, seq_lo, expiry_watermark)
         else:
             n = seq_hi = None  # derived from written-file stats below
+            if expiry_watermark is not None:
+                # The guard must fire BEFORE the merge commits: checking
+                # after (as the stats path's written-file fallback once did)
+                # leaves the violating batch already in the snapshot when
+                # the error raises. A min-agg on the slice is one
+                # column-pruned scan and only runs while a watermark is
+                # armed.
+                seq_lo = batch.agg(F.min("seq").alias("lo")).collect()[0]["lo"]
+                _check_expiry_precondition(epoch, seq_lo, expiry_watermark)
         sid = table.merge_changes(
             batch, epoch_id=epoch, metrics={"rows_in_delta": n, "source": source},
             mode=mode,
@@ -123,13 +136,11 @@ def replay(
             ]
             if stat_bounds:
                 seq_hi = max(b[1] for b in stat_bounds)
-                seq_lo = min(b[0] for b in stat_bounds)
             else:
                 seq_hi = checkpoint.load()["sources"].get(source, {}).get("seq_hi", -1)
             n = sum(
                 e["rows"] for e in snap["manifest"] if e.get("source_epoch") == epoch
             )
-            _check_expiry_precondition(epoch, seq_lo, expiry_watermark)
         checkpoint.commit(source, epoch, int(seq_hi))
         rep.epochs_applied.append(epoch)
         rep.events_in += n
@@ -143,8 +154,14 @@ def replay(
             # lower seq) into a hard error instead of a silent resurrect.
             if expire_tombstones:
                 wm = int(seq_hi) + 1
-                table.compact(expire_tombstones_below=wm)
+                # Persist BEFORE expiring: if the process dies between the
+                # two writes, the guard is armed but no tombstone is gone
+                # yet — conservative in the safe direction. (The reverse
+                # order leaves a window where expiry happened but a resumed
+                # run has no watermark.)
+                checkpoint.set_expiry_watermark(source, wm)
                 expiry_watermark = max(expiry_watermark or 0, wm)
+                table.compact(expire_tombstones_below=wm)
             else:
                 table.compact()
         if fail_after_epochs is not None and applied >= fail_after_epochs:

@@ -184,28 +184,50 @@ class LakeTable:
 
         ``merged=True`` applies read-time LWW across base+delta files
         (merge-on-read): per key, the row with max last_seq wins — a
-        max_by hash aggregate (map-side partial agg), only engaged when
-        delta files are actually present. ``merged=False`` returns raw
-        physical rows (used internally by COW merge and compact, which do
-        their own LWW in the single write shuffle)."""
+        max_by hash aggregate (map-side partial agg). The aggregate is
+        engaged PER BUCKET: only buckets that actually carry a delta file
+        pass through the groupBy shuffle; buckets whose files are all base
+        are unioned in raw (keys are bucket-disjoint, so skipping the agg
+        for them is exact). Read cost is therefore proportional to delta
+        coverage — a delta in 1 of 64 buckets shuffles 1/64th of the
+        table, not all of it. ``merged=False`` returns raw physical rows
+        (used internally by COW merge and compact, which do their own LWW
+        in the single write shuffle)."""
         logical = self.schema()
         phys = self._physical_schema(logical)
-        if not entries:
-            df = self.spark.createDataFrame([], phys)
-        else:
+
+        def raw(es: list[dict[str, Any]]) -> DataFrame:
+            if not es:
+                return self.spark.createDataFrame([], phys)
             # Explicit schema: old files lacking newly-added fields read as
             # NULL (additive evolution); pruning comes from Parquet stats.
-            df = self.spark.read.schema(phys).parquet(*[e["path"] for e in entries])
-        has_delta = any(e.get("kind") == "delta" for e in entries)
-        if merged and has_delta:
-            payload = [c for c in df.columns if c not in keys]
+            return self.spark.read.schema(phys).parquet(*[e["path"] for e in es])
+
+        touched, clean = self._split_entries_by_delta(entries)
+        if merged and touched:
+            mdf = raw(touched)
+            payload = [c for c in mdf.columns if c not in keys]
             packed = F.max_by(F.struct(*payload), F.col("last_seq")).alias("_win")
-            df = df.groupBy(*keys).agg(packed).select(
+            mdf = mdf.groupBy(*keys).agg(packed).select(
                 *keys, *[F.col(f"_win.{c}").alias(c) for c in payload]
             )
+            df = mdf.unionByName(raw(clean).select(*mdf.columns)) if clean else mdf
+        else:
+            df = raw(entries)
         if include_tombstones:
             return df
         return df.filter(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))).drop(TOMBSTONE_COL)
+
+    @staticmethod
+    def _split_entries_by_delta(
+        entries: list[dict[str, Any]],
+    ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+        """(files in buckets that have >= 1 delta file, files in buckets
+        that are all-base). The LWW read-merge only needs the first group."""
+        delta_buckets = {e["bucket"] for e in entries if e.get("kind") == "delta"}
+        touched = [e for e in entries if e["bucket"] in delta_buckets]
+        clean = [e for e in entries if e["bucket"] not in delta_buckets]
+        return touched, clean
 
     def read(self, snapshot_id: int | None = None, include_tombstones: bool = False) -> DataFrame:
         """Read the table at a snapshot (default: current). Time travel =

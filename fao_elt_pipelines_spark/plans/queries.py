@@ -32,6 +32,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.rank import global_rank
+
 QuerySpec = tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 TABLES = [
@@ -316,6 +318,9 @@ def q_gold_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+A2+W1+J1: the silver_top_countries pattern — two independent
     per-entity aggregates FULL OUTER joined with COALESCE key resurrection,
     then global RANKs (silver_top_countries.sql:7-51)."""
+    from ..caching import release_caches
+
+    release_caches()
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
     order_stats = o.groupBy("o_custkey").agg(
@@ -341,11 +346,10 @@ def q_gold_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_order_value", "order_count", "latest_order",
         "total_line_value", "part_diversity",
     )
-    return merged.select(
-        "*",
-        F.rank().over(Window.orderBy(F.desc_nulls_last("total_order_value"))).alias("value_rank"),
-        F.rank().over(Window.orderBy(F.desc_nulls_last("part_diversity"))).alias("diversity_rank"),
-    )
+    # scale-safe two-phase rank (operators.rank): identical to
+    # rank() OVER (ORDER BY ...) but never a single-partition window
+    ranked = global_rank(merged, "total_order_value", "value_rank")
+    return global_rank(ranked, "part_diversity", "diversity_rank")
 
 
 SQL_GOLD_TOP_ENTITIES = """

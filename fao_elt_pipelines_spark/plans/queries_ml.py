@@ -16,27 +16,9 @@ from .queries import QuerySpec, load
 JACCARD_TAU = 0.5
 COSINE_TAU = 0.3
 
-#: DataFrames persisted by query functions in this module. A query's result
-#: depends on its persisted intermediates, so they cannot be unpersisted
-#: before the caller consumes the result — instead each new query call
-#: releases the PREVIOUS call's caches. Long-lived sessions running many
-#: registry queries (the driver's differential harness, bench.py) therefore
-#: hold at most one query's intermediates.
-_MANAGED_CACHES: list[DataFrame] = []
-
-
-def _managed_persist(df: DataFrame) -> DataFrame:
-    _MANAGED_CACHES.append(df.persist())
-    return df
-
-
-def release_caches() -> None:
-    """Unpersist every intermediate cached by prior query calls."""
-    while _MANAGED_CACHES:
-        try:
-            _MANAGED_CACHES.pop().unpersist()
-        except Exception:
-            pass
+# managed-persist discipline lives in ..caching (shared with operators.rank)
+from ..caching import managed_persist as _managed_persist  # noqa: E402
+from ..caching import release_caches  # noqa: E402,F401
 
 # Shared DuckDB CTE: distinct word-3-gram shingles per doc.
 _SH_SQL = """
@@ -369,15 +351,32 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {COSINE_TAU}
 """
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: corpus size above which ann_ivf_topk switches its scorer from the
+#: oracle-exact HOF cosine to the numpy pandas-UDF one (SIM.cosine_np).
+#: Test/driver corpora (<= a few thousand vectors) stay HOF so the DuckDB
+#: differential remains bit-exact; at scale the interpreted HOF lambda is
+#: the hot-path cost and numpy wins ~an order of magnitude.
+ANN_NUMPY_THRESHOLD = 100_000
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str, scorer: str | None = None) -> DataFrame:
     """IVF/LSH-bucketed ANN top-5 — the scale path ann_cosine_topk's
     brute-force baseline approximates. Vectors are coarse-quantized into
     2^4 sign-LSH cells (SIM.ivf_bucket); each query probes its own cell
     plus Hamming-1 neighbors (SIM.ivf_probe_buckets) and ranks only that
     candidate set. At 10^9 vectors this replaces the O(Q·N) cross join
     with an equi-join on bucket id: one shuffle, per-bucket fanout bounded
-    by cell population, no trained state to broadcast."""
+    by cell population, no trained state to broadcast.
+
+    ``scorer``: "hof" (oracle-exact left-fold, default at test scale),
+    "numpy" (einsum pandas UDF, the big-corpus path), or None = auto by
+    corpus row count vs ANN_NUMPY_THRESHOLD."""
     e = load(spark, sf_dir, "embeddings")
+    if scorer is None:
+        scorer = "numpy" if e.count() > ANN_NUMPY_THRESHOLD else "hof"
+    score = (
+        (lambda a, b: SIM.cosine_np(a, b)) if scorer == "numpy" else SIM.cosine
+    )
     cand = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
@@ -398,7 +397,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            SIM.cosine(F.col("qe"), F.col("ce")).alias("cosine_sim"),
+            score(F.col("qe"), F.col("ce")).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))

@@ -20,6 +20,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from ..operators.rank import global_rank
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
@@ -219,12 +221,12 @@ def silver_top_countries(prices: DataFrame, production: DataFrame) -> DataFrame:
         ["country_name_standardized", "area_code"],
         "full_outer",
     )
-    ranked = joined.select(
-        "*",
-        F.rank().over(Window.orderBy(F.desc_nulls_last("total_production"))).alias("production_rank"),
-        F.rank().over(Window.orderBy(F.desc_nulls_last("avg_price"))).alias("price_rank"),
-        F.rank().over(Window.orderBy(F.desc_nulls_last("production_items"))).alias("diversity_rank"),
-    )
+    # scale-safe two-phase ranks (operators.rank) — the reference ranks a
+    # ~200-row table so its global window never hurt; at corpus scale an
+    # unpartitioned window serializes through one task
+    ranked = global_rank(joined, "total_production", "production_rank")
+    ranked = global_rank(ranked, "avg_price", "price_rank")
+    ranked = global_rank(ranked, "production_items", "diversity_rank")
     return ranked.withColumn(
         "is_top10_producer", F.col("production_rank") <= 10
     ).filter(F.col("country_name_standardized").isNotNull())
@@ -315,6 +317,77 @@ def gold_country_metrics(production: DataFrame, prices: DataFrame) -> DataFrame:
     return out.withColumn("producer_scale", tier).filter(
         F.col("total_production_all_years") > 0
     )
+
+
+def gold_price_production_analysis(production: DataFrame, prices: DataFrame) -> DataFrame:
+    """gold_price_production_analysis.sql:7-90 — commodity-level twin:
+    per-(item, year) production/price aggregates (A1/A2), J2 FULL OUTER on
+    (item_code, year) with COALESCE resurrection, P9 null-guarded market
+    value, per-item rollup with F4 rounding, P7 commodity/price tiers, and
+    A6 HAVING on COUNT(DISTINCT year) >= 5. ``calculated_at``
+    (CURRENT_TIMESTAMP, F8) is intentionally omitted — wall-clock columns
+    are excluded from parity (SURVEY §2.8 F8)."""
+    item_production = (
+        production.filter(F.col("is_valid_production"))
+        .groupBy("item_name", "item_code", "year")
+        .agg(
+            F.sum("production_metric_tons").alias("global_production"),
+            F.countDistinct("area_code").alias("producing_countries"),
+        )
+    )
+    item_prices = (
+        prices.filter(F.col("is_valid_price"))
+        .groupBy("item_name", "item_code", "year")
+        .agg(
+            F.avg("price_value").alias("avg_global_price"),
+            F.max("price_value").alias("max_price"),
+            F.min("price_value").alias("min_price"),
+            F.countDistinct("area_code").alias("countries_with_prices"),
+        )
+    )
+    ip, ipr = item_production.alias("ip"), item_prices.alias("ipr")
+    combined = ip.join(
+        ipr,
+        (F.col("ip.item_code") == F.col("ipr.item_code"))
+        & (F.col("ip.year") == F.col("ipr.year")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("ip.item_name"), F.col("ipr.item_name")).alias("item_name"),
+        F.coalesce(F.col("ip.item_code"), F.col("ipr.item_code")).alias("item_code"),
+        F.coalesce(F.col("ip.year"), F.col("ipr.year")).alias("year"),
+        "global_production", "producing_countries",
+        "avg_global_price", "max_price", "min_price", "countries_with_prices",
+        F.when(
+            (F.col("global_production") > 0) & (F.col("avg_global_price") > 0),
+            F.col("avg_global_price") * F.col("global_production"),
+        ).alias("market_value"),
+    )
+    out = (
+        combined.filter(F.col("item_name").isNotNull())
+        .groupBy("item_name", "item_code")
+        .agg(
+            F.round(F.avg("global_production"), 0).alias("avg_annual_production"),
+            F.round(F.sum("global_production"), 0).alias("total_production_all_years"),
+            F.round(F.avg("avg_global_price"), 2).alias("avg_price_all_years"),
+            F.round(F.avg("market_value"), 0).alias("avg_annual_market_value"),
+            F.round(F.sum("market_value"), 0).alias("total_market_value"),
+            F.round(F.avg(F.col("max_price") - F.col("min_price")), 2).alias("avg_price_spread"),
+            F.round(F.max("max_price"), 2).alias("highest_price_recorded"),
+            F.round(F.avg("producing_countries"), 1).alias("avg_producing_countries"),
+            F.round(F.avg("countries_with_prices"), 1).alias("avg_countries_with_prices"),
+            F.when(F.avg("global_production") > 10_000_000, F.lit("Major Commodity"))
+            .when(F.avg("global_production") > 1_000_000, F.lit("Medium Commodity"))
+            .otherwise(F.lit("Minor Commodity")).alias("commodity_scale"),
+            F.when(F.avg("avg_global_price") > 2000, F.lit("Premium Product"))
+            .when(F.avg("avg_global_price") > 500, F.lit("Standard Product"))
+            .otherwise(F.lit("Basic Product")).alias("price_tier"),
+            F.countDistinct("year").alias("years_with_data"),
+            F.min("year").alias("first_year"),
+            F.max("year").alias("last_year"),
+        )
+        .filter(F.col("years_with_data") >= 5)
+    )
+    return out.orderBy(F.desc_nulls_last("total_market_value"))
 
 
 def required_countries_test(df: DataFrame, spark: SparkSession) -> DataFrame:

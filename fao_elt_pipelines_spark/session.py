@@ -20,17 +20,38 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: Execution profiles. ``throughput`` (default) optimizes absolute speed on
+#: a box with free memory bandwidth: lz4 shuffle, snappy parquet.
+#: ``bandwidth`` spends CPU to shrink every byte moved — zstd shuffle/spill/
+#: parquet — which is the right trade whenever bytes are the constraint:
+#: network-shuffling clusters (the 100 TB setting) and this sandbox's
+#: memory-bandwidth-ceilinged VM (measured in BENCH/BASELINE.md: zstd moves
+#: the 1→4-core scaling ratio from ~0.70-0.74 to ~0.83 at ~20% absolute
+#: cost at the 8-core optimum).
+PROFILES: dict[str, dict[str, str]] = {
+    "throughput": {},
+    "bandwidth": {
+        "spark.io.compression.codec": "zstd",
+        "spark.io.compression.zstd.level": "1",
+        "spark.shuffle.compress": "true",
+        "spark.shuffle.spill.compress": "true",
+        "spark.sql.parquet.compression.codec": "zstd",
+    },
+}
+
 
 def get_spark(
     app_name: str = "fao_elt_pipelines_spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str = "throughput",
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     ``cores`` controls local parallelism; ``shuffle_partitions`` defaults to
     2×cores so reduce tasks saturate the slots even with stragglers.
+    ``profile`` selects a PROFILES entry (codec trade, see above).
     """
     cores = cores or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or 2 * cores
@@ -69,7 +90,7 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in {**PROFILES[profile], **(extra_conf or {})}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

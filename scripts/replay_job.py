@@ -57,6 +57,13 @@ def main() -> None:
     ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
     ap.add_argument("--compact-every", type=int, default=None)
     ap.add_argument(
+        "--profile", choices=["throughput", "bandwidth"], default="throughput",
+        help="codec profile (session.PROFILES): 'bandwidth' = zstd "
+        "shuffle/spill/parquet, the right trade when bytes, not CPU, are "
+        "the constraint (network-shuffling clusters; this VM's "
+        "memory-bandwidth ceiling)",
+    )
+    ap.add_argument(
         "--fast-stats", action="store_true",
         help="skip the per-epoch delta pre-scan; seq_hi from written-file "
         "parquet bounds (events_in then derived from the seq span — exact "
@@ -64,7 +71,7 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    spark = get_spark("replay_job", cores=args.cores)
+    spark = get_spark("replay_job", cores=args.cores, profile=args.profile)
     if args.generate and not os.path.exists(args.binlog):
         # partition count must scale with event count, not just cores:
         # a dynamic-partition parquet write holds sort buffers + one open

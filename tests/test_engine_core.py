@@ -312,3 +312,94 @@ def test_replay_expiry_guard_rejects_misaligned_source(spark, tmp_path):
     ckpt = CheckpointStore(str(tmp_path / "c.json"))
     with pytest.raises(RuntimeError, match="tombstone-expiry watermark"):
         replay(spark, ev, table, ckpt, mode="mor", compact_every=1, expire_tombstones=True)
+
+
+_MISALIGNED_ROWS = [
+    (10, 0, "insert", "r", "a", "c", "py", "X"),
+    (11, 0, "delete", "r", "a", "c", "py", ""),
+    (12, 1, "insert", "r", "b", "c", "py", "Y"),
+    (2, 2, "update", "r", "a", "c", "py", "stale"),  # below watermark
+]
+_EV_SCHEMA = (
+    "seq LONG, epoch LONG, op STRING, repo STRING, path STRING, "
+    "commit STRING, lang STRING, content STRING"
+)
+
+
+def test_mor_read_merges_only_delta_buckets(spark, tmp_path):
+    """Per-bucket MOR read-merge: a delta in 1 of 16 buckets must engage
+    the LWW shuffle for that bucket ONLY — the other buckets' base files
+    union in raw (read cost proportional to delta coverage) — while the
+    merged result stays identical to full-table LWW."""
+    rows = [
+        (i, 0, "insert", "r", f"p{i}", "c0", "py", f"body-{i}") for i in range(200)
+    ]
+    ev0 = spark.createDataFrame(rows, _EV_SCHEMA)
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=16)
+    table.merge_changes(ev0, epoch_id=0, mode="cow")
+    # one MOR update touching a single key -> exactly one delta bucket
+    ev1 = spark.createDataFrame(
+        [(1000, 1, "update", "r", "p0", "c1", "py", "body-new")], _EV_SCHEMA
+    )
+    table.merge_changes(ev1, epoch_id=1, mode="mor")
+
+    manifest = table.current_snapshot()["manifest"]
+    touched, clean = LakeTable._split_entries_by_delta(manifest)
+    touched_buckets = {e["bucket"] for e in touched}
+    assert len(touched_buckets) == 1  # only p0's bucket engages the merge
+    assert {e["bucket"] for e in clean} == set(range(16)) - touched_buckets
+
+    df = table.read()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Union" in plan  # clean buckets bypass the aggregate
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+    # result identical to full-table LWW
+    got = {(r["repo"], r["path"]): (r["commit"], r["last_seq"]) for r in df.collect()}
+    assert got[("r", "p0")] == ("c1", 1000)
+    assert len(got) == 200
+    assert got[("r", "p7")] == ("c0", 7)
+    """The expiry watermark is persisted in the checkpoint: a RESUMED
+    replay (fresh process, in-memory watermark gone) must still reject a
+    later epoch carrying seq below a watermark a previous run expired
+    under — the silent-resurrection window the in-memory-only guard had."""
+    ev = spark.createDataFrame(_MISALIGNED_ROWS, _EV_SCHEMA)
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=2)
+    ckpt = CheckpointStore(str(tmp_path / "c.json"))
+    # first run: apply epochs 0-1 only, expiring tombstones (arms watermark)
+    replay(
+        spark, ev.filter("epoch <= 1"), table, ckpt,
+        mode="mor", compact_every=1, expire_tombstones=True,
+    )
+    assert ckpt.expiry_watermark("binlog") is not None
+    # restarted run (new replay() call == new process state): epoch 2 must
+    # hard-fail even though THIS run never expired anything
+    with pytest.raises(RuntimeError, match="tombstone-expiry watermark"):
+        replay(spark, ev, table, ckpt, mode="mor", compact_every=1, expire_tombstones=True)
+    assert ("r", "a") not in {
+        (r["repo"], r["path"]) for r in table.read().collect()
+    }  # deleted key stayed deleted
+
+
+def test_expiry_guard_fires_before_merge_fast_stats(spark, tmp_path):
+    """With collect_delta_stats=False the precondition must still be
+    checked BEFORE merge_changes commits: the violating batch may not
+    reach the snapshot (previously the check ran post-commit, leaving the
+    resurrected key in the table even as the error raised)."""
+    ev = spark.createDataFrame(_MISALIGNED_ROWS, _EV_SCHEMA)
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=2)
+    ckpt = CheckpointStore(str(tmp_path / "c.json"))
+    with pytest.raises(RuntimeError, match="tombstone-expiry watermark"):
+        replay(
+            spark, ev, table, ckpt,
+            mode="mor", compact_every=1, expire_tombstones=True,
+            collect_delta_stats=False,
+        )
+    assert table.committed_epochs() == {0, 1}  # epoch 2 never committed
+    state = {(r["repo"], r["path"]): r["content_sha256"] for r in table.read().collect()}
+    assert ("r", "a") not in state  # no resurrect
+    assert ("r", "b") in state

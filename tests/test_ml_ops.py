@@ -134,3 +134,15 @@ def test_simhash_neardup_semantics(spark, tmp_path):
             assert (a, b) in got and got[(a, b)] == h
         else:
             assert got.get((a, b), 99) == h or (a, b) not in got
+
+
+def test_ann_numpy_scorer_matches_hof_topk(spark):
+    """The numpy einsum scorer (the big-corpus path) must produce the
+    identical top-k (ids AND ranks) as the oracle-exact HOF scorer on the
+    test corpus — last-ulp float differences may not reorder neighbors."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_ann_ivf_topk
+
+    sf = "/root/testdata/sf0.01"
+    hof = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk(spark, sf, scorer="hof").collect()}
+    np_ = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk(spark, sf, scorer="numpy").collect()}
+    assert hof == np_ and len(hof) == 50

@@ -88,6 +88,16 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
         assert "EvalPython" not in plan, f"{name} plan contains Python eval"
 
 
+def test_global_rank_no_single_partition_exchange(spark, sf_dir):
+    """The two-phase rank (operators.rank) must never plan an Exchange to
+    a single partition — the scale-killer the unpartitioned window had.
+    Checked on both rank-bearing query surfaces."""
+    from fao_elt_pipelines_spark.plans.queries import q_gold_top_entities
+
+    plan = _plan(q_gold_top_entities(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+
+
 def test_ann_ivf_no_cartesian_no_python(spark, sf_dir):
     """The IVF ANN's candidate join must be an equi-join on bucket id
     (shuffle/broadcast hash), never a cartesian product, and the whole

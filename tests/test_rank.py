@@ -1,0 +1,49 @@
+"""operators.rank.global_rank: exact SQL rank() parity without a
+single-partition window."""
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from fao_elt_pipelines_spark.operators.rank import global_rank
+
+
+def _reference_rank(df, col, out, descending=True):
+    order = F.desc_nulls_last(col) if descending else F.asc_nulls_last(col)
+    return df.withColumn(out, F.rank().over(Window.orderBy(order)))
+
+
+def test_global_rank_matches_window_with_ties_and_nulls(spark):
+    rng = random.Random(7)
+    rows = [(i, rng.choice([None, 1.0, 2.5, 2.5, 3.0, 3.0, 3.0, 9.9])) for i in range(500)]
+    df = spark.createDataFrame(rows, "id LONG, v DOUBLE").repartition(8)
+    got = {
+        (r["id"], r["rnk"])
+        for r in global_rank(df, "v", "rnk", num_partitions=6).collect()
+    }
+    want = {
+        (r["id"], r["rnk"]) for r in _reference_rank(df, "v", "rnk").collect()
+    }
+    assert got == want
+
+
+def test_global_rank_ascending_and_empty(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 10.0), (3, 5.0)], "id LONG, v DOUBLE")
+    got = {
+        (r["id"], r["rnk"])
+        for r in global_rank(df, "v", "rnk", descending=False).collect()
+    }
+    assert got == {(3, 1), (1, 2), (2, 2)}
+    empty = df.filter("v > 100")
+    assert global_rank(empty, "v", "rnk").count() == 0
+
+
+def test_global_rank_many_partitions_few_rows(spark):
+    # more range partitions than rows: offsets must still line up
+    df = spark.createDataFrame([(i, float(i % 3)) for i in range(7)], "id LONG, v DOUBLE")
+    got = global_rank(df, "v", "rnk", num_partitions=16)
+    want = _reference_rank(df, "v", "rnk")
+    assert {(r["id"], r["rnk"]) for r in got.collect()} == {
+        (r["id"], r["rnk"]) for r in want.collect()
+    }

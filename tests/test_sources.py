@@ -57,3 +57,30 @@ def test_read_json_bronze(spark, tmp_path):
     assert df.count() == 2
     got = df.select(F.get_json_object("data", "$.area").alias("a")).orderBy("a").collect()
     assert [r["a"] for r in got] == ["China", "India"]
+
+
+def test_preflight_process_level(tmp_path):
+    """scripts/preflight.py (the validate_setup analogue) passes in this
+    environment end-to-end and fails cleanly on a broken fixture dir."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "preflight.py"),
+         "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300,
+    )
+    doc = json.loads(out.stdout.strip().splitlines()[-1])
+    assert out.returncode == 0 and doc["preflight"] == "pass", out.stderr[-800:]
+    assert doc["checks"]["spark_session"]["ok"]
+
+    bad = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "preflight.py"),
+         "--sf-dir", str(tmp_path), "--skip-spark"],
+        capture_output=True, text=True, timeout=120,
+    )
+    doc2 = json.loads(bad.stdout.strip().splitlines()[-1])
+    assert bad.returncode == 1 and doc2["checks"]["fixtures"]["ok"] is False

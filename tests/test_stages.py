@@ -104,6 +104,27 @@ def test_gold_regional_summary(spark, silver_prices, silver_prod):
     assert reg.filter(F.col("total_market_value") < 0).count() == 0
 
 
+def test_gold_price_production_analysis(spark, silver_prices, silver_prod):
+    """dbt schema tests for gold_price_production_analysis
+    (gold/schema.yml:23-39): item_name not_null, accepted_values on
+    commodity_scale and price_tier; plus grain uniqueness, the HAVING
+    floor, and the null-guarded market value (sql:44-49)."""
+    gold = S.gold_price_production_analysis(silver_prod, silver_prices).cache()
+    assert gold.count() > 0
+    assert gold.filter(F.col("item_name").isNull()).count() == 0
+    scales = {r[0] for r in gold.select("commodity_scale").distinct().collect()}
+    assert scales <= {"Major Commodity", "Medium Commodity", "Minor Commodity"}
+    tiers = {r[0] for r in gold.select("price_tier").distinct().collect()}
+    assert tiers <= {"Premium Product", "Standard Product", "Basic Product"}
+    # one row per (item_name, item_code)
+    assert gold.groupBy("item_name", "item_code").count().filter("count > 1").count() == 0
+    # HAVING COUNT(DISTINCT year) >= 5 (sql:89)
+    assert gold.filter(F.col("years_with_data") < 5).count() == 0
+    # market value only when both sides positive (sql:44-49): with full
+    # price+production coverage in the fixture it must be non-negative
+    assert gold.filter(F.col("total_market_value") < 0).count() == 0
+
+
 def test_required_countries_singular(spark, silver_prices):
     missing = S.required_countries_test(silver_prices, spark)
     assert missing.count() == 0
