@@ -39,15 +39,31 @@ def synth_embeddings(spark, n: int, dim: int):
 
 
 def run(spark, emb, n_queries: int, scorer: str) -> float:
-    score = SIM.cosine_np if scorer == "numpy" else SIM.cosine
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
-    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select(
-        "query_id", "neighbor_id", score(F.col("qe"), F.col("ce")).alias("cosine_sim")
-    )
+    if scorer == "matmul":
+        import numpy as np
+
+        q_rows = emb.filter(F.col("vec_id") < n_queries).collect()
+        Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+        packed = {
+            0: (
+                np.array([r["vec_id"] for r in q_rows], dtype=np.int64),
+                Q,
+                np.sqrt(np.einsum("ij,ij->i", Q, Q)),
+            )
+        }
+        scored = SIM.matmul_bucket_scores(
+            c.withColumn("bucket", F.lit(0)), packed
+        ).filter(F.col("query_id") != F.col("neighbor_id"))
+    else:
+        score = SIM.cosine_np if scorer == "numpy" else SIM.cosine
+        q = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+        pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+        scored = pairs.select(
+            "query_id", "neighbor_id", score(F.col("qe"), F.col("ce")).alias("cosine_sim")
+        )
     t0 = time.time()
     scored.write.mode("overwrite").format("noop").save()
     return round(time.time() - t0, 3)
@@ -63,11 +79,12 @@ def main() -> None:
     spark = get_spark("ann_delta", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     emb = synth_embeddings(spark, args.vectors, args.dim).persist()
     emb.count()  # materialize outside the timed region
-    # warm both paths (JIT / Arrow init)
-    for s in ("hof", "numpy"):
+    # warm all paths (JIT / Arrow init)
+    for s in ("hof", "numpy", "matmul"):
         run(spark, emb.limit(2000), 4, s)
     hof = run(spark, emb, args.queries, "hof")
     np_ = run(spark, emb, args.queries, "numpy")
+    mm = run(spark, emb, args.queries, "matmul")
     print(
         json.dumps(
             {
@@ -77,8 +94,9 @@ def main() -> None:
                 "queries": args.queries,
                 "pairs_scored": args.vectors * args.queries,
                 "hof_sec": hof,
-                "numpy_sec": np_,
-                "speedup": round(hof / np_, 2) if np_ > 0 else None,
+                "numpy_pairwise_sec": np_,
+                "matmul_sec": mm,
+                "matmul_speedup_vs_hof": round(hof / mm, 2) if mm > 0 else None,
             }
         )
     )

@@ -65,6 +65,65 @@ def cosine_np(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+def matmul_bucket_scores(
+    cand: DataFrame,
+    queries_by_bucket: dict[int, tuple],
+    emb_col: str = "ce",
+    id_col: str = "neighbor_id",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Amortized-transfer ANN scoring: mapInPandas over the candidate side
+    only. Each candidate vector crosses the Python boundary ONCE and is
+    scored against every query probing its bucket with a single matmul —
+    versus a per-pair pandas UDF, where Arrow ships 2×dim floats for every
+    (query, candidate) pair (measured 0.7x vs even the interpreted HOF
+    form; bench/ann_delta.py). Queries are the small side by definition
+    (driver-collected, in-closure — the same smallness assumption as the
+    broadcast join in the HOF plan).
+
+    ``queries_by_bucket``: bucket -> (qids int64[m], Q float64[m,dim],
+    qnorm float64[m]); a bucket missing from the dict produces no scores.
+    """
+    import numpy as np
+
+    schema = f"query_id long, {id_col} long, cosine_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            outs = []
+            for b, grp in pdf.groupby(bucket_col):
+                qb = queries_by_bucket.get(int(b))
+                if qb is None or not len(grp):
+                    continue
+                qids, Q, qnorm = qb
+                C = np.stack(grp[emb_col].values).astype(np.float64)
+                cnorm = np.sqrt(np.einsum("ij,ij->i", C, C))
+                S = (Q @ C.T) / qnorm[:, None] / cnorm[None, :]
+                m, n = S.shape
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(qids, n),
+                            id_col: np.tile(grp[id_col].values, m),
+                            "cosine_sim": S.ravel(),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(
+                    {
+                        "query_id": pd.Series([], dtype="int64"),
+                        id_col: pd.Series([], dtype="int64"),
+                        "cosine_sim": pd.Series([], dtype="float64"),
+                    }
+                )
+            )
+
+    return cand.mapInPandas(score, schema)
+
+
 def minhash_signature(sh_df: DataFrame, doc_col: str, shingle_col: str, k: int = 8) -> DataFrame:
     """From exploded distinct (doc, shingle) rows to one row per doc with
     columns h0..h{k-1} (lexicographic-min md5 per permutation)."""

@@ -65,6 +65,7 @@ def replay(
     compact_every: int | None = None,
     collect_delta_stats: bool = True,
     expire_tombstones: bool = False,
+    merge_strategy: str = "late",
 ) -> ReplayReport:
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.
@@ -123,7 +124,7 @@ def replay(
                 _check_expiry_precondition(epoch, seq_lo, expiry_watermark)
         sid = table.merge_changes(
             batch, epoch_id=epoch, metrics={"rows_in_delta": n, "source": source},
-            mode=mode,
+            mode=mode, strategy=merge_strategy,
         )
         if seq_hi is None:
             # seq bounds from the committed files' parquet column stats — no

@@ -351,15 +351,7 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {COSINE_TAU}
 """
 
 
-#: corpus size above which ann_ivf_topk switches its scorer from the
-#: oracle-exact HOF cosine to the numpy pandas-UDF one (SIM.cosine_np).
-#: Test/driver corpora (<= a few thousand vectors) stay HOF so the DuckDB
-#: differential remains bit-exact; at scale the interpreted HOF lambda is
-#: the hot-path cost and numpy wins ~an order of magnitude.
-ANN_NUMPY_THRESHOLD = 100_000
-
-
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str, scorer: str | None = None) -> DataFrame:
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str, scorer: str = "hof") -> DataFrame:
     """IVF/LSH-bucketed ANN top-5 — the scale path ann_cosine_topk's
     brute-force baseline approximates. Vectors are coarse-quantized into
     2^4 sign-LSH cells (SIM.ivf_bucket); each query probes its own cell
@@ -368,15 +360,16 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str, scorer: str | None = None) 
     with an equi-join on bucket id: one shuffle, per-bucket fanout bounded
     by cell population, no trained state to broadcast.
 
-    ``scorer``: "hof" (oracle-exact left-fold, default at test scale),
-    "numpy" (einsum pandas UDF, the big-corpus path), or None = auto by
-    corpus row count vs ANN_NUMPY_THRESHOLD."""
+    ``scorer``: "hof" (oracle-exact left-fold — ALSO the measured-fastest
+    per-pair scorer: bench/ann_delta.py shows the numpy pandas-UDF variant
+    at 0.7x because Arrow ships 2×dim floats per pair, so the HOF form is
+    both the oracle and the per-pair scale path) or "numpy"
+    (SIM.cosine_np, kept for top-k-identity testing). The genuinely faster
+    big-corpus scorer is the bucket-grouped matmul
+    (q_ann_ivf_topk_matmul), which ships each candidate vector ONCE per
+    bucket and scores all probing queries in one einsum."""
     e = load(spark, sf_dir, "embeddings")
-    if scorer is None:
-        scorer = "numpy" if e.count() > ANN_NUMPY_THRESHOLD else "hof"
-    score = (
-        (lambda a, b: SIM.cosine_np(a, b)) if scorer == "numpy" else SIM.cosine
-    )
+    score = SIM.cosine_np if scorer == "numpy" else SIM.cosine
     cand = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
@@ -399,6 +392,55 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str, scorer: str | None = None) 
             "neighbor_id",
             score(F.col("qe"), F.col("ce")).alias("cosine_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"), "cosine_sim")
+    )
+
+
+def q_ann_ivf_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-corpus scorer variant of q_ann_ivf_topk: same IVF cells and
+    Hamming-1 multiprobe, but scoring runs as a bucket-grouped matmul over
+    the candidate side only (SIM.matmul_bucket_scores) — each candidate
+    vector crosses Arrow once and is scored against every probing query in
+    one einsum, instead of per-(query, candidate)-pair evaluation. The
+    query set (the small side) is collected driver-side, exactly the
+    smallness assumption the HOF plan's broadcast join makes. Top-k
+    identity with q_ann_ivf_topk is pytest-asserted; this variant is the
+    one to run at 10^9 candidates."""
+    import numpy as np
+
+    e = load(spark, sf_dir, "embeddings")
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        SIM.ivf_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q_rows = (
+        e.filter(F.col("vec_id") < 10)
+        .select(
+            "vec_id", "embedding",
+            SIM.ivf_probe_buckets(F.col("embedding")).alias("probes"),
+        )
+        .collect()
+    )
+    by_bucket: dict[int, list] = {}
+    for r in q_rows:
+        for b in set(r["probes"]):
+            by_bucket.setdefault(int(b), []).append(r)
+    packed = {}
+    for b, rows in by_bucket.items():
+        Q = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        packed[b] = (
+            np.array([r["vec_id"] for r in rows], dtype=np.int64),
+            Q,
+            np.sqrt(np.einsum("ij,ij->i", Q, Q)),
+        )
+    scored = SIM.matmul_bucket_scores(cand, packed).filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
@@ -449,6 +491,48 @@ SELECT query_id, neighbor_id,
        cosine_sim
 FROM scored
 QUALIFY rnk <= 5
+"""
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup over the FULL corpus via sign-LSH bucketing —
+    the scale path whose brute-force twin (q_embedding_neardup) is bounded
+    to id<200. Candidates = pairs sharing the exact 4-plane LSH cell
+    (equi-self-join on bucket — one shuffle, fanout bounded by cell
+    population, never all-pairs); verify = exact cosine >= tau on the
+    candidate set only. The DuckDB oracle derives the IDENTICAL md5-sign
+    cells in SQL, so the differential is exact even though LSH recall vs
+    brute force is probabilistic by design (recall is a property of the
+    bucketing, reproduced bit-for-bit on both sides)."""
+    release_caches()
+    e = load(spark, sf_dir, "embeddings")
+    b = _managed_persist(
+        e.select(
+            "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
+        )
+    )
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", SIM.cosine(F.col("ea"), F.col("eb")).alias("cosine_sim")
+    )
+    return scored.filter(F.col("cosine_sim") >= COSINE_TAU)
+
+
+SQL_EMBEDDING_NEARDUP_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET.format(v="embedding")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         {_DOT.format(a="a.embedding", b="b2.embedding")}
+           / sqrt({_DOT.format(a="a.embedding", b="a.embedding")})
+           / sqrt({_DOT.format(a="b2.embedding", b="b2.embedding")}) AS cosine_sim
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {COSINE_TAU}
 """
 
 
@@ -600,6 +684,7 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
 }

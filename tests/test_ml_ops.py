@@ -142,7 +142,10 @@ def test_ann_numpy_scorer_matches_hof_topk(spark):
     test corpus — last-ulp float differences may not reorder neighbors."""
     from fao_elt_pipelines_spark.plans.queries_ml import q_ann_ivf_topk
 
+    from fao_elt_pipelines_spark.plans.queries_ml import q_ann_ivf_topk_matmul
+
     sf = "/root/testdata/sf0.01"
     hof = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk(spark, sf, scorer="hof").collect()}
     np_ = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk(spark, sf, scorer="numpy").collect()}
-    assert hof == np_ and len(hof) == 50
+    mm = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk_matmul(spark, sf).collect()}
+    assert hof == np_ == mm and len(hof) == 50

@@ -84,3 +84,27 @@ def test_preflight_process_level(tmp_path):
     )
     doc2 = json.loads(bad.stdout.strip().splitlines()[-1])
     assert bad.returncode == 1 and doc2["checks"]["fixtures"]["ok"] is False
+
+
+def test_docs_gen_process_level(tmp_path):
+    """scripts/docs_gen.py (the dbt-docs-generate analogue) emits a catalog
+    whose stage nodes carry live-inferred schemas and the dbt ref() DAG."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "docs_gen.py"),
+         "--out", str(tmp_path), "--skip-registry", "--cores", "4"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    cat = json.load(open(tmp_path / "catalog.json"))
+    names = {n["name"]: n for n in cat["nodes"]}
+    assert "gold_price_production_analysis" in names
+    gp = names["gold_price_production_analysis"]
+    assert set(gp["depends_on"]) == {"silver_prices_cleaned", "silver_production_cleaned"}
+    assert any(c["name"] == "commodity_scale" for c in gp["columns"])
+    assert (tmp_path / "DOCS.md").exists()
