@@ -80,7 +80,12 @@ def run_level(binlog: str, workdir: str, cores: int, tag: str, profile: str) -> 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--events", type=int, default=16_000_000)
+    # 32M/2 epochs: epoch-fixed driver work (AQE broadcast build, manifest
+    # commit, planning — ~10s/run measured) is serial under Amdahl; 16M
+    # epochs left it ~9% of the 4-core wall clock, visibly depressing the
+    # ratio. 16M-event epochs are also unrealistically SMALL for the
+    # 100 TB setting this criterion models.
+    ap.add_argument("--events", type=int, default=32_000_000)
     # Default N=1: this sandbox VM has a machine-wide memory-bandwidth
     # ceiling (~400k ev/s for this allocation-heavy workload, whether
     # threads or separate JVM processes are used — measured in

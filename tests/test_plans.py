@@ -59,6 +59,36 @@ def test_merge_plan_single_exchange(spark, tmp_path):
     assert "EvalPython" not in plan  # expressions stay JVM-side
 
 
+def test_late_lww_prunes_payload_from_winner_scan(spark, tmp_path):
+    """The late-materialization merge's winner aggregate must read ONLY
+    (key, seq) from the source — payload bytes never feed the winner
+    shuffle. The plan must show a column-pruned scan (repo, path, seq) for
+    the aggregate branch, a partial/final aggregate pair (map-side
+    combine), and a LEFT SEMI join fetching payloads."""
+    from fao_elt_pipelines_spark import binlog
+    from fao_elt_pipelines_spark.lake.table import LakeTable, STATE_COLUMNS
+
+    p = str(tmp_path / "ev.parquet")
+    binlog.change_events(spark, 5_000, n_repos=20).write.parquet(p)
+    stored = spark.read.parquet(p)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        stored.drop("op", "epoch").schema, n_buckets=4,
+    )
+    payload = ["repo", "path", "commit", "lang", "content"]
+    df = table._late_lww(stored, ("repo", "path"), "seq", "op", payload, 4)
+    plan = _plan(df)
+    assert "LeftSemi" in plan, plan
+    pruned = [
+        set(m.group(1).split(","))
+        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    assert {"repo:string", "path:string", "seq:bigint"} in pruned, plan
+    n_aggs = _n_nodes(plan, "HashAggregate") + _n_nodes(plan, "SortAggregate")
+    assert n_aggs >= 2  # partial + final (map-side combine)
+    assert "EvalPython" not in plan
+
+
 def test_lww_maxby_has_partial_aggregate(spark):
     """Query-level LWW (max_by strategy) must show a partial hash aggregate
     before the shuffle (map-side combine)."""
