@@ -165,9 +165,11 @@ class LakeTable:
         return next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
 
     def committed_epochs(self) -> set[int]:
+        meta = self._load_metadata()
         return {
-            s["epoch_id"] for s in self.snapshots() if s.get("epoch_id") is not None
-        }
+            s["epoch_id"] for s in meta["snapshots"] if s.get("epoch_id") is not None
+        } | set(meta.get("expired_epochs", []))  # expiry may drop the snapshot,
+        # never the exactly-once guarantee
 
     def _physical_schema(self, logical: T.StructType) -> T.StructType:
         return T.StructType(list(logical.fields) + [T.StructField(TOMBSTONE_COL, T.BooleanType(), True)])
@@ -237,7 +239,11 @@ class LakeTable:
         sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
         if sid is None:
             return self._read_entries([], include_tombstones)
-        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+        snap = next((s for s in meta["snapshots"] if s["snapshot_id"] == sid), None)
+        if snap is None:
+            raise ValueError(
+                f"snapshot {sid} not found (expired by expire_snapshots, or never existed)"
+            )
         return self._read_entries(snap["manifest"], include_tombstones)
 
     def read_buckets(
@@ -592,6 +598,99 @@ class LakeTable:
         if metrics:
             summary.update(metrics)
         return self._commit("merge", new_entries, kept, epoch_id, summary)
+
+    # ---------------------------------------------------- snapshot expiry
+    def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
+        """Iceberg-style ``expire_snapshots``: retain the newest
+        ``keep_last`` snapshots (the current one always survives), drop the
+        older snapshot entries from the log, and DELETE data files no
+        retained snapshot references. At 100 TB this is what bounds
+        storage: every COW merge strands the rewritten buckets' old files,
+        reachable only through time travel; without expiry the table holds
+        every version of every bucket forever.
+
+        Time travel to an expired snapshot id raises thereafter (same
+        contract as Iceberg). Committed-epoch ids are preserved from the
+        FULL log so exactly-once replay-skip still recognizes epochs whose
+        snapshots were expired (``expired_epochs`` in metadata)."""
+        meta = self._load_metadata()
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return {"expired": 0, "files_deleted": 0}
+        keep = snaps[-keep_last:]
+        if not any(s["snapshot_id"] == meta["current_snapshot_id"] for s in keep):
+            keep = [s for s in snaps if s["snapshot_id"] == meta["current_snapshot_id"]] + keep
+        dropped = [s for s in snaps if s not in keep]
+        kept_files = {e["path"] for s in keep for e in s["manifest"]}
+        dead = [
+            e["path"]
+            for s in dropped
+            for e in s["manifest"]
+            if e["path"] not in kept_files
+        ]
+        deleted = 0
+        for p in sorted(set(dead)):
+            if os.path.exists(p):
+                os.remove(p)
+                deleted += 1
+        # prune now-empty commit dirs (cosmetic; reads are manifest-driven)
+        for d in os.listdir(self.data_dir):
+            cd = os.path.join(self.data_dir, d)
+            if os.path.isdir(cd) and not any(
+                fns for _, _, fns in os.walk(cd)
+            ):
+                shutil.rmtree(cd, ignore_errors=True)
+        expired_epochs = sorted(
+            {s["epoch_id"] for s in dropped if s.get("epoch_id") is not None}
+            | set(meta.get("expired_epochs", []))
+        )
+        meta["snapshots"] = keep
+        meta["expired_epochs"] = expired_epochs
+        self._write_metadata(meta, version=self._version() + 1)
+        return {"expired": len(dropped), "files_deleted": deleted}
+
+    def changes_between(self, from_snapshot_id: int | None, to_snapshot_id: int | None = None) -> DataFrame:
+        """Incremental consumption of the table's OWN change stream: the
+        rows written by snapshots in (from, to] — i.e. every file added
+        after ``from_snapshot_id`` — with an ``_op`` column (upsert |
+        delete) derived from the tombstone flag. This is the CDC-read
+        surface a downstream pipeline tails instead of re-scanning the
+        table: cost is proportional to the files the interval added, with
+        no shuffle at all. ``from_snapshot_id=None`` reads from the
+        beginning; compaction rewrites are excluded (operation='compact'
+        moves bytes, not logical state).
+
+        Exact for MOR merges (delta files ARE the changes). For COW
+        merges the interval is a superset: a rewritten bucket's file
+        carries the whole bucket, so unchanged keys of touched buckets
+        re-appear — inherent to copy-on-write without row-level diff
+        tracking; consumers LWW on (key, last_seq) as usual."""
+        meta = self._load_metadata()
+        to_sid = to_snapshot_id if to_snapshot_id is not None else meta["current_snapshot_id"]
+        if to_sid is None:
+            return self._read_entries([], include_tombstones=True, merged=False)
+        seen: set[str] = set()
+        new_entries: list[dict[str, Any]] = []
+        for s in meta["snapshots"]:
+            if from_snapshot_id is not None and s["snapshot_id"] <= from_snapshot_id:
+                seen.update(e["path"] for e in s["manifest"])
+                continue
+            if s["snapshot_id"] > to_sid:
+                break
+            if s["operation"] == "compact":
+                seen.update(e["path"] for e in s["manifest"])
+                continue
+            for e in s["manifest"]:
+                if e["path"] not in seen:
+                    seen.add(e["path"])
+                    new_entries.append(e)
+        df = self._read_entries(new_entries, include_tombstones=True, merged=False)
+        return df.withColumn(
+            "_op",
+            F.when(F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)), F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        ).drop(TOMBSTONE_COL)
 
     def compact(
         self,

@@ -506,16 +506,30 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing, reproduced bit-for-bit on both sides)."""
     release_caches()
     e = load(spark, sf_dir, "embeddings")
+    # norm computed ONCE per vector before the join (each vector appears in
+    # ~bucket-population pairs; per-pair norms would recompute it that many
+    # times) — sqrt(dot(v,v)) is bitwise the same either way, so the oracle
+    # differential is unaffected
     b = _managed_persist(
         e.select(
-            "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
+            "vec_id",
+            "embedding",
+            SIM.ivf_bucket(F.col("embedding")).alias("bucket"),
+            F.sqrt(SIM.dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
         )
     )
-    a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "bucket")
-    c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "bucket")
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"),
+        "bucket", F.col("norm").alias("na"),
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"),
+        "bucket", F.col("norm").alias("nb"),
+    )
     pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a", "id_b", SIM.cosine(F.col("ea"), F.col("eb")).alias("cosine_sim")
+        "id_a", "id_b",
+        (SIM.dot(F.col("ea"), F.col("eb")) / F.col("na") / F.col("nb")).alias("cosine_sim"),
     )
     return scored.filter(F.col("cosine_sim") >= COSINE_TAU)
 

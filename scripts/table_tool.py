@@ -72,6 +72,12 @@ def main() -> None:
     p_read = sub.add_parser("read")
     p_read.add_argument("--snapshot", type=int, default=None)
     p_read.add_argument("--limit", type=int, default=20)
+    p_exp = sub.add_parser("expire")
+    p_exp.add_argument("--keep-last", type=int, default=2)
+    p_chg = sub.add_parser("changes")
+    p_chg.add_argument("--from-snapshot", type=int, default=None)
+    p_chg.add_argument("--to-snapshot", type=int, default=None)
+    p_chg.add_argument("--limit", type=int, default=20)
     args = ap.parse_args()
 
     spark = get_spark("table_tool", cores=args.cores)
@@ -85,6 +91,12 @@ def main() -> None:
         print(json.dumps({"compacted_snapshot_id": sid}))
     elif args.cmd == "read":
         df = table.read(snapshot_id=args.snapshot)
+        for row in df.limit(args.limit).toJSON().collect():
+            print(row)
+    elif args.cmd == "expire":
+        print(json.dumps(table.expire_snapshots(keep_last=args.keep_last)))
+    elif args.cmd == "changes":
+        df = table.changes_between(args.from_snapshot, args.to_snapshot)
         for row in df.limit(args.limit).toJSON().collect():
             print(row)
     spark.stop()

@@ -403,3 +403,72 @@ def test_expiry_guard_fires_before_merge_fast_stats(spark, tmp_path):
     state = {(r["repo"], r["path"]): r["content_sha256"] for r in table.read().collect()}
     assert ("r", "a") not in state  # no resurrect
     assert ("r", "b") in state
+
+
+def test_expire_snapshots_gc_and_exactly_once(spark, tmp_path):
+    """expire_snapshots deletes files only dead snapshots reference, keeps
+    the current state byte-identical, makes expired time travel a clear
+    error, and — critically — preserves replay-skip for epochs whose
+    snapshots were expired (exactly-once survives GC)."""
+    import os
+
+    def mk(rows):
+        return spark.createDataFrame(rows, _EV_SCHEMA)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+    table.merge_changes(mk([(1, 0, "insert", "r", "a", "c1", "py", "A")]), epoch_id=0, mode="cow")
+    table.merge_changes(mk([(2, 1, "update", "r", "a", "c2", "py", "B")]), epoch_id=1, mode="cow")
+    table.merge_changes(mk([(3, 2, "insert", "r", "b", "c3", "py", "C")]), epoch_id=2, mode="cow")
+    before = {(r["repo"], r["path"], r["content_sha256"]) for r in table.read().collect()}
+    all_files_before = {
+        e["path"] for s in table.snapshots() for e in s["manifest"]
+    }
+
+    out = table.expire_snapshots(keep_last=1)
+    assert out["expired"] == 2 and out["files_deleted"] > 0
+    # current state unchanged
+    after = {(r["repo"], r["path"], r["content_sha256"]) for r in table.read().collect()}
+    assert after == before
+    # retained files exist, dead files gone
+    live = {e["path"] for s in table.snapshots() for e in s["manifest"]}
+    assert all(os.path.exists(p) for p in live)
+    assert not any(os.path.exists(p) for p in all_files_before - live)
+    # expired time travel is a clear error
+    with pytest.raises(ValueError, match="expired"):
+        table.read(snapshot_id=1)
+    # exactly-once survives: epochs 0-2 all still recognized as committed
+    assert table.committed_epochs() == {0, 1, 2}
+    sid = table.merge_changes(
+        mk([(0, 0, "insert", "r", "a", "cX", "py", "STALE")]), epoch_id=0, mode="cow"
+    )
+    assert sid == table.current_snapshot()["snapshot_id"]  # replay-skipped
+    assert {(r["repo"], r["path"], r["content_sha256"]) for r in table.read().collect()} == before
+
+
+def test_changes_between_incremental_read(spark, tmp_path):
+    """changes_between returns exactly the interval's MOR delta rows with
+    the derived _op column — the no-shuffle CDC-read surface."""
+
+    def mk(rows):
+        return spark.createDataFrame(rows, _EV_SCHEMA)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+    table.merge_changes(mk([(1, 0, "insert", "r", "a", "c1", "py", "A")]), epoch_id=0, mode="mor")
+    s1 = table.current_snapshot()["snapshot_id"]
+    table.merge_changes(
+        mk([(2, 1, "update", "r", "a", "c2", "py", "B"),
+            (3, 1, "insert", "r", "b", "c3", "py", "C")]),
+        epoch_id=1, mode="mor",
+    )
+    table.merge_changes(mk([(4, 2, "delete", "r", "b", "c4", "py", "")]), epoch_id=2, mode="mor")
+    got = {
+        (r["path"], r["_op"], r["last_seq"])
+        for r in table.changes_between(s1).collect()
+    }
+    assert got == {("a", "upsert", 2), ("b", "upsert", 3), ("b", "delete", 4)}
+    # full-history read includes the first epoch too
+    assert len(table.changes_between(None).collect()) == 4
+    # compaction moves bytes, not logical state: no new "changes"
+    s_last = table.current_snapshot()["snapshot_id"]
+    table.compact()
+    assert table.changes_between(s_last).count() == 0

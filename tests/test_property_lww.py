@@ -100,3 +100,31 @@ def test_merge_replay_matches_pandas(spark, tmp_path_factory, rows):
         for r in table.read().collect()
     }
     assert got == pandas_lww(rows)
+
+
+@given(rows=event_lists())
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_late_and_sorted_strategies_agree(spark, tmp_path_factory, rows):
+    """For ANY event sequence — duplicate keys, deletes, arbitrary seq
+    interleavings across epochs, both COW and MOR — the late-
+    materialization merge (the default) and the sorted single-shuffle
+    merge must produce identical final state."""
+    base = tmp_path_factory.mktemp("prop_strat")
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    states = {}
+    for mode in ("cow", "mor"):
+        for strategy in ("late", "sorted"):
+            t = LakeTable.create(
+                spark, str(base / f"t_{mode}_{strategy}"), STATE_SCHEMA, n_buckets=4
+            )
+            for epoch in (0, 1):
+                batch = df.filter(df.epoch == epoch)
+                if batch.take(1):
+                    t.merge_changes(batch, epoch_id=epoch, mode=mode, strategy=strategy)
+            states[(mode, strategy)] = {
+                (r["repo"], r["path"]): (r["commit"], r["content"], r["last_seq"])
+                for r in t.read().collect()
+            }
+    expected = pandas_lww(rows)
+    for k, got in states.items():
+        assert got == expected, f"{k} diverged"
