@@ -58,6 +58,12 @@ STATE_COLUMNS = ["repo", "path", "commit", "lang", "content", "content_sha256", 
 TOMBSTONE_COL = "_is_deleted"
 
 
+class CommitConflictError(RuntimeError):
+    """A concurrent writer committed the metadata version this commit
+    targeted. Optimistic-concurrency contract: re-read and retry; replay's
+    epoch retry is the idempotent recovery path."""
+
+
 def bucket_expr(n_buckets: int, key_cols: tuple[str, str] = ("repo", "path")) -> F.Column:
     """Partition bucket = hash of the MERGE key.
 
@@ -125,24 +131,54 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, "VERSION")) as f:
             return int(f.read().strip())
 
+    def _load_versioned(self) -> tuple[dict[str, Any], int]:
+        """Metadata plus the version it was read AT — the version a
+        subsequent CAS commit must target +1. Committing at
+        ``self._version() + 1`` re-read at write time instead would let a
+        competitor land in between and be silently overwritten (stale
+        manifest wins, their files dropped): the read version must pin
+        the commit target."""
+        v = self._version()
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
+            return json.load(f), v
+
     def _load_metadata(self) -> dict[str, Any]:
         v = self._version()
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
             return json.load(f)
 
     def _write_metadata(self, meta: dict[str, Any], version: int) -> None:
-        """Atomic commit: metadata file first, then rename the pointer.
+        """Atomic compare-and-swap commit.
 
-        ``os.replace`` is atomic on POSIX — the local stand-in for a
-        catalog CAS. A crash before the replace leaves the old version
-        current and the new files orphaned (ignored by manifest-driven
-        reads).
+        The versioned metadata file is created with link(2) semantics —
+        atomic fail-if-exists — so of two writers that both read version
+        N and try to commit N+1, exactly ONE wins; the loser gets
+        CommitConflictError and must re-read and retry (the engine's
+        epoch retry is idempotent, so replay-level recovery is simply
+        re-offering the epoch). This is the local-FS realization of a
+        catalog's optimistic CAS, same model as Iceberg's commit.
+
+        The VERSION pointer then advances monotonically (guarded: a
+        slow winner of an older version never regresses the pointer).
+        A crash between the two writes leaves the old version current
+        and the new files orphaned — ignored by manifest-driven reads.
         """
         mp = os.path.join(self.meta_dir, f"v{version}.metadata.json")
-        with open(mp + ".tmp", "w") as f:
+        tmp = mp + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
-        os.replace(mp + ".tmp", mp)
+        try:
+            os.link(tmp, mp)  # atomic fail-if-exists: the CAS
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflictError(
+                f"metadata version {version} was committed by a concurrent "
+                f"writer; re-read the table and retry the operation"
+            ) from None
+        os.remove(tmp)
         vp = os.path.join(self.meta_dir, "VERSION")
+        if os.path.exists(vp) and self._version() >= version:
+            return  # a newer commit already advanced the pointer
         with open(vp + ".tmp", "w") as f:
             f.write(str(version))
         os.replace(vp + ".tmp", vp)
@@ -319,8 +355,15 @@ class LakeTable:
         kept_entries: list[dict[str, Any]],
         epoch_id: int | None,
         summary: dict[str, Any],
+        base: tuple[dict[str, Any], int] | None = None,
     ) -> int:
-        meta = self._load_metadata()
+        # ``base`` = the (metadata, version) the caller's plan was built
+        # FROM (its kept_entries / touched-bucket pruning). Committing
+        # against a fresher read would let a competitor's commit land in
+        # between and have its manifest silently clobbered by our stale
+        # kept_entries — the CAS must target base_version + 1 so that
+        # interleaving surfaces as CommitConflictError instead.
+        meta, base_v = base if base is not None else self._load_versioned()
         parent = meta["current_snapshot_id"]
         sid = (parent or 0) + 1
         snap = {
@@ -334,7 +377,7 @@ class LakeTable:
         }
         meta["snapshots"].append(snap)
         meta["current_snapshot_id"] = sid
-        self._write_metadata(meta, version=self._version() + 1)
+        self._write_metadata(meta, version=base_v + 1)
         return sid
 
     def append(self, df: DataFrame, epoch_id: int | None = None) -> int:
@@ -342,39 +385,47 @@ class LakeTable:
         ``/root/reference/ingestion/load_to_database.py:32-68``)."""
         if epoch_id is not None and epoch_id in self.committed_epochs():
             return self._load_metadata()["current_snapshot_id"]
-        meta = self._load_metadata()
+        meta, base_v = self._load_versioned()
         new_schema = schema_evo.reconcile(meta["schema"], df.schema)
         df = schema_evo.align(df, schema_evo.registry_to_schema(new_schema))
         dfb = df.withColumn(TOMBSTONE_COL, F.lit(False)).withColumn(
             "_bucket", bucket_expr(meta["n_buckets"])
         )
         entries = self._write_data_files(dfb, epoch_id)
-        snap = self.current_snapshot()
-        kept = snap["manifest"] if snap else []
-        meta2 = self._load_metadata()
-        meta2["schema"] = new_schema
-        self._write_metadata(meta2, version=self._version() + 1)
+        sid = meta["current_snapshot_id"]
+        kept = (
+            next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)["manifest"]
+            if sid is not None
+            else []
+        )
+        if new_schema != meta["schema"]:
+            meta["schema"] = new_schema
+            self._write_metadata(meta, version=base_v + 1)
+            base_v += 1
         return self._commit(
             "append", entries, kept, epoch_id,
             {"rows_appended": sum(e["rows"] for e in entries)},
+            base=(meta, base_v),
         )
 
     def overwrite(self, df: DataFrame, epoch_id: int | None = None) -> int:
         """Full replace (reference S11 truncate-reload analogue,
         ``/root/reference/orchestration/elt_pipeline.py:138-140``)."""
-        meta = self._load_metadata()
+        meta, base_v = self._load_versioned()
         new_schema = schema_evo.reconcile(meta["schema"], df.schema)
         df = schema_evo.align(df, schema_evo.registry_to_schema(new_schema))
         dfb = df.withColumn(TOMBSTONE_COL, F.lit(False)).withColumn(
             "_bucket", bucket_expr(meta["n_buckets"])
         )
         entries = self._write_data_files(dfb, epoch_id)
-        meta2 = self._load_metadata()
-        meta2["schema"] = new_schema
-        self._write_metadata(meta2, version=self._version() + 1)
+        if new_schema != meta["schema"]:
+            meta["schema"] = new_schema
+            self._write_metadata(meta, version=base_v + 1)
+            base_v += 1
         return self._commit(
             "overwrite", entries, [], epoch_id,
             {"rows_written": sum(e["rows"] for e in entries)},
+            base=(meta, base_v),
         )
 
     # -------------------------------------------------------------- MERGE
@@ -528,7 +579,11 @@ class LakeTable:
         if epoch_id is not None and epoch_id in self.committed_epochs():
             return self._load_metadata()["current_snapshot_id"]
 
-        meta = self._load_metadata()
+        # Pin the (metadata, version) this merge plans against; everything
+        # below — schema evolution, kept-file pruning, the final commit —
+        # derives from THIS read, so a concurrent commit surfaces as
+        # CommitConflictError rather than being silently overwritten.
+        meta, base_v = self._load_versioned()
         n_buckets = meta["n_buckets"]
 
         # Additive schema evolution: reconcile incoming payload columns
@@ -540,9 +595,9 @@ class LakeTable:
         new_registry = schema_evo.reconcile(meta["schema"], state_fields)
         state_schema = schema_evo.registry_to_schema(new_registry)
         if new_registry != meta["schema"]:
-            meta2 = self._load_metadata()
-            meta2["schema"] = new_registry
-            self._write_metadata(meta2, version=self._version() + 1)
+            meta["schema"] = new_registry
+            self._write_metadata(meta, version=base_v + 1)
+            base_v += 1
 
         payload_cols = [f.name for f in state_schema.fields if f.name not in ("content_sha256", "last_seq")]
         delta_ev = delta.select(
@@ -554,7 +609,12 @@ class LakeTable:
             F.col(seq_col).cast("long").alias(seq_col),
             F.col(op_col).alias(op_col),
         )
-        snap = self.current_snapshot()
+        sid = meta["current_snapshot_id"]
+        snap = (
+            next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+            if sid is not None
+            else None
+        )
 
         if mode == "mor":
             final = self._lww(delta_ev, keys, seq_col, op_col, payload_cols, n_buckets, strategy)
@@ -569,7 +629,9 @@ class LakeTable:
             }
             if metrics:
                 summary.update(metrics)
-            return self._commit("merge", new_entries, kept, epoch_id, summary)
+            return self._commit(
+                "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v)
+            )
 
         # --- copy-on-write ---
         delta_b = delta_ev.withColumn("_bucket", bucket_expr(n_buckets, keys))
@@ -597,7 +659,9 @@ class LakeTable:
         }
         if metrics:
             summary.update(metrics)
-        return self._commit("merge", new_entries, kept, epoch_id, summary)
+        return self._commit(
+            "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v)
+        )
 
     # ---------------------------------------------------- snapshot expiry
     def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
@@ -613,7 +677,7 @@ class LakeTable:
         contract as Iceberg). Committed-epoch ids are preserved from the
         FULL log so exactly-once replay-skip still recognizes epochs whose
         snapshots were expired (``expired_epochs`` in metadata)."""
-        meta = self._load_metadata()
+        meta, base_v = self._load_versioned()
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:
             return {"expired": 0, "files_deleted": 0}
@@ -646,7 +710,7 @@ class LakeTable:
         )
         meta["snapshots"] = keep
         meta["expired_epochs"] = expired_epochs
-        self._write_metadata(meta, version=self._version() + 1)
+        self._write_metadata(meta, version=base_v + 1)
         return {"expired": len(dropped), "files_deleted": deleted}
 
     def changes_between(self, from_snapshot_id: int | None, to_snapshot_id: int | None = None) -> DataFrame:
@@ -712,13 +776,14 @@ class LakeTable:
         those can no longer arrive it is dead metadata. Without a
         watermark, tombstones are retained indefinitely."""
         t0 = time.time()
-        snap = self.current_snapshot()
-        if snap is None:
+        meta, base_v = self._load_versioned()
+        sid = meta["current_snapshot_id"]
+        if sid is None:
             return None
+        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
         delta_entries = [e for e in snap["manifest"] if e.get("kind") == "delta"]
         if not delta_entries:
             return None
-        meta = self._load_metadata()
         n_buckets = meta["n_buckets"]
         state_schema = schema_evo.registry_to_schema(meta["schema"])
         payload_cols = [f.name for f in state_schema.fields if f.name not in ("content_sha256", "last_seq")]
@@ -742,7 +807,7 @@ class LakeTable:
         }
         if metrics:
             summary.update(metrics)
-        return self._commit("compact", new_entries, kept, None, summary)
+        return self._commit("compact", new_entries, kept, None, summary, base=(meta, base_v))
 
 
 def _state_schema_for(payload_schema: T.StructType, seq_col: str) -> T.StructType:

@@ -363,6 +363,9 @@ def test_mor_read_merges_only_delta_buckets(spark, tmp_path):
     assert got[("r", "p0")] == ("c1", 1000)
     assert len(got) == 200
     assert got[("r", "p7")] == ("c0", 7)
+
+
+def test_expiry_guard_survives_restart(spark, tmp_path):
     """The expiry watermark is persisted in the checkpoint: a RESUMED
     replay (fresh process, in-memory watermark gone) must still reject a
     later epoch carrying seq below a watermark a previous run expired
@@ -472,3 +475,58 @@ def test_changes_between_incremental_read(spark, tmp_path):
     s_last = table.current_snapshot()["snapshot_id"]
     table.compact()
     assert table.changes_between(s_last).count() == 0
+
+
+def test_commit_cas_conflict_and_epoch_retry(spark, tmp_path):
+    """Optimistic-concurrency commit: of two writers targeting the same
+    metadata version, exactly one wins; the loser raises
+    CommitConflictError and an epoch-level retry (the engine's recovery
+    contract) converges to the correct state."""
+    import json as _json
+    import os as _os
+
+    from fao_elt_pipelines_spark.lake.table import CommitConflictError
+
+    def mk(rows):
+        return spark.createDataFrame(rows, _EV_SCHEMA)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+    table.merge_changes(mk([(1, 0, "insert", "r", "a", "c1", "py", "A")]), epoch_id=0)
+
+    # the raw CAS: two writers race for the same version — second loses
+    meta = table._load_metadata()
+    v = table._version()
+    table._write_metadata(dict(meta), version=v + 1)
+    with pytest.raises(CommitConflictError, match="concurrent writer"):
+        table._write_metadata(dict(meta), version=v + 1)
+
+    # simulate a full competing commit landing mid-merge: epoch retry must
+    # converge (idempotent), with both the competitor's and our state live
+    class RaceOnce:
+        def __init__(self, t):
+            self.t, self.fired = t, False
+            self.orig = t._write_data_files
+
+        def __call__(self, *a, **k):
+            entries = self.orig(*a, **k)
+            if not self.fired:
+                self.fired = True
+                # competitor commits between our data write and our commit
+                m = self.t._load_metadata()
+                self.t._write_metadata(m, version=self.t._version() + 1)
+            return entries
+
+    racer = RaceOnce(table)
+    table._write_data_files = racer
+    with pytest.raises(CommitConflictError):
+        table.merge_changes(
+            mk([(2, 1, "update", "r", "a", "c2", "py", "B")]), epoch_id=1
+        )
+    # retry the epoch (replay's recovery path) — now succeeds
+    table.merge_changes(mk([(2, 1, "update", "r", "a", "c2", "py", "B")]), epoch_id=1)
+    table._write_data_files = racer.orig
+    got = {(r["repo"], r["path"]): r["content_sha256"] for r in table.read().collect()}
+    import hashlib as _h
+
+    assert got == {("r", "a"): _h.sha256(b"B").hexdigest()}
+    assert table.committed_epochs() == {0, 1}
