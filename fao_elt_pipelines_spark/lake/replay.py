@@ -65,7 +65,7 @@ def replay(
     compact_every: int | None = None,
     collect_delta_stats: bool = True,
     expire_tombstones: bool = False,
-    merge_strategy: str = "late",
+    merge_strategy: str | None = None,
 ) -> ReplayReport:
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.

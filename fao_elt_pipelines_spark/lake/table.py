@@ -545,7 +545,7 @@ class LakeTable:
         op_col: str = "op",
         metrics: dict[str, Any] | None = None,
         mode: str = "cow",
-        strategy: str = "late",
+        strategy: str | None = None,
     ) -> int:
         """MERGE a change-event batch into the state table.
 
@@ -563,19 +563,26 @@ class LakeTable:
           O(touched base); call compact() periodically to restore read
           performance.
 
-        ``strategy`` picks the LWW physical form: ``"late"`` (default —
-        late materialization: winner keys via map-side-combined
-        groupBy/max on a (key, seq) projection, payload fetched by AQE
-        semi-join, only winners shuffled to buckets; ~2x faster and far
-        less memory-bandwidth on content-heavy CDC) or ``"sorted"`` (the
-        single-shuffle sort-based form — every payload byte rides the
-        shuffle; kept for A/B and for deltas whose winner ratio is ~1,
-        where the extra pass buys nothing).
+        ``strategy`` picks the LWW physical form; ``None`` (default)
+        resolves by mode, following the measured A/Bs (BENCH/BASELINE.md):
+
+        - ``"late"`` (MOR default) — late materialization: winner keys via
+          map-side-combined groupBy/max on a (key, seq) projection,
+          payload fetched by AQE semi-join, only winners shuffled to
+          buckets. +33% measured on MOR, where winners are a small
+          fraction of the delta.
+        - ``"sorted"`` (COW default) — the single-shuffle sorted form.
+          In COW the base re-enters the merge, making winners ≈ the whole
+          touched state, so late's extra pass buys nothing (measured 15%
+          SLOWER at 4M events); the sorted form's one payload shuffle is
+          optimal there.
 
         Returns the committed snapshot id (or the current one when the
         epoch was already committed — exactly-once replay-skip).
         """
         t0 = time.time()
+        if strategy is None:
+            strategy = "late" if mode == "mor" else "sorted"
         if epoch_id is not None and epoch_id in self.committed_epochs():
             return self._load_metadata()["current_snapshot_id"]
 

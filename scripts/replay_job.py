@@ -56,9 +56,10 @@ def main() -> None:
     ap.add_argument("--max-epochs", type=int, default=None)
     ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
     ap.add_argument(
-        "--strategy", choices=["late", "sorted"], default="late",
-        help="LWW physical form: late materialization (default; payload "
-        "never rides the winner shuffle) vs single-shuffle sorted merge",
+        "--strategy", choices=["auto", "late", "sorted"], default="auto",
+        help="LWW physical form: auto (default — late for MOR, sorted for "
+        "COW, per the measured A/Bs), late materialization (payload never "
+        "rides the winner shuffle), or single-shuffle sorted merge",
     )
     ap.add_argument("--compact-every", type=int, default=None)
     ap.add_argument(
@@ -105,7 +106,7 @@ def main() -> None:
         spark, events, table, ckpt, max_epochs=args.max_epochs,
         mode=args.mode, compact_every=args.compact_every,
         collect_delta_stats=not args.fast_stats,
-        merge_strategy=args.strategy,
+        merge_strategy=None if args.strategy == "auto" else args.strategy,
     )
     dt = time.time() - t0
     if args.fast_stats and rep.epochs_applied:
