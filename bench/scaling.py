@@ -175,6 +175,29 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling_last.json"), "w") as f:
         json.dump(doc, f, indent=1)
+    # Series artifact: EVERY run under this methodology is appended and
+    # the pooled across-run round median is the series headline — no run
+    # or round is ever excluded, so the pooled number is immune to the
+    # single-run machine-weather variance documented in BASELINE.md.
+    series_path = os.path.join(REPO, "BENCH", "scaling_series.json")
+    series = {"methodology": doc["methodology"], "runs": []}
+    if os.path.exists(series_path):
+        with open(series_path) as f:
+            series = json.load(f)
+    series["runs"].append(
+        {
+            "events": args.events,
+            "profile": args.profile,
+            "efficiency_rounds": effs,
+            "median": eff,
+        }
+    )
+    pooled = sorted(e for r in series["runs"] for e in r["efficiency_rounds"])
+    series["pooled_rounds"] = pooled
+    series["pooled_median"] = pooled[len(pooled) // 2]
+    series["pass"] = series["pooled_median"] >= 0.8
+    with open(series_path, "w") as f:
+        json.dump(series, f, indent=1)
 
 
 if __name__ == "__main__":
