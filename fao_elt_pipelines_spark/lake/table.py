@@ -160,8 +160,12 @@ class LakeTable:
 
         The VERSION pointer then advances monotonically (guarded: a
         slow winner of an older version never regresses the pointer).
-        A crash between the two writes leaves the old version current
-        and the new files orphaned — ignored by manifest-driven reads.
+        A crash between the link and the pointer advance leaves
+        v{version} durable but VERSION stale; the next writer's
+        FileExistsError handler repairs the pointer forward (the linked
+        file is fully written before the link, so advancing is always
+        safe) — without the repair, every retry would re-read the stale
+        version, re-target version, and conflict forever (livelock).
         """
         mp = os.path.join(self.meta_dir, f"v{version}.metadata.json")
         tmp = mp + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -171,11 +175,22 @@ class LakeTable:
             os.link(tmp, mp)  # atomic fail-if-exists: the CAS
         except FileExistsError:
             os.remove(tmp)
+            # Crash-repair: v{version} exists but VERSION may still point
+            # below it (a writer died between link and pointer advance).
+            # Advance the pointer so the conflicting retry's re-read sees
+            # the committed version instead of livelocking on the stale one.
+            if self._version() < version:
+                self._advance_version_pointer(version)
             raise CommitConflictError(
                 f"metadata version {version} was committed by a concurrent "
                 f"writer; re-read the table and retry the operation"
             ) from None
         os.remove(tmp)
+        self._advance_version_pointer(version)
+
+    def _advance_version_pointer(self, version: int) -> None:
+        """Monotonically advance VERSION to ``version`` (no-op if a newer
+        commit already moved it further)."""
         vp = os.path.join(self.meta_dir, "VERSION")
         if os.path.exists(vp) and self._version() >= version:
             return  # a newer commit already advanced the pointer
@@ -699,6 +714,19 @@ class LakeTable:
             for e in s["manifest"]
             if e["path"] not in kept_files
         ]
+        expired_epochs = sorted(
+            {s["epoch_id"] for s in dropped if s.get("epoch_id") is not None}
+            | set(meta.get("expired_epochs", []))
+        )
+        meta["snapshots"] = keep
+        meta["expired_epochs"] = expired_epochs
+        # Commit the pruned metadata FIRST, then delete the unreferenced
+        # files (Iceberg's order). A crash after the commit leaves only
+        # harmless orphan files; the reverse order would leave the snapshot
+        # log pointing at deleted files, turning time travel /
+        # changes_between over those snapshots into scan-time
+        # file-not-found instead of the clean 'expired' error.
+        self._write_metadata(meta, version=base_v + 1)
         deleted = 0
         for p in sorted(set(dead)):
             if os.path.exists(p):
@@ -711,13 +739,6 @@ class LakeTable:
                 fns for _, _, fns in os.walk(cd)
             ):
                 shutil.rmtree(cd, ignore_errors=True)
-        expired_epochs = sorted(
-            {s["epoch_id"] for s in dropped if s.get("epoch_id") is not None}
-            | set(meta.get("expired_epochs", []))
-        )
-        meta["snapshots"] = keep
-        meta["expired_epochs"] = expired_epochs
-        self._write_metadata(meta, version=base_v + 1)
         return {"expired": len(dropped), "files_deleted": deleted}
 
     def changes_between(self, from_snapshot_id: int | None, to_snapshot_id: int | None = None) -> DataFrame:
@@ -740,6 +761,19 @@ class LakeTable:
         to_sid = to_snapshot_id if to_snapshot_id is not None else meta["current_snapshot_id"]
         if to_sid is None:
             return self._read_entries([], include_tombstones=True, merged=False)
+        if from_snapshot_id is not None and not any(
+            s["snapshot_id"] <= from_snapshot_id for s in meta["snapshots"]
+        ):
+            # The cursor predates every retained snapshot: it was expired.
+            # Without this guard nothing seeds `seen` and the read silently
+            # degrades to a full-history scan — a resuming CDC consumer
+            # would reprocess the entire table with no error. Mirror
+            # read()'s expired-snapshot contract instead.
+            raise ValueError(
+                f"snapshot {from_snapshot_id} not found (expired by "
+                f"expire_snapshots, or never existed); incremental read "
+                f"cannot resume from an expired cursor"
+            )
         seen: set[str] = set()
         new_entries: list[dict[str, Any]] = []
         for s in meta["snapshots"]:

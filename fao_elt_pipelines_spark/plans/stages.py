@@ -203,6 +203,13 @@ def silver_production_cleaned(bronze: DataFrame) -> DataFrame:
 def silver_top_countries(prices: DataFrame, production: DataFrame) -> DataFrame:
     """silver_top_countries.sql:7-81 — A1/A2 aggregates, J1 FULL OUTER with
     COALESCE key resurrection, W1 global RANKs, P7 top-10 flag."""
+    # global_rank persists its range-partitioned input (3 per call here);
+    # without releasing prior calls' caches, repeated stage-pipeline runs
+    # (docs_gen's DAG walk, long-lived sessions) accumulate persisted
+    # intermediates for the session's lifetime.
+    from ..caching import release_caches
+
+    release_caches()
     prod = production.groupBy("country_name_standardized", "area_code").agg(
         F.sum("production_metric_tons").alias("total_production"),
         F.countDistinct("item_code").alias("production_items"),

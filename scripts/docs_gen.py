@@ -141,6 +141,9 @@ def main() -> None:
     with open(os.path.join(args.out, "DOCS.md"), "w") as f:
         f.write(render_md(nodes))
     print(json.dumps({"nodes": len(nodes), "out": args.out}))
+    from fao_elt_pipelines_spark.caching import release_caches
+
+    release_caches()  # drop any intermediates the DAG walk registered
     spark.stop()
 
 

@@ -53,11 +53,14 @@ def compare(spark_df, con, sql: str) -> list[str]:
     for c in s_cols:
         sk = sdf[c].dtype.kind  # i/u int, f float, O object, M datetime, b bool
         dk = ddf[c].dtype.kind
-        s_num = sk in "iuf"
-        d_num = dk in "iuf" or (
-            dk == "O" and any(isinstance(v, Decimal) for v in ddf[c].dropna().head(5))
-        )
-        if s_num != d_num or (s_num and d_num and (sk == "f") != (dk == "f")):
+        # Decimal sniff must be symmetric: Spark DecimalType also lands as
+        # object dtype in pandas, and a Decimal-vs-Decimal column is NOT a
+        # skew even though neither dtype.kind is numeric.
+        s_dec = sk == "O" and any(isinstance(v, Decimal) for v in sdf[c].dropna().head(5))
+        d_dec = dk == "O" and any(isinstance(v, Decimal) for v in ddf[c].dropna().head(5))
+        s_num = sk in "iuf" or s_dec
+        d_num = dk in "iuf" or d_dec
+        if s_num != d_num or (s_num and d_num and (sk == "f", s_dec) != ((dk == "f"), d_dec)):
             issues.append(f"dtype kind skew on {c}: spark={sdf[c].dtype} duckdb={ddf[c].dtype}")
     if len(sdf) != len(ddf):
         issues.append(f"row count: spark={len(sdf)} duckdb={len(ddf)}")

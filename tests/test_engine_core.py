@@ -530,3 +530,109 @@ def test_commit_cas_conflict_and_epoch_retry(spark, tmp_path):
 
     assert got == {("r", "a"): _h.sha256(b"B").hexdigest()}
     assert table.committed_epochs() == {0, 1}
+
+
+def test_cas_crash_wedge_repair(spark, tmp_path):
+    """A writer that crashed between the v{N+1} link and the VERSION
+    pointer advance must not wedge the table: the durable-but-unpointed
+    metadata version is repaired forward by the next commit attempt, so
+    a single retry succeeds instead of livelocking on CommitConflictError
+    forever (ADVICE r2 high)."""
+    import os
+    import shutil
+
+    from fao_elt_pipelines_spark.lake.table import CommitConflictError
+
+    def mk(rows):
+        return spark.createDataFrame(rows, _EV_SCHEMA)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+    table.merge_changes(mk([(1, 0, "insert", "r", "a", "c1", "py", "A")]), epoch_id=0)
+    v = table._version()
+    # simulate the crash: v{N+1}.metadata.json fully durable, VERSION stale
+    shutil.copy(
+        os.path.join(table.meta_dir, f"v{v}.metadata.json"),
+        os.path.join(table.meta_dir, f"v{v + 1}.metadata.json"),
+    )
+    assert table._version() == v  # pointer really is stale
+
+    # first attempt targets v+1, collides with the orphaned file, and must
+    # REPAIR the pointer while raising the conflict
+    with pytest.raises(CommitConflictError):
+        table.merge_changes(
+            mk([(2, 1, "update", "r", "a", "c2", "py", "B")]), epoch_id=1
+        )
+    assert table._version() == v + 1  # repaired forward
+
+    # the retry re-reads the repaired version and succeeds (no livelock)
+    table.merge_changes(mk([(2, 1, "update", "r", "a", "c2", "py", "B")]), epoch_id=1)
+    got = {(r["repo"], r["path"]): r["content_sha256"] for r in table.read().collect()}
+    assert got == {("r", "a"): hashlib.sha256(b"B").hexdigest()}
+    assert table.committed_epochs() == {0, 1}
+
+
+def test_expire_snapshots_commits_before_deleting(spark, tmp_path):
+    """expire_snapshots must commit the pruned metadata BEFORE deleting
+    dead files (Iceberg's order): a crash mid-deletion then leaves only
+    orphan files, never a snapshot log pointing at deleted files
+    (ADVICE r2 medium)."""
+    import os as _os
+
+    def mk(rows):
+        return spark.createDataFrame(rows, _EV_SCHEMA)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+    table.merge_changes(mk([(1, 0, "insert", "r", "a", "c1", "py", "A")]), epoch_id=0, mode="cow")
+    table.merge_changes(mk([(2, 1, "update", "r", "a", "c2", "py", "B")]), epoch_id=1, mode="cow")
+    before = {(r["repo"], r["path"], r["content_sha256"]) for r in table.read().collect()}
+
+    real_remove = _os.remove
+    calls = {"n": 0}
+
+    def crashing_remove(p):
+        if p.endswith(".parquet"):
+            calls["n"] += 1
+            raise OSError("simulated crash during file deletion")
+        return real_remove(p)
+
+    import fao_elt_pipelines_spark.lake.table as table_mod
+
+    orig = table_mod.os.remove
+    table_mod.os.remove = crashing_remove
+    try:
+        with pytest.raises(OSError, match="simulated crash"):
+            table.expire_snapshots(keep_last=1)
+    finally:
+        table_mod.os.remove = orig
+    assert calls["n"] == 1  # deletion was reached — AFTER the commit
+
+    # the metadata commit already landed: snapshot log is pruned, every
+    # file it references still exists, reads are clean
+    snaps = table.snapshots()
+    assert len(snaps) == 1
+    assert all(_os.path.exists(e["path"]) for s in snaps for e in s["manifest"])
+    after = {(r["repo"], r["path"], r["content_sha256"]) for r in table.read().collect()}
+    assert after == before
+    # exactly-once preserved through the interrupted expiry
+    assert table.committed_epochs() == {0, 1}
+
+
+def test_changes_between_expired_cursor_raises(spark, tmp_path):
+    """Resuming an incremental read from an expired cursor must be a hard
+    error, not a silent full-history reprocess (ADVICE r2 low)."""
+
+    def mk(rows):
+        return spark.createDataFrame(rows, _EV_SCHEMA)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+    table.merge_changes(mk([(1, 0, "insert", "r", "a", "c1", "py", "A")]), epoch_id=0, mode="mor")
+    s1 = table.current_snapshot()["snapshot_id"]
+    table.merge_changes(mk([(2, 1, "update", "r", "a", "c2", "py", "B")]), epoch_id=1, mode="mor")
+    table.merge_changes(mk([(3, 2, "insert", "r", "b", "c3", "py", "C")]), epoch_id=2, mode="mor")
+    table.expire_snapshots(keep_last=1)
+    assert not any(s["snapshot_id"] <= s1 for s in table.snapshots())
+    with pytest.raises(ValueError, match="expired"):
+        table.changes_between(s1)
+    # a retained cursor still works
+    s_cur = table.current_snapshot()["snapshot_id"]
+    assert table.changes_between(s_cur).count() == 0
