@@ -6,9 +6,12 @@ small interface so a real catalog's ``MERGE INTO`` can be swapped in:
 
 - immutable Parquet data files under ``data/``
 - JSON table metadata under ``metadata/``: schema with field IDs, partition
-  spec (hash-bucket on ``repo``), snapshot log
-- each snapshot = manifest (data-file list with per-file stats + lineage) +
-  summary (operation, epoch id, metrics)
+  spec (hash-bucket on ``repo``), snapshot log of POINTERS + summaries only
+- each snapshot's manifest (data-file list with per-file stats + lineage)
+  lives in its own immutable file under ``metadata/manifests/``, written
+  once at commit and loaded lazily on access — so per-commit metadata cost
+  is O(current files), never O(snapshots × files), and expire_snapshots
+  prunes manifests and old metadata versions alongside data files
 - atomic commit via write-temp-then-``os.replace`` of a VERSION pointer —
   the local-FS stand-in for a catalog's compare-and-swap
 - time travel: read any snapshot id
@@ -89,6 +92,31 @@ class Snapshot:
     summary: dict[str, Any] = field(default_factory=dict)
 
 
+class _LazySnapshot(dict):
+    """Snapshot entry whose ``manifest`` (the per-file entry list) loads on
+    first ``s["manifest"]`` access from its immutable per-snapshot manifest
+    file. This is Iceberg's metadata shape: ``v{N}.metadata.json`` holds only
+    the snapshot log of pointers + summaries, each snapshot's file list is
+    written ONCE at commit time to ``metadata/manifests/`` and never
+    rewritten — so commit cost is O(current files), not
+    O(snapshots × files), and metadata bytes don't grow with history.
+    Plain-dict access keeps every existing call site working."""
+
+    __slots__ = ("_meta_dir",)
+
+    def __init__(self, data: dict[str, Any], meta_dir: str):
+        super().__init__(data)
+        self._meta_dir = meta_dir
+
+    def __missing__(self, key: str) -> Any:
+        if key == "manifest" and "manifest_file" in self:
+            with open(os.path.join(self._meta_dir, self["manifest_file"])) as f:
+                manifest = json.load(f)
+            self["manifest"] = manifest  # cache; stripped again on serialize
+            return manifest
+        raise KeyError(key)
+
+
 class LakeTable:
     """A versioned, bucketed Parquet table with snapshot isolation."""
 
@@ -96,6 +124,7 @@ class LakeTable:
         self.spark = spark
         self.path = path
         self.meta_dir = os.path.join(path, "metadata")
+        self.manifest_dir = os.path.join(self.meta_dir, "manifests")
         self.data_dir = os.path.join(path, "data")
 
     # ---------------------------------------------------------------- DDL
@@ -109,6 +138,7 @@ class LakeTable:
     ) -> "LakeTable":
         t = cls(spark, path)
         os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.manifest_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         meta = {
             "format_version": 1,
@@ -140,12 +170,22 @@ class LakeTable:
         the commit target."""
         v = self._version()
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
-            return json.load(f), v
+            return self._wrap_snapshots(json.load(f)), v
 
     def _load_metadata(self) -> dict[str, Any]:
         v = self._version()
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as f:
-            return json.load(f)
+            return self._wrap_snapshots(json.load(f))
+
+    def _wrap_snapshots(self, meta: dict[str, Any]) -> dict[str, Any]:
+        """Wrap snapshot entries so ``s["manifest"]`` lazily loads the
+        per-snapshot manifest file; snapshots from the pre-split format
+        (inline manifest, no manifest_file) pass through unchanged."""
+        meta["snapshots"] = [
+            _LazySnapshot(s, self.meta_dir) if "manifest_file" in s else s
+            for s in meta["snapshots"]
+        ]
+        return meta
 
     def _write_metadata(self, meta: dict[str, Any], version: int) -> None:
         """Atomic compare-and-swap commit.
@@ -169,8 +209,16 @@ class LakeTable:
         """
         mp = os.path.join(self.meta_dir, f"v{version}.metadata.json")
         tmp = mp + f".tmp.{uuid.uuid4().hex[:8]}"
+        # Never serialize a lazily-cached manifest back inline: the
+        # manifest file is the single immutable source of truth, and
+        # inlining it would resurrect the O(snapshots × files) growth.
+        out = dict(meta)
+        out["snapshots"] = [
+            {k: v for k, v in s.items() if not (k == "manifest" and "manifest_file" in s)}
+            for s in meta["snapshots"]
+        ]
         with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
+            json.dump(out, f, indent=1)
         try:
             os.link(tmp, mp)  # atomic fail-if-exists: the CAS
         except FileExistsError:
@@ -381,15 +429,30 @@ class LakeTable:
         meta, base_v = base if base is not None else self._load_versioned()
         parent = meta["current_snapshot_id"]
         sid = (parent or 0) + 1
-        snap = {
-            "snapshot_id": sid,
-            "parent_id": parent,
-            "timestamp_ms": int(time.time() * 1000),
-            "operation": operation,
-            "epoch_id": epoch_id,
-            "manifest": kept_entries + new_entries,
-            "summary": summary,
-        }
+        manifest = kept_entries + new_entries
+        # The manifest file is written ONCE, immutably, before the metadata
+        # CAS (uuid-suffixed so racing writers targeting the same sid never
+        # collide). If the CAS loses, the file is a harmless unreferenced
+        # orphan — same contract as the loser's data files.
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        mf_rel = os.path.join("manifests", f"snap-{sid}-{uuid.uuid4().hex[:8]}.json")
+        with open(os.path.join(self.meta_dir, mf_rel), "w") as f:
+            json.dump(manifest, f)
+        snap = _LazySnapshot(
+            {
+                "snapshot_id": sid,
+                "parent_id": parent,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "epoch_id": epoch_id,
+                "manifest_file": mf_rel,
+                "manifest": manifest,  # in-memory convenience; never serialized
+                "n_files": len(manifest),
+                "total_rows": sum(e["rows"] for e in manifest),
+                "summary": summary,
+            },
+            self.meta_dir,
+        )
         meta["snapshots"].append(snap)
         meta["current_snapshot_id"] = sid
         self._write_metadata(meta, version=base_v + 1)
@@ -732,6 +795,24 @@ class LakeTable:
             if os.path.exists(p):
                 os.remove(p)
                 deleted += 1
+        # dropped snapshots' manifest files are now unreferenced too
+        for s in dropped:
+            mf = s.get("manifest_file")
+            if mf and os.path.exists(os.path.join(self.meta_dir, mf)):
+                os.remove(os.path.join(self.meta_dir, mf))
+        # prune old metadata versions (Iceberg's previous-metadata cleanup):
+        # one v{N}.metadata.json accumulates per commit; only a recent
+        # window is needed (stale concurrent readers re-read VERSION on
+        # conflict). Keeps the metadata dir O(retained), not O(history).
+        cur_v = self._version()
+        for fn in os.listdir(self.meta_dir):
+            if fn.startswith("v") and fn.endswith(".metadata.json"):
+                try:
+                    fv = int(fn[1:].split(".")[0])
+                except ValueError:
+                    continue
+                if fv < cur_v - 10:
+                    os.remove(os.path.join(self.meta_dir, fn))
         # prune now-empty commit dirs (cosmetic; reads are manifest-driven)
         for d in os.listdir(self.data_dir):
             cd = os.path.join(self.data_dir, d)

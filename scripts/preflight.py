@@ -133,10 +133,15 @@ def check_table(path: str) -> tuple[bool, str]:
     if sid is None:
         return True, f"v{v}, empty table"
     snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
-    gone = [e["path"] for e in snap["manifest"] if not os.path.exists(e["path"])]
+    if "manifest_file" in snap:  # manifest-file format: load the pointer
+        with open(os.path.join(path, "metadata", snap["manifest_file"])) as f:
+            manifest = json.load(f)
+    else:  # pre-split inline format
+        manifest = snap["manifest"]
+    gone = [e["path"] for e in manifest if not os.path.exists(e["path"])]
     if gone:
         return False, f"{len(gone)} manifest files missing, e.g. {gone[0]}"
-    return True, f"v{v}, snapshot {sid}, {len(snap['manifest'])} files OK"
+    return True, f"v{v}, snapshot {sid}, {len(manifest)} files OK"
 
 
 def main() -> None:

@@ -636,3 +636,54 @@ def test_changes_between_expired_cursor_raises(spark, tmp_path):
     # a retained cursor still works
     s_cur = table.current_snapshot()["snapshot_id"]
     assert table.changes_between(s_cur).count() == 0
+
+
+def test_metadata_size_flat_vs_history(spark, tmp_path):
+    """The scale contract of the manifest-file split: bytes WRITTEN per
+    commit (metadata JSON + the new manifest file) must not grow with
+    snapshot-log length when the live file set is constant — the
+    O(snapshots × files) growth the inline format had. Each snapshot's
+    manifest is written once, immutably, to metadata/manifests/."""
+    import os
+
+    def mk(rows):
+        return spark.createDataFrame(rows, _EV_SCHEMA)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+
+    def commit_cost(i):
+        """Bytes this commit wrote: its metadata version minus the pointer
+        log's irreducible per-snapshot summary line, plus its manifest."""
+        table.merge_changes(
+            mk([(i + 1, i, "update", "r", "a", f"c{i}", "py", f"B{i}")]),
+            epoch_id=i, mode="cow",
+        )
+        v = table._version()
+        meta_bytes = os.path.getsize(os.path.join(table.meta_dir, f"v{v}.metadata.json"))
+        snap = table.current_snapshot()
+        mf_bytes = os.path.getsize(os.path.join(table.meta_dir, snap["manifest_file"]))
+        return meta_bytes, mf_bytes
+
+    costs = [commit_cost(i) for i in range(12)]
+    # manifest bytes: same single-bucket file set every time → flat
+    mf = [c[1] for c in costs]
+    assert max(mf[2:]) <= 1.2 * min(mf[2:]) + 64
+    # metadata JSON grows only by the O(1) pointer+summary line per
+    # snapshot (~hundreds of bytes), NOT by a re-inlined manifest: the
+    # marginal growth per commit must be far below one manifest's size
+    # and must not itself grow with history (flat slope).
+    deltas = [costs[i + 1][0] - costs[i][0] for i in range(4, len(costs) - 1)]
+    assert max(deltas) < 800, deltas
+    assert max(deltas) - min(deltas) < 200, deltas
+    # and no snapshot entry in the serialized metadata carries an inline manifest
+    import json as _json
+
+    with open(os.path.join(table.meta_dir, f"v{table._version()}.metadata.json")) as f:
+        raw = _json.load(f)
+    assert all("manifest" not in s and "manifest_file" in s for s in raw["snapshots"])
+    # expire_snapshots prunes manifests and old metadata versions too
+    table.expire_snapshots(keep_last=2)
+    mfs = os.listdir(table.manifest_dir)
+    assert len(mfs) == len(table.snapshots())
+    vs = [f for f in os.listdir(table.meta_dir) if f.endswith(".metadata.json")]
+    assert len(vs) <= 12  # window of 10 + current + expiry commit
