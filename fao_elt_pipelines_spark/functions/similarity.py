@@ -124,6 +124,70 @@ def matmul_bucket_scores(
     return cand.mapInPandas(score, schema)
 
 
+def bucket_pair_scores(
+    b: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_col: str = "bucket",
+    chunk: int = 1024,
+) -> DataFrame:
+    """All-pairs cosine WITHIN each LSH cell via per-cell chunked matmul —
+    the near-dup analogue of matmul_bucket_scores. applyInPandas groups by
+    cell, stacks the cell's vectors ONCE, and scores every within-cell pair
+    with numpy matmuls in ``chunk``-row slabs (memory O(chunk × cell), not
+    O(cell²)); only pairs with cosine >= tau are emitted, as
+    (id_a, id_b, cosine_sim) with id_a < id_b.
+
+    Per vector cost: one Arrow crossing + one stacked row — versus the
+    per-pair forms (HOF ``cosine`` or ``cosine_np``) where each vector is
+    re-shipped/re-evaluated once per candidate pair, i.e. ~cell-population
+    times. This is the verify scorer to run on the full-corpus LSH path
+    (q_embedding_neardup_lsh_np); the HOF form stays the DuckDB-oracle
+    twin because its left-fold accumulation is bit-identical to SQL while
+    numpy's pairwise summation can differ in the last ulp.
+    """
+    import numpy as np
+
+    schema = "id_a long, id_b long, cosine_sim double"
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cosine_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf[id_col].values.astype(np.int64)
+        V = np.stack(pdf[emb_col].values).astype(np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+        outs = []
+        for i0 in range(0, n, chunk):
+            i1 = min(i0 + chunk, n)
+            S = (V[i0:i1] @ V.T) / norms[i0:i1, None] / norms[None, :]
+            ii, jj = np.nonzero(S >= tau)
+            ii = ii + i0
+            keep = jj > ii  # upper triangle: each unordered pair once
+            ii, jj = ii[keep], jj[keep]
+            if len(ii):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": np.minimum(ids[ii], ids[jj]),
+                            "id_b": np.maximum(ids[ii], ids[jj]),
+                            "cosine_sim": S[ii - i0, jj],
+                        }
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return b.groupBy(bucket_col).applyInPandas(score, schema)
+
+
 def minhash_signature(sh_df: DataFrame, doc_col: str, shingle_col: str, k: int = 8) -> DataFrame:
     """From exploded distinct (doc, shingle) rows to one row per doc with
     columns h0..h{k-1} (lexicographic-min md5 per permutation)."""

@@ -66,11 +66,30 @@ def replay(
     collect_delta_stats: bool = True,
     expire_tombstones: bool = False,
     merge_strategy: str | None = None,
+    compact_delta_ratio: float | None = None,
+    epoch_batch: int = 1,
 ) -> ReplayReport:
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.
 
     ``fail_after_epochs`` injects a crash for resume testing.
+    ``compact_every`` (count) and ``compact_delta_ratio`` (size: compact
+    when accumulated MOR delta bytes reach this fraction of base bytes,
+    from manifest stats) are independent compaction triggers; either may
+    fire. The size policy is the scale-correct one under skewed delta
+    sizes — at 100 TB a count policy either compacts hot tables too late
+    or quiet ones constantly.
+
+    ``epoch_batch``: apply up to this many CONSECUTIVE pending epochs as
+    one merge + one snapshot commit. Per-epoch fixed driver cost (stats
+    scan, merge planning, AQE broadcast build, manifest commit — ~seconds
+    per epoch, serial under Amdahl) is paid once per GROUP instead, so at
+    10^10 events with realistically small epochs the fixed cost amortizes
+    by the batch factor (measured: bench/epoch_overhead.py). Exactly-once
+    is preserved at group granularity: the snapshot commit atomically
+    records every epoch id in the group, so a crash mid-group re-applies
+    the whole group (idempotent — LWW of the same events is a no-op) and
+    a completed group is skipped entirely on resume.
     The per-epoch slice filter prunes on the generator/parquet side
     (predicate pushdown on ``epoch``); at 100 TB the binlog would be a
     parquet/Kafka source partitioned by epoch and this filter becomes
@@ -92,16 +111,36 @@ def replay(
     # seq below a watermark a PREVIOUS run expired under, or deleted keys
     # silently resurrect across the crash-resume boundary.
     expiry_watermark: int | None = checkpoint.expiry_watermark(source)
+    # group CONSECUTIVE pending epochs into batches of <= epoch_batch; a
+    # committed epoch in the middle breaks the run so a group's between()
+    # slice never re-reads committed data
+    pending: list[int] = []
+    groups: list[list[int]] = []
     for epoch in range(int(lo), int(bounds["hi"]) + 1):
-        if max_epochs is not None and applied >= max_epochs:
-            break
         if epoch in committed:
             rep.epochs_skipped.append(epoch)
+            if pending:
+                groups.append(pending)
+                pending = []
             continue
-        batch = events.filter(F.col(epoch_col) == epoch)
+        if pending and len(pending) >= max(1, epoch_batch):
+            groups.append(pending)
+            pending = []
+        pending.append(epoch)
+    if pending:
+        groups.append(pending)
+    for group in groups:
+        if max_epochs is not None and applied >= max_epochs:
+            break
+        e_lo, e_hi = group[0], group[-1]
+        batch = events.filter(
+            F.col(epoch_col) == e_lo
+            if e_lo == e_hi
+            else F.col(epoch_col).between(e_lo, e_hi)
+        )
         seq_lo = None
         if collect_delta_stats:
-            # exact per-epoch stats: one extra column-pruned scan of the slice
+            # exact per-group stats: one extra column-pruned scan of the slice
             agg = batch.agg(
                 F.count("*").alias("n"),
                 F.max("seq").alias("seq_hi"),
@@ -110,7 +149,7 @@ def replay(
             n, seq_hi, seq_lo = agg["n"], agg["seq_hi"], agg["seq_lo"]
             if n == 0:
                 continue
-            _check_expiry_precondition(epoch, seq_lo, expiry_watermark)
+            _check_expiry_precondition(e_lo, seq_lo, expiry_watermark)
         else:
             n = seq_hi = None  # derived from written-file stats below
             if expiry_watermark is not None:
@@ -121,32 +160,51 @@ def replay(
                 # column-pruned scan and only runs while a watermark is
                 # armed.
                 seq_lo = batch.agg(F.min("seq").alias("lo")).collect()[0]["lo"]
-                _check_expiry_precondition(epoch, seq_lo, expiry_watermark)
+                _check_expiry_precondition(e_lo, seq_lo, expiry_watermark)
         sid = table.merge_changes(
-            batch, epoch_id=epoch, metrics={"rows_in_delta": n, "source": source},
+            batch,
+            epoch_id=group[0] if len(group) == 1 else group,
+            metrics={"rows_in_delta": n, "source": source},
             mode=mode, strategy=merge_strategy,
         )
         if seq_hi is None:
             # seq bounds from the committed files' parquet column stats — no
-            # extra scan of the delta (manifest stats, lake.table)
+            # extra scan of the delta (manifest stats, lake.table); entries
+            # are tagged with the group's LAST epoch id (lineage grain)
             snap = table.current_snapshot()
             stat_bounds = [
                 e["stats"]["last_seq"]
                 for e in snap["manifest"]
-                if e.get("source_epoch") == epoch and e.get("stats", {}).get("last_seq")
+                if e.get("source_epoch") == e_hi and e.get("stats", {}).get("last_seq")
             ]
             if stat_bounds:
                 seq_hi = max(b[1] for b in stat_bounds)
             else:
                 seq_hi = checkpoint.load()["sources"].get(source, {}).get("seq_hi", -1)
             n = sum(
-                e["rows"] for e in snap["manifest"] if e.get("source_epoch") == epoch
+                e["rows"] for e in snap["manifest"] if e.get("source_epoch") == e_hi
             )
-        checkpoint.commit(source, epoch, int(seq_hi))
-        rep.epochs_applied.append(epoch)
+        checkpoint.commit(source, e_hi, int(seq_hi))
+        rep.epochs_applied.extend(group)
         rep.events_in += n
-        applied += 1
-        if compact_every and applied % compact_every == 0:
+        prev_applied = applied
+        applied += len(group)
+        trigger = bool(compact_every) and (
+            applied // compact_every > prev_applied // compact_every
+        )
+        if not trigger and compact_delta_ratio is not None:
+            # size-based policy: compact when accumulated MOR delta bytes
+            # reach the configured fraction of base bytes (what compaction
+            # actually pays to rewrite) — epoch count is blind to skewed
+            # delta sizes. Before any base exists, bound read amplification
+            # by file count instead (every read merges all delta files).
+            ds = table.delta_stats()
+            trigger = (
+                ds["delta_bytes"] >= compact_delta_ratio * ds["base_bytes"]
+                if ds["base_bytes"] > 0
+                else ds["delta_files"] > 2 * table.n_buckets
+            )
+        if trigger:
             # watermark = last committed seq: the binlog is seq-ordered by
             # epoch and committed epochs are never re-applied, so no event
             # below it can arrive again — tombstones under it are safely

@@ -265,10 +265,13 @@ class LakeTable:
 
     def committed_epochs(self) -> set[int]:
         meta = self._load_metadata()
-        return {
-            s["epoch_id"] for s in meta["snapshots"] if s.get("epoch_id") is not None
-        } | set(meta.get("expired_epochs", []))  # expiry may drop the snapshot,
-        # never the exactly-once guarantee
+        out: set[int] = set(meta.get("expired_epochs", []))  # expiry may drop
+        # the snapshot, never the exactly-once guarantee
+        for s in meta["snapshots"]:
+            if s.get("epoch_id") is not None:
+                out.add(s["epoch_id"])
+            out.update(s.get("epoch_ids") or [])  # batched-group commits
+        return out
 
     def _physical_schema(self, logical: T.StructType) -> T.StructType:
         return T.StructType(list(logical.fields) + [T.StructField(TOMBSTONE_COL, T.BooleanType(), True)])
@@ -404,6 +407,7 @@ class LakeTable:
                         "path": fp,
                         "bucket": bucket,
                         "rows": md.num_rows,
+                        "bytes": os.path.getsize(fp),
                         "source_epoch": source_epoch,
                         "kind": kind,
                         "stats": stats,
@@ -419,6 +423,7 @@ class LakeTable:
         epoch_id: int | None,
         summary: dict[str, Any],
         base: tuple[dict[str, Any], int] | None = None,
+        epoch_ids: list[int] | None = None,
     ) -> int:
         # ``base`` = the (metadata, version) the caller's plan was built
         # FROM (its kept_entries / touched-bucket pruning). Committing
@@ -445,6 +450,10 @@ class LakeTable:
                 "timestamp_ms": int(time.time() * 1000),
                 "operation": operation,
                 "epoch_id": epoch_id,
+                # batched-group commit: ALL epoch ids land atomically in the
+                # snapshot, so committed_epochs() skips the whole group on
+                # resume (scalar epoch_id stays the last id for lineage)
+                **({"epoch_ids": epoch_ids} if epoch_ids and len(epoch_ids) > 1 else {}),
                 "manifest_file": mf_rel,
                 "manifest": manifest,  # in-memory convenience; never serialized
                 "n_files": len(manifest),
@@ -617,7 +626,7 @@ class LakeTable:
     def merge_changes(
         self,
         delta: DataFrame,
-        epoch_id: int | None = None,
+        epoch_id: int | list[int] | None = None,
         keys: tuple[str, str] = ("repo", "path"),
         seq_col: str = "seq",
         op_col: str = "op",
@@ -642,27 +651,41 @@ class LakeTable:
           performance.
 
         ``strategy`` picks the LWW physical form; ``None`` (default)
-        resolves by mode, following the measured A/Bs (BENCH/BASELINE.md):
+        resolves to ``"sorted"`` for both modes, per the interleaved
+        same-day A/Bs (bench/mor_ab.py → BENCH/mor_strategy_ab.json):
 
-        - ``"late"`` (MOR default) — late materialization: winner keys via
+        - ``"sorted"`` (default) — the single-shuffle sorted form. Wins
+          at every measured level (4/8/32 cores, margin growing with
+          parallelism: late is 0.92/0.88/0.76× sorted; zstd profile is a
+          tie). COW additionally re-enters the base, making winners ≈
+          the whole touched state, so late's extra pass buys nothing
+          there by construction.
+        - ``"late"`` — late materialization: winner keys via
           map-side-combined groupBy/max on a (key, seq) projection,
           payload fetched by AQE semi-join, only winners shuffled to
-          buckets. +33% measured on MOR, where winners are a small
-          fraction of the delta.
-        - ``"sorted"`` (COW default) — the single-shuffle sorted form.
-          In COW the base re-enters the merge, making winners ≈ the whole
-          touched state, so late's extra pass buys nothing (measured 15%
-          SLOWER at 4M events); the sorted form's one payload shuffle is
-          optimal there.
+          buckets. Round 2's +33% claim for it came from cross-day
+          comparisons; the interleaved A/B does not reproduce it. Kept
+          selectable: on a REAL network-shuffling cluster the
+          bytes-not-CPU trade may flip again — re-run bench/mor_ab.py
+          there before trusting either default.
 
         Returns the committed snapshot id (or the current one when the
         epoch was already committed — exactly-once replay-skip).
         """
         t0 = time.time()
         if strategy is None:
-            strategy = "late" if mode == "mor" else "sorted"
-        if epoch_id is not None and epoch_id in self.committed_epochs():
+            strategy = "sorted"  # measured winner at all levels; see above
+        # a LIST epoch_id commits a batched group of epochs in one snapshot
+        # (replay's epoch_batch fixed-cost amortization); exactly-once then
+        # holds at group granularity — skip only when EVERY epoch of the
+        # group is committed (the commit is atomic, so partial overlap only
+        # arises from a caller re-cutting groups; re-merging is idempotent)
+        eids = epoch_id if isinstance(epoch_id, list) else (
+            [epoch_id] if epoch_id is not None else []
+        )
+        if eids and set(eids) <= self.committed_epochs():
             return self._load_metadata()["current_snapshot_id"]
+        epoch_id = eids[-1] if eids else None  # scalar tag: lineage + summary
 
         # Pin the (metadata, version) this merge plans against; everything
         # below — schema evolution, kept-file pruning, the final commit —
@@ -715,7 +738,8 @@ class LakeTable:
             if metrics:
                 summary.update(metrics)
             return self._commit(
-                "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v)
+                "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v),
+                epoch_ids=eids,
             )
 
         # --- copy-on-write ---
@@ -745,7 +769,8 @@ class LakeTable:
         if metrics:
             summary.update(metrics)
         return self._commit(
-            "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v)
+            "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v),
+            epoch_ids=eids,
         )
 
     # ---------------------------------------------------- snapshot expiry
@@ -779,6 +804,7 @@ class LakeTable:
         ]
         expired_epochs = sorted(
             {s["epoch_id"] for s in dropped if s.get("epoch_id") is not None}
+            | {e for s in dropped for e in (s.get("epoch_ids") or [])}
             | set(meta.get("expired_epochs", []))
         )
         meta["snapshots"] = keep
@@ -821,6 +847,23 @@ class LakeTable:
             ):
                 shutil.rmtree(cd, ignore_errors=True)
         return {"expired": len(dropped), "files_deleted": deleted}
+
+    def delta_stats(self) -> dict[str, int]:
+        """MOR delta vs base footprint of the current snapshot, from
+        manifest stats alone (one small JSON read, no data IO). This is
+        what a size-based compaction policy triggers on: epoch COUNT says
+        nothing about accumulated read amplification when delta sizes are
+        skewed, accumulated delta BYTES is the quantity compaction
+        actually pays to rewrite."""
+        snap = self.current_snapshot()
+        out = {"delta_bytes": 0, "base_bytes": 0, "delta_files": 0, "base_files": 0}
+        if snap is None:
+            return out
+        for e in snap["manifest"]:
+            k = "delta" if e.get("kind") == "delta" else "base"
+            out[f"{k}_bytes"] += e.get("bytes", 0)
+            out[f"{k}_files"] += 1
+        return out
 
     def changes_between(self, from_snapshot_id: int | None, to_snapshot_id: int | None = None) -> DataFrame:
         """Incremental consumption of the table's OWN change stream: the

@@ -503,7 +503,14 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set only. The DuckDB oracle derives the IDENTICAL md5-sign
     cells in SQL, so the differential is exact even though LSH recall vs
     brute force is probabilistic by design (recall is a property of the
-    bucketing, reproduced bit-for-bit on both sides)."""
+    bucketing, reproduced bit-for-bit on both sides).
+
+    The HOF cosine verify here is the ORACLE TWIN (its left-fold
+    accumulation is bit-identical to SQL, but the lambdas evaluate
+    interpreted); the variant to run at 10^9 vectors is
+    q_embedding_neardup_lsh_np, whose per-cell chunked matmul ships each
+    vector across Arrow once instead of evaluating an interpreted dot per
+    pair — pair-set identity is pytest-asserted (tests/test_ml_ops.py)."""
     release_caches()
     e = load(spark, sf_dir, "embeddings")
     # norm computed ONCE per vector before the join (each vector appears in
@@ -532,6 +539,25 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (SIM.dot(F.col("ea"), F.col("eb")) / F.col("na") / F.col("nb")).alias("cosine_sim"),
     )
     return scored.filter(F.col("cosine_sim") >= COSINE_TAU)
+
+
+def q_embedding_neardup_lsh_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The big-corpus verify variant of q_embedding_neardup_lsh: identical
+    sign-LSH cells, but the candidate verify runs as a per-cell chunked
+    matmul (SIM.bucket_pair_scores) — one applyInPandas over the cell
+    groups, each vector crossing Arrow ONCE and all within-cell pairs
+    scored by numpy slab matmuls, instead of the interpreted HOF dot
+    evaluated per pair. Same shuffle count as the HOF plan (one, by cell);
+    only the scorer changes. Pair-set identity with the oracle-green twin
+    is pytest-asserted; this is the one to run at 10^9 vectors."""
+    release_caches()
+    e = load(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        "embedding",
+        SIM.ivf_bucket(F.col("embedding")).alias("bucket"),
+    )
+    return SIM.bucket_pair_scores(b, tau=COSINE_TAU)
 
 
 SQL_EMBEDDING_NEARDUP_LSH = f"""

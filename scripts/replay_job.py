@@ -57,11 +57,18 @@ def main() -> None:
     ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
     ap.add_argument(
         "--strategy", choices=["auto", "late", "sorted"], default="auto",
-        help="LWW physical form: auto (default — late for MOR, sorted for "
-        "COW, per the measured A/Bs), late materialization (payload never "
-        "rides the winner shuffle), or single-shuffle sorted merge",
+        help="LWW physical form: auto (default — sorted for both modes, "
+        "per the interleaved A/Bs in BENCH/mor_strategy_ab.json), late "
+        "materialization (payload never rides the winner shuffle), or "
+        "single-shuffle sorted merge",
     )
     ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument("--epoch-batch", type=int, default=1,
+                    help="apply up to this many consecutive pending epochs "
+                    "per merge+commit (fixed-cost amortization)")
+    ap.add_argument("--compact-delta-ratio", type=float, default=None,
+                    help="size-based compaction: compact when MOR delta bytes "
+                    "reach this fraction of base bytes (manifest stats)")
     ap.add_argument(
         "--profile", choices=["throughput", "bandwidth"], default="throughput",
         help="codec profile (session.PROFILES): 'bandwidth' = zstd "
@@ -105,6 +112,8 @@ def main() -> None:
     rep = replay(
         spark, events, table, ckpt, max_epochs=args.max_epochs,
         mode=args.mode, compact_every=args.compact_every,
+        compact_delta_ratio=args.compact_delta_ratio,
+        epoch_batch=args.epoch_batch,
         collect_delta_stats=not args.fast_stats,
         merge_strategy=None if args.strategy == "auto" else args.strategy,
     )

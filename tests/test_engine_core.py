@@ -687,3 +687,97 @@ def test_metadata_size_flat_vs_history(spark, tmp_path):
     assert len(mfs) == len(table.snapshots())
     vs = [f for f in os.listdir(table.meta_dir) if f.endswith(".metadata.json")]
     assert len(vs) <= 12  # window of 10 + current + expiry commit
+
+
+def test_size_based_compaction_trigger(spark, tmp_path):
+    """compact_delta_ratio triggers compaction on accumulated MOR delta
+    BYTES (manifest stats) relative to base bytes — not on epoch count.
+    Tiny deltas under a big base must never trigger at a high ratio (where
+    a count policy would have fired repeatedly), must trigger at a low
+    ratio, and with no base yet the delta file count bounds read
+    amplification instead."""
+
+    def ev(spark_rows):
+        return spark.createDataFrame(spark_rows, _EV_SCHEMA)
+
+    def ops(table):
+        return [s["operation"] for s in table.snapshots()]
+
+    def run(ratio, big=4000, small=5, epochs=6):
+        tdir = tmp_path / f"t_{str(ratio).replace('.', '_')}"
+        table = LakeTable.create(spark, str(tdir), STATE_SCHEMA, n_buckets=4)
+        rows = [
+            (i, 0, "insert", "r", f"p{i}", "c0", "py", "x" * 200) for i in range(big)
+        ]
+        seq = big
+        for ep in range(1, epochs + 1):
+            for j in range(small):
+                rows.append((seq, ep, "update", "r", f"p{j}", f"c{ep}", "py", "y" * 50))
+                seq += 1
+        events = ev(rows)
+        ckpt = CheckpointStore(str(tdir) + ".ckpt.json")
+        # epoch 0 (the big one) becomes base via the first compaction the
+        # no-base file-count rule performs; later tiny epochs then
+        # exercise the byte-ratio rule
+        replay(spark, events, table, ckpt, mode="mor", compact_delta_ratio=ratio)
+        return table
+
+    # high ratio: tiny deltas never reach 90% of base bytes -> after the
+    # initial no-base compaction, NO further compactions (count policy
+    # compact_every=2 would have fired ~3 times)
+    t_hi = run(0.9)
+    ds = t_hi.delta_stats()
+    assert ds["base_bytes"] > 0 and ds["delta_bytes"] > 0  # deltas accrued, kept
+    n_compact_hi = ops(t_hi).count("compact")
+    assert ds["delta_bytes"] < 0.9 * ds["base_bytes"]
+    # low ratio: the same tiny deltas DO trip the byte rule repeatedly
+    t_lo = run(0.005)
+    n_compact_lo = ops(t_lo).count("compact")
+    assert n_compact_lo > n_compact_hi, (n_compact_lo, n_compact_hi)
+    # after a size-triggered compaction the delta footprint resets to zero
+    assert ops(t_lo)[-1] == "compact" and t_lo.delta_stats()["delta_bytes"] == 0
+    # state identical under either policy (compaction is physical only)
+    a = {(r["repo"], r["path"], r["content_sha256"]) for r in t_hi.read().collect()}
+    b = {(r["repo"], r["path"], r["content_sha256"]) for r in t_lo.read().collect()}
+    assert a == b and len(a) == 4000
+
+
+def test_epoch_batch_grouping_and_resume(spark, events, events_parquet, tmp_path):
+    """epoch_batch groups consecutive pending epochs into one merge+commit:
+    final state must equal per-epoch replay's, every epoch id must be
+    recorded for exactly-once (a rerun skips ALL of them), and a crash
+    between groups resumes without duplicate or lost applies."""
+    stored = spark.read.parquet(events_parquet)
+
+    # batched replay (4 epochs -> 2 groups of 2)
+    t_b = LakeTable.create(spark, str(tmp_path / "b"), STATE_SCHEMA, n_buckets=8)
+    ck_b = CheckpointStore(str(tmp_path / "b.ckpt.json"))
+    rep = replay(spark, stored, t_b, ck_b, mode="mor", epoch_batch=2)
+    assert rep.epochs_applied == [0, 1, 2, 3]
+    assert len(t_b.snapshots()) == 2  # one snapshot per GROUP
+    assert t_b.committed_epochs() == {0, 1, 2, 3}
+
+    # state identical to per-epoch replay
+    t_1 = LakeTable.create(spark, str(tmp_path / "s"), STATE_SCHEMA, n_buckets=8)
+    rep1 = replay(spark, stored, t_1, CheckpointStore(str(tmp_path / "s.ckpt.json")), mode="mor")
+    key = lambda t: {(r["repo"], r["path"], r["content_sha256"], r["last_seq"]) for r in t.read().collect()}
+    assert key(t_b) == key(t_1)
+    assert rep.events_in == rep1.events_in == N_EVENTS
+
+    # rerun: every epoch skipped, no new snapshot
+    n_snaps = len(t_b.snapshots())
+    ck_fresh = CheckpointStore(str(tmp_path / "b2.ckpt.json"))  # checkpoint
+    # loss: table-level exactly-once must skip every epoch of both groups
+    rep2 = replay(spark, stored, t_b, ck_fresh, mode="mor", epoch_batch=2)
+    assert rep2.epochs_applied == [] and rep2.epochs_skipped == [0, 1, 2, 3]
+    assert len(t_b.snapshots()) == n_snaps
+
+    # crash after the first group; resume applies only the second
+    t_c = LakeTable.create(spark, str(tmp_path / "c"), STATE_SCHEMA, n_buckets=8)
+    ck_c = CheckpointStore(str(tmp_path / "c.ckpt.json"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        replay(spark, stored, t_c, ck_c, mode="mor", epoch_batch=2, fail_after_epochs=2)
+    assert t_c.committed_epochs() == {0, 1}
+    rep3 = replay(spark, stored, t_c, ck_c, mode="mor", epoch_batch=2)
+    assert rep3.epochs_applied == [2, 3]
+    assert key(t_c) == key(t_1)

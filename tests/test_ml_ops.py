@@ -149,3 +149,34 @@ def test_ann_numpy_scorer_matches_hof_topk(spark):
     np_ = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk(spark, sf, scorer="numpy").collect()}
     mm = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk_matmul(spark, sf).collect()}
     assert hof == np_ == mm and len(hof) == 50
+
+
+def test_embedding_neardup_lsh_matmul_pair_identity(spark):
+    """The per-cell chunked-matmul verify (the 10^9-vector path) must emit
+    the IDENTICAL near-dup pair set as the oracle-green HOF twin, with
+    cosines equal to numeric noise — and must survive chunk boundaries
+    (chunk smaller than a cell population)."""
+    from fao_elt_pipelines_spark.functions import similarity as SIM
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        COSINE_TAU,
+        q_embedding_neardup_lsh,
+        q_embedding_neardup_lsh_np,
+    )
+    from fao_elt_pipelines_spark.plans.queries_ml import load as _load
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.01"
+    hof = {(r.id_a, r.id_b): r.cosine_sim for r in q_embedding_neardup_lsh(spark, sf).collect()}
+    mm = {(r.id_a, r.id_b): r.cosine_sim for r in q_embedding_neardup_lsh_np(spark, sf).collect()}
+    assert set(hof) == set(mm) and len(hof) > 0
+    assert all(abs(hof[k] - mm[k]) < 1e-9 for k in hof)
+
+    # chunking must not change the result: force multiple slabs per cell
+    b = _load(spark, sf, "embeddings").select(
+        "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
+    )
+    small = {
+        (r.id_a, r.id_b)
+        for r in SIM.bucket_pair_scores(b, tau=COSINE_TAU, chunk=7).collect()
+    }
+    assert small == set(hof)
