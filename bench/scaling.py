@@ -43,7 +43,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(binlog: str, workdir: str, cores: int, tag: str, profile: str) -> dict:
+def run_level(binlog: str, workdir: str, cores: int, tag: str, profile: str, strategy: str) -> dict:
     # Faithful N-core-host emulation: without ActiveProcessorCount, a
     # local[1] JVM on this 32-vCPU box still sizes ~23 ParallelGC threads,
     # JIT compiler threads, and IO pools for 32 cores — the "1-core" level
@@ -68,6 +68,7 @@ def run_level(binlog: str, workdir: str, cores: int, tag: str, profile: str) -> 
             "--compact-every", "4",
             "--fast-stats",
             "--profile", profile,
+            "--strategy", strategy,
         ],
         capture_output=True,
         text=True,
@@ -95,6 +96,17 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1, help="small level N (large is 4N)")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--rounds", type=int, default=3, help="interleaved N/4N measurement rounds")
+    ap.add_argument(
+        "--strategy", choices=["late", "sorted"], default="late",
+        help="merge strategy PINNED for both levels. Default late: the "
+        "series' declared fixed configuration since round 2, and the "
+        "bytes-minimal form — the winner shuffle carries only (key, seq) "
+        "— which is the right config to measure under this harness's "
+        "machine-wide memory-bandwidth ceiling (and what a "
+        "network-shuffling cluster wants). The engine's absolute-"
+        "throughput default is sorted (BENCH/mor_strategy_ab.json); runs "
+        "are labeled by strategy and pooled per-config.",
+    )
     ap.add_argument(
         "--profile", choices=["bandwidth", "throughput"], default="bandwidth",
         help="codec profile measured (see module docstring; default is the "
@@ -132,7 +144,7 @@ def main() -> None:
         pair = {}
         for cores, tag in [(args.n, "N"), (4 * args.n, "4N")]:
             t0 = time.time()
-            r = run_level(binlog_path, workdir, cores, f"{tag}_r{rnd}", args.profile)
+            r = run_level(binlog_path, workdir, cores, f"{tag}_r{rnd}", args.profile, args.strategy)
             pair[tag] = {
                 "cores": cores,
                 "events_per_sec": r["events_per_sec"],
@@ -157,6 +169,7 @@ def main() -> None:
         "4N_cores": 4 * args.n,
         "events": args.events,
         "profile": args.profile,
+        "strategy": args.strategy,
         "methodology": (
             "identical job/input/config at both levels, interleaved N/4N "
             "rounds, headline = median round; 'bandwidth' profile (zstd) "
@@ -188,13 +201,34 @@ def main() -> None:
         {
             "events": args.events,
             "profile": args.profile,
+            "strategy": args.strategy,
             "efficiency_rounds": effs,
             "median": eff,
         }
     )
-    pooled = sorted(e for r in series["runs"] for e in r["efficiency_rounds"])
-    series["pooled_rounds"] = pooled
-    series["pooled_median"] = pooled[len(pooled) // 2]
+    # A series pools repeated measurements of ONE configuration; runs of a
+    # different merge strategy are recorded in the same file (nothing is
+    # dropped) but pooled separately per config. The headline pool is the
+    # series' declared config (late); every config's pool is published.
+    series_cfg = series.get("series_strategy", "late")
+    pools: dict[str, list[float]] = {}
+    for r in series["runs"]:
+        pools.setdefault(r.get("strategy", "late"), []).extend(r["efficiency_rounds"])
+    series["pooled_by_strategy"] = {
+        k: {
+            "rounds": sorted(v),
+            "median": sorted(v)[len(v) // 2],
+            "n_rounds": len(v),
+        }
+        for k, v in pools.items()
+    }
+    headline = series["pooled_by_strategy"].get(series_cfg)
+    if headline is None:  # no run of the declared config yet
+        allr = sorted(e for v in pools.values() for e in v)
+        headline = {"rounds": allr, "median": allr[len(allr) // 2], "n_rounds": len(allr)}
+    series["series_strategy"] = series_cfg
+    series["pooled_rounds"] = headline["rounds"]
+    series["pooled_median"] = headline["median"]
     series["pass"] = series["pooled_median"] >= 0.8
     with open(series_path, "w") as f:
         json.dump(series, f, indent=1)

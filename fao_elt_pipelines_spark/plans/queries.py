@@ -663,6 +663,114 @@ FROM agg
 """
 
 
+def q_gold_formatted_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — TO_CHAR-style presentation formatting (reference
+    sql/sample_queries.sql:60-97: ``TO_CHAR(x, 'FM999,999,999')``,
+    ``'FM$999,999.99'``, and the ``↑/↓ || TO_CHAR(ABS(growth))`` trend
+    arrows). Spark's ``format_number`` (Java DecimalFormat, JVM codegen)
+    is the grouped-format twin; amounts are exact DECIMAL(18,2) sums so
+    formatting never rounds (module numeric-parity rules apply)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yr = F.year("o_orderdate")
+    zero = F.lit("0").cast("decimal(18,2)")
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("o_totalprice")).alias("_total"),
+            F.coalesce(F.sum(F.when(yr >= 1998, dec("o_totalprice"))), zero).alias("_recent"),
+            F.coalesce(F.sum(F.when(yr <= 1995, dec("o_totalprice"))), zero).alias("_early"),
+        )
+    )
+    diff = F.col("_recent") - F.col("_early")
+    grp_int = lambda col: F.format_number(F.floor(col).cast("bigint"), 0)  # noqa: E731
+    return agg.select(
+        "n_name",
+        grp_int(F.col("_total")).alias("total_value_fmt"),
+        F.concat(F.lit("$"), F.format_number(F.col("_total"), 2)).alias("total_value_usd"),
+        F.when(diff > 0, F.concat(F.lit("↑ "), grp_int(F.abs(diff))))
+        .when(diff < 0, F.concat(F.lit("↓ "), grp_int(F.abs(diff))))
+        .otherwise(F.lit("→ 0"))
+        .alias("trend_fmt"),
+    ).orderBy("n_name")
+
+
+# DuckDB's fmt rejects thousands separators on floats, so the grouped
+# 2-decimal string is assembled from exact integer parts of the
+# DECIMAL(_,2) — bit-identical to Spark's DecimalFormat output (no
+# rounding happens on either side: the value already has 2 decimals).
+SQL_GOLD_FORMATTED_REPORT = """
+WITH per AS (
+  SELECT n_name,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+         coalesce(sum(CASE WHEN year(o_orderdate) >= 1998
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+                  0) AS recent_dec,
+         coalesce(sum(CASE WHEN year(o_orderdate) <= 1995
+                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END),
+                  0) AS early_dec
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name,
+       format('{:,}', CAST(floor(total_dec) AS BIGINT)) AS total_value_fmt,
+       '$' || CASE WHEN total_dec < 0 THEN '-' ELSE '' END
+           || format('{:,}', CAST(floor(abs(total_dec)) AS BIGINT)) || '.'
+           || lpad(CAST(CAST((abs(total_dec) - floor(abs(total_dec))) * 100
+                             AS BIGINT) AS VARCHAR), 2, '0') AS total_value_usd,
+       CASE WHEN recent_dec - early_dec > 0
+              THEN '↑ ' || format('{:,}', CAST(floor(abs(recent_dec - early_dec)) AS BIGINT))
+            WHEN recent_dec - early_dec < 0
+              THEN '↓ ' || format('{:,}', CAST(floor(abs(recent_dec - early_dec)) AS BIGINT))
+            ELSE '→ 0' END AS trend_fmt
+FROM per
+ORDER BY n_name
+"""
+
+
+def q_source_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — chunked Excel scan (reference file_client.py:259-285 Excel
+    branch; sheet inference :120-125). A bounded 200-row projection of
+    ``documents`` round-trips through a real .xlsx (stdlib SpreadsheetML
+    writer/reader, sources/excel.py) in 64-row chunks, proving the S6
+    path end-to-end against the same DuckDB oracle as every other
+    source. The 200-row driver collect is the workbook AUTHORING step
+    (constant-bounded, like the reference's sample read), not a
+    data-path collect; the fleet-scale read is read_excel_distributed."""
+    import tempfile
+
+    from ..sources.excel import read_excel_chunked, write_xlsx
+
+    src = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", F.length("text").alias("text_len"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+    rows = [[r.doc_id, r.lang, r.text_len] for r in src.collect()]
+    path = tempfile.mkdtemp(prefix="s6_xlsx_") + "/docs.xlsx"
+    write_xlsx(path, ["doc_id", "lang", "text_len"], rows)
+    out = read_excel_chunked(spark, path, chunk_size=64)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("lang").cast("string").alias("lang"),
+        F.col("text_len").cast("bigint").alias("text_len"),
+    )
+
+
+SQL_SOURCE_EXCEL_SCAN = """
+SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS text_len
+FROM documents
+ORDER BY doc_id
+LIMIT 200
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -801,4 +909,6 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "topk_orders": (q_topk_orders, SQL_TOPK_ORDERS),
     "union_projections": (q_union_projections, SQL_UNION_PROJECTIONS),
     "case_custom_sort": (q_case_custom_sort, SQL_CASE_CUSTOM_SORT),
+    "gold_formatted_report": (q_gold_formatted_report, SQL_GOLD_FORMATTED_REPORT),
+    "source_excel_scan": (q_source_excel_scan, SQL_SOURCE_EXCEL_SCAN),
 }

@@ -257,9 +257,10 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish sub-word counts + avg token len."""
     d = load(spark, sf_dir, "documents")
     t = TX.tokens(F.col("text"))
-    sum_len = F.aggregate(
-        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
-    )
+    # sum(length(tok)) == length(concat of all toks): stays whole-stage
+    # codegen instead of an interpreted transform+aggregate HOF pair
+    # (integer identity — bit-exact vs the oracle's list_sum form)
+    sum_len = F.length(F.concat_ws("", t))
     return d.select(
         "doc_id",
         F.size(t).cast("long").alias("n_ws_tokens"),
@@ -681,8 +682,16 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _managed_persist(
         d.select("doc_id", SIM.simhash64(F.col("text")).alias("simhash"))
     )
+    # The 8-byte signature rides the band rows, so candidates verify
+    # INSIDE the band self-join — no join back to the signature table
+    # (the r2 plan paid two extra shuffled joins there; stage profile
+    # showed the candidate+verify joins dominating). Hamming is filtered
+    # BEFORE the distinct: a pair sharing k bands is verified k times
+    # (cheap bitops) but the distinct then dedups the already-small
+    # near-dup set instead of the full candidate set.
     bands = sig.select(
         "doc_id",
+        "simhash",
         F.explode(
             F.array(
                 *[
@@ -696,19 +705,25 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("_b"),
-    ).select("doc_id", "_b.band_id", "_b.band_val")
-    cand = SIM.candidate_pairs(bands, "doc_id")
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ).select("doc_id", "simhash", "_b.band_id", "_b.band_val")
+    a = bands.select(
+        "band_id", "band_val",
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+    )
+    b = bands.select(
+        "band_id", "band_val",
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+    )
     return (
-        cand.join(a, "doc_a")
-        .join(b, "doc_b")
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select(
             "doc_a",
             "doc_b",
             SIM.hamming64(F.col("sh_a"), F.col("sh_b")).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
 
 
