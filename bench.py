@@ -45,7 +45,7 @@ REPLAY_EPOCHS = int(os.environ.get("BENCH_REPLAY_EPOCHS", "2"))
 HEADLINE = sorted(REGISTRY.keys())
 
 
-QUERY_TRIALS = int(os.environ.get("BENCH_QUERY_TRIALS", "3"))
+QUERY_TRIALS = int(os.environ.get("BENCH_QUERY_TRIALS", "5"))
 
 
 def bench_query(spark, name: str) -> float:

@@ -1,0 +1,173 @@
+"""End-to-end 10^8-event validation: replay + independent DuckDB oracle.
+
+Runs the real spark-submit surface (scripts/replay_job.py) on a generated
+10^8-event binlog, then verifies the final lake state against an
+INDEPENDENT engine: DuckDB computes the LWW winners (``max_by`` per
+(repo, path), delete-wins-drop) straight from the binlog parquet and the
+result is compared to the Spark-read table state on
+
+- per-repo (row count, sum(last_seq)) for ALL repos, and
+- an exact (commit, lang, content_sha256, last_seq) tuple-hash over the
+  deterministic ``last_seq % 997 == 0`` sample.
+
+Earlier rounds ran this check ad hoc (BENCH/BASELINE.md "10^8-event
+end-to-end validation"); this script makes it a committed, repeatable
+artifact — round 3 re-runs it with the sorted-merge default,
+per-snapshot manifest files, and the size-based (delta-ratio)
+compaction trigger all active at scale.
+
+Artifact: BENCH/validate_1e8.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=100_000_000)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--n-repos", type=int, default=10_000)
+    ap.add_argument("--workdir", default="/tmp/validate_1e8")
+    ap.add_argument("--keep", action="store_true", help="keep workdir after the run")
+    args = ap.parse_args()
+
+    shutil.rmtree(args.workdir, ignore_errors=True)
+    os.makedirs(args.workdir, exist_ok=True)
+    binlog = os.path.join(args.workdir, "binlog")
+    table = os.path.join(args.workdir, "state")
+
+    t0 = time.time()
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "replay_job.py"),
+            "--binlog", binlog,
+            "--table", table,
+            "--checkpoint", os.path.join(args.workdir, "ckpt.json"),
+            "--generate", str(args.events),
+            "--events-per-epoch", str(args.events // args.epochs),
+            "--n-repos", str(args.n_repos),
+            "--n-buckets", "64",
+            "--cores", str(args.cores),
+            "--mode", "mor",
+            "--compact-delta-ratio", "0.25",  # round-3 size-based trigger
+            "--profile", "bandwidth",
+        ],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    wall = time.time() - t0
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr[-4000:])
+        raise SystemExit(f"replay failed rc={proc.returncode}")
+    replay = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # ---- engine state → per-repo aggregates + sample hash (Spark read:
+    # the only reader that understands MOR deltas/tombstones)
+    from fao_elt_pipelines_spark.lake.table import LakeTable
+    from fao_elt_pipelines_spark.session import get_spark
+
+    spark = get_spark(cores=args.cores)
+    state = LakeTable(spark, table).read()
+    from pyspark.sql import functions as F
+
+    eng_repo = (
+        state.groupBy("repo")
+        .agg(F.count("*").alias("rows"), F.sum("last_seq").alias("sum_seq"))
+        .toPandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    eng_sample = (
+        state.filter(F.col("last_seq") % 997 == 0)
+        .select(
+            F.sha2(
+                F.concat_ws("|", "repo", "path", "commit", "lang",
+                            "content_sha256", F.col("last_seq").cast("string")),
+                256,
+            ).alias("h")
+        )
+        .toPandas()["h"]
+        .sort_values()
+        .tolist()
+    )
+    spark.stop()
+
+    # ---- independent oracle: DuckDB LWW straight from the binlog
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={args.cores}")
+    con.execute(
+        f"""
+        CREATE TEMP TABLE winners AS
+        SELECT repo, path,
+               max_by(op, seq) AS op,
+               max_by(commit, seq) AS commit,
+               max_by(lang, seq) AS lang,
+               max_by(content, seq) AS content,
+               max(seq) AS last_seq
+        FROM read_parquet('{binlog}/epoch=*/*.parquet', hive_partitioning=1)
+        GROUP BY repo, path
+        """
+    )
+    ora_repo = con.execute(
+        """
+        SELECT repo, count(*) AS rows, sum(last_seq) AS sum_seq
+        FROM winners WHERE op <> 'delete'
+        GROUP BY repo ORDER BY repo
+        """
+    ).df()
+    ora_sample = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT sha256(repo || '|' || path || '|' || commit || '|' || lang
+                          || '|' || sha256(content) || '|' || CAST(last_seq AS VARCHAR))
+            FROM winners WHERE op <> 'delete' AND last_seq % 997 = 0
+            """
+        ).fetchall()
+    )
+
+    repo_match = (
+        len(eng_repo) == len(ora_repo)
+        and (eng_repo["repo"].values == ora_repo["repo"].values).all()
+        and (eng_repo["rows"].astype(int).values == ora_repo["rows"].astype(int).values).all()
+        and (eng_repo["sum_seq"].astype(int).values == ora_repo["sum_seq"].astype(int).values).all()
+    )
+    sample_match = eng_sample == ora_sample
+
+    out = {
+        "metric": "validate_1e8",
+        "events": args.events,
+        "epochs": args.epochs,
+        "cores": args.cores,
+        "mode": "mor+sorted-default+delta-ratio-compaction",
+        "replay": replay,
+        "end_to_end_wall_sec": round(wall, 1),
+        "end_to_end_events_per_sec": round(args.events / wall, 1),
+        "repos_compared": int(len(eng_repo)),
+        "per_repo_match": bool(repo_match),
+        "sample_rows": len(eng_sample),
+        "sample_hash_match": bool(sample_match),
+        "pass": bool(repo_match and sample_match),
+    }
+    with open(os.path.join(REPO, "BENCH", "validate_1e8.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    if not args.keep:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

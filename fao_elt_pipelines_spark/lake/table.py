@@ -78,7 +78,8 @@ def bucket_expr(n_buckets: int, key_cols: tuple[str, str] = ("repo", "path")) ->
     dominant access is key-bucket MERGE; repo-level analytics run on the
     aggregate outputs, not the base table scan.
     """
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+    keys = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
 
 
 @dataclass
@@ -358,6 +359,24 @@ class LakeTable:
         snap = snapshot or self.current_snapshot()
         entries = [e for e in (snap["manifest"] if snap else []) if e["bucket"] in buckets]
         return self._read_entries(entries, include_tombstones)
+
+    def lookup(self, repo: str, path: str) -> DataFrame:
+        """Point lookup by full merge key — the CDC state-store read path.
+
+        Hashes (repo, path) to its bucket with the SAME expression the
+        writer uses (bucket_expr), then scans only that bucket's files:
+        O(1/n_buckets) of the table regardless of total size, so a point
+        read against 10^10 rows touches one bucket's parquet (further
+        pruned by parquet row-group stats under the exact filter pushed
+        below). The one-row bucket-hash job is a driver scalar, not a
+        data-path collect."""
+        meta = self._load_metadata()
+        b = self.spark.range(1).select(
+            bucket_expr(meta["n_buckets"], (F.lit(repo), F.lit(path))).alias("b")
+        ).first()["b"]
+        return self.read_buckets({int(b)}).filter(
+            (F.col("repo") == repo) & (F.col("path") == path)
+        )
 
     # -------------------------------------------------------------- write
     def _write_data_files(

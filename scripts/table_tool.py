@@ -9,6 +9,7 @@ snapshot metadata.
     python scripts/table_tool.py --table /path history
     python scripts/table_tool.py --table /path compact [--expire-below SEQ]
     python scripts/table_tool.py --table /path read [--snapshot K] [--limit N]
+    python scripts/table_tool.py --table /path lookup --repo R --path P
 
 Each subcommand prints one JSON document (``read`` prints one JSON line
 per row) so output is scriptable.
@@ -74,6 +75,9 @@ def main() -> None:
     p_read.add_argument("--limit", type=int, default=20)
     p_exp = sub.add_parser("expire")
     p_exp.add_argument("--keep-last", type=int, default=2)
+    p_lk = sub.add_parser("lookup")
+    p_lk.add_argument("--repo", required=True)
+    p_lk.add_argument("--path", required=True)
     p_chg = sub.add_parser("changes")
     p_chg.add_argument("--from-snapshot", type=int, default=None)
     p_chg.add_argument("--to-snapshot", type=int, default=None)
@@ -92,6 +96,9 @@ def main() -> None:
     elif args.cmd == "read":
         df = table.read(snapshot_id=args.snapshot)
         for row in df.limit(args.limit).toJSON().collect():
+            print(row)
+    elif args.cmd == "lookup":
+        for row in table.lookup(args.repo, args.path).toJSON().collect():
             print(row)
     elif args.cmd == "expire":
         print(json.dumps(table.expire_snapshots(keep_last=args.keep_last)))

@@ -781,3 +781,28 @@ def test_epoch_batch_grouping_and_resume(spark, events, events_parquet, tmp_path
     rep3 = replay(spark, stored, t_c, ck_c, mode="mor", epoch_batch=2)
     assert rep3.epochs_applied == [2, 3]
     assert key(t_c) == key(t_1)
+
+
+def test_point_lookup_prunes_to_one_bucket(spark, events, events_parquet, tmp_path):
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=16)
+    replay(spark, events, table, CheckpointStore(str(tmp_path / "ckpt.json")))
+    (repo, path), (commit, lang, sha, last_seq) = next(iter(oracle_state(events_parquet).items()))
+
+    df = table.lookup(repo, path)
+    row = df.collect()
+    assert len(row) == 1
+    assert (row[0]["commit"], row[0]["content_sha256"], row[0]["last_seq"]) == (commit, sha, last_seq)
+
+    # the scan must touch exactly one bucket's files, not the table
+    snap = table.current_snapshot()
+    by_bucket: dict[int, set] = {}
+    for e in snap["manifest"]:
+        by_bucket.setdefault(e["bucket"], set()).add(e["path"])
+    touched = {f.removeprefix("file://") for f in df.inputFiles()}
+    assert len(by_bucket) > 1  # table actually spans buckets
+    owners = {b for b, files in by_bucket.items() if touched & files}
+    assert len(owners) == 1
+    assert touched <= by_bucket[owners.pop()]
+
+    # missing key resolves through the same pruned path to zero rows
+    assert table.lookup(repo, "no/such/path.xyz").count() == 0

@@ -121,3 +121,56 @@ def test_table_tool_cli(spark, tmp_path):
     assert [s["operation"] for s in hist] == ["merge", "merge", "compact"]
     rows = [json.loads(l) for l in tool("read", "--limit", "3") if l.startswith("{")]
     assert len(rows) == 3 and all("content_sha256" in r for r in rows)
+    hit = [
+        json.loads(l)
+        for l in tool("lookup", "--repo", rows[0]["repo"], "--path", rows[0]["path"])
+        if l.startswith("{")
+    ]
+    assert len(hit) == 1 and hit[0]["content_sha256"] == rows[0]["content_sha256"]
+
+
+@pytest.mark.slow
+def test_dual_writer_convergence(spark, tmp_path):
+    """Two concurrent replay PROCESSES on the SAME table (a zombie/dual
+    applier — the failure mode optimistic CAS commits exist for): each
+    loser of a version race dies with CommitConflictError and is simply
+    rerun (the documented recovery), and the table must converge to the
+    exact single-writer state — every epoch applied once, none lost,
+    none doubled (committed-epoch skip + version pinning at commit)."""
+    binlog = str(tmp_path / "binlog")
+    ckpt_s, table_s = str(tmp_path / "s.json"), str(tmp_path / "s_state")
+
+    # single-writer control (also generates the shared binlog)
+    out = subprocess.run(
+        _cmd(binlog, table_s, ckpt_s), capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    control = json.loads(out.stdout.strip().splitlines()[-1])
+
+    # dual writers: same table dir, independent checkpoints
+    table_d = str(tmp_path / "d_state")
+    cmds = [
+        _cmd(binlog, table_d, str(tmp_path / f"w{i}.json")) for i in (1, 2)
+    ]
+    procs = [
+        subprocess.Popen(c, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for c in cmds
+    ]
+    results = [p.communicate(timeout=600) for p in procs]
+    rcs = [p.returncode for p in procs]
+
+    # rerun any conflict loser until clean (bounded; each pass can only
+    # shrink the pending set because committed epochs are skipped)
+    for i in (0, 1):
+        tries = 0
+        while rcs[i] != 0 and tries < 6:
+            assert "CommitConflictError" in results[i][1], results[i][1][-2000:]
+            out_i = subprocess.run(cmds[i], capture_output=True, text=True, timeout=600)
+            rcs[i], results[i] = out_i.returncode, (out_i.stdout, out_i.stderr)
+            tries += 1
+        assert rcs[i] == 0, results[i][1][-2000:]
+
+    final = json.loads(results[0][0].strip().splitlines()[-1])
+    assert final["state_rows"] == control["state_rows"]
+    assert final["max_seq"] == control["max_seq"]
+    assert _state_sha_set(spark, table_d) == _state_sha_set(spark, table_s)
