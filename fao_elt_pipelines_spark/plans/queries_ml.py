@@ -19,6 +19,7 @@ COSINE_TAU = 0.3
 # managed-persist discipline lives in ..caching (shared with operators.rank)
 from ..caching import managed_persist as _managed_persist  # noqa: E402
 from ..caching import release_caches  # noqa: E402,F401
+from ..operators.components import connected_components  # noqa: E402
 
 # Shared DuckDB CTE: distinct word-3-gram shingles per doc.
 _SH_SQL = """
@@ -167,8 +168,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jac.filter(F.col("jaccard") >= JACCARD_TAU)
 
 
-SQL_DEDUP_MINHASH_LSH = f"""
-WITH {_SH_SQL},
+# shared CTE body: shingles → minhash sigs → bands → verified near-dup
+# pairs; composed by both the pair query and the clusters oracle below
+_MINHASH_PAIR_CTES = f"""{_SH_SQL},
 sig AS (
   SELECT doc_id,
          {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(8))}
@@ -190,13 +192,72 @@ inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b, c / (sa.n + sb.n - c) AS jaccard
+  FROM inter i
+  JOIN cand ON i.doc_a = cand.doc_a AND i.doc_b = cand.doc_b
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE c / (sa.n + sb.n - c) >= {JACCARD_TAU}
+)"""
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH {_MINHASH_PAIR_CTES}
+SELECT doc_a, doc_b, jaccard FROM pairs
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CANONICALIZATION: connected components over the verified
+    MinHash-LSH pair set (if A~B and B~C, one cluster {A,B,C}), labeling
+    every clustered doc with the min doc id of its component and flagging
+    the canonical keeper — the step that turns pair detection into an
+    actual training-set dedup decision. Distributed min-label propagation
+    (operators/components.py): one shuffle per round, rounds = cluster
+    diameter. The DuckDB oracle recomputes the same closure exactly with
+    a recursive CTE."""
+    release_caches()
+    sh = _managed_persist(_shingle_rows(spark, sf_dir))
+    sig = _managed_persist(SIM.minhash_signature(sh, "doc_id", "shingle", k=8))
+    bands = SIM.lsh_bands(sig, "doc_id", k=8, rows_per_band=2)
+    cand = SIM.candidate_pairs(bands, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTES},
+nodes AS (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
 )
-SELECT i.doc_a, i.doc_b, c / (sa.n + sb.n - c) AS jaccard
-FROM inter i
-JOIN cand ON i.doc_a = cand.doc_a AND i.doc_b = cand.doc_b
-JOIN sizes sa ON i.doc_a = sa.doc_id
-JOIN sizes sb ON i.doc_b = sb.doc_id
-WHERE c / (sa.n + sb.n - c) >= {JACCARD_TAU}
+SELECT a AS doc_id, min(b) AS cluster_id,
+       (a = min(b)) AS is_canonical
+FROM reach GROUP BY a ORDER BY doc_id
 """
 
 
@@ -732,6 +793,7 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),

@@ -180,3 +180,29 @@ def test_embedding_neardup_lsh_matmul_pair_identity(spark):
         for r in SIM.bucket_pair_scores(b, tau=COSINE_TAU, chunk=7).collect()
     }
     assert small == set(hof)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from fao_elt_pipelines_spark.operators.components import connected_components
+
+    # chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    # separate island 10-11, pair order/direction mixed on purpose
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_converges_on_long_path(spark):
+    from fao_elt_pipelines_spark.operators.components import connected_components
+
+    n = 12  # path 0-1-...-11, worst-case diameter for min-propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in rows} == {0}
+    assert len(rows) == n

@@ -108,3 +108,36 @@ def test_docs_gen_process_level(tmp_path):
     assert set(gp["depends_on"]) == {"silver_prices_cleaned", "silver_production_cleaned"}
     assert any(c["name"] == "commodity_scale" for c in gp["columns"])
     assert (tmp_path / "DOCS.md").exists()
+
+
+def test_jdbc_live_partitioned_read(spark, tmp_path):
+    """S8 against a LIVE database: Spark writes then range-partition-reads
+    an embedded Derby DB (the JDBC engine bundled with Spark) through
+    jdbc_partitioned_opts — N concurrent predicate-range readers, no
+    LIMIT/OFFSET walk (reference pg_client.py:205-245). Proves the
+    options against a real JDBC endpoint, not just their shape."""
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    src = spark.range(0, 1000).selectExpr(
+        "CAST(id AS INT) AS id", "CAST(id % 7 AS INT) AS grp", "CAST(id * 1.5 AS DOUBLE) AS val"
+    )
+    (
+        src.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "events")
+        .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        .save()
+    )
+
+    opts = R.jdbc_partitioned_opts(url, "events", "id", 0, 1000, num_partitions=8)
+    df = (
+        spark.read.format("jdbc")
+        .options(**opts)
+        .option("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8  # the parallel range scan is real
+    assert df.count() == 1000
+    got = {r["id"]: (r["grp"], r["val"]) for r in df.collect()}
+    assert got[999] == (999 % 7, 999 * 1.5)
+    # predicate pushdown reaches the database
+    assert df.filter(F.col("id") < 10).count() == 10
