@@ -788,6 +788,30 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk_matmul_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of the matmul ANN scale path (q_ann_ivf_topk_matmul):
+    the (query, neighbor, rank) projection is oracle-exact and shares the
+    HOF twin's SQL; the raw score column is dropped because numpy's
+    pairwise summation differs from SQL's left fold in the last ulp
+    (projection identity with the twin is pytest-asserted at both SFs)."""
+    return q_ann_ivf_topk_matmul(spark, sf_dir).select("query_id", "neighbor_id", "rnk")
+
+
+SQL_ANN_IVF_TOPK_IDS = f"SELECT query_id, neighbor_id, rnk FROM ({SQL_ANN_IVF_TOPK})"
+
+
+def q_embedding_neardup_lsh_np_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry face of the per-cell matmul near-dup verify
+    (q_embedding_neardup_lsh_np): pair-id projection shares the HOF
+    twin's oracle (scores dropped for the same last-ulp reason)."""
+    return q_embedding_neardup_lsh_np(spark, sf_dir).select("id_a", "id_b")
+
+
+SQL_EMBEDDING_NEARDUP_LSH_IDS = (
+    f"SELECT id_a, id_b FROM ({SQL_EMBEDDING_NEARDUP_LSH})"
+)
+
+
 REGISTRY_ML: dict[str, QuerySpec] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
@@ -799,9 +823,11 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
+    "ann_ivf_topk_matmul": (q_ann_ivf_topk_matmul_ids, SQL_ANN_IVF_TOPK_IDS),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
+    "embedding_neardup_lsh_np": (q_embedding_neardup_lsh_np_ids, SQL_EMBEDDING_NEARDUP_LSH_IDS),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
 }
