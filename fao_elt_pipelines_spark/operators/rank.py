@@ -80,3 +80,55 @@ def global_rank(
         )
         .drop("_pid", "_lr")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = running total of ``value_col`` over the global
+    ascending ordering of ``order_col`` (inclusive of the current row),
+    distributed by the same two-phase scheme as ``global_rank``: range
+    partition on the order key, per-partition SUMS (≤ num_partitions
+    longs) collected driver-side into exclusive offsets, then a
+    within-partition window cumsum plus the partition's offset — no
+    single-partition Exchange. ``order_col`` must be unique per row for
+    the ordering (hence the cumsum) to be well-defined."""
+    parted = (
+        df.repartitionByRange(num_partitions, F.asc_nulls_last(order_col))
+        if num_partitions
+        else df.repartitionByRange(F.asc_nulls_last(order_col))
+    ).withColumn("_pid", F.spark_partition_id())
+    managed_persist(parted)
+
+    sums = {
+        r["_pid"]: r["s"]
+        for r in parted.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    }
+    if not sums:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    off_map = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(F.asc_nulls_last(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        parted.withColumn("_ls", F.sum(value_col).over(local_w))
+        .withColumn(
+            out_col,
+            (F.col("_ls") + F.element_at(off_map, F.col("_pid"))).cast("long"),
+        )
+        .drop("_pid", "_ls")
+    )

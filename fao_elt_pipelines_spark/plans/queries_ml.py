@@ -20,6 +20,7 @@ COSINE_TAU = 0.3
 from ..caching import managed_persist as _managed_persist  # noqa: E402
 from ..caching import release_caches  # noqa: E402,F401
 from ..operators.components import connected_components  # noqa: E402
+from ..operators.rank import global_cumsum  # noqa: E402
 
 # Shared DuckDB CTE: distinct word-3-gram shingles per doc.
 _SH_SQL = """
@@ -788,6 +789,52 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CAPACITY = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: assign each doc to a token-budget bin by
+    contiguous fill over the deterministic doc_id order — bin_id =
+    floor(exclusive-running-token-total / capacity), the standard
+    doc-boundary-preserving packing (a bin overflows by at most one doc).
+    The running total is the scale-safe two-phase global cumsum
+    (operators/rank.py:global_cumsum — range partition + driver offsets,
+    no single-partition window), so packing 10^9 docs never funnels
+    through one task; the DuckDB oracle is the single-partition window
+    cumsum it must equal."""
+    release_caches()
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    c = global_cumsum(d, "doc_id", "n_tokens", "cum_tokens")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(float(PACK_CAPACITY)))
+        .cast("long")
+        .alias("bin_id"),
+    ).orderBy("doc_id")
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens,
+       CAST(floor((cum_tokens - n_tokens) / {float(PACK_CAPACITY)}) AS BIGINT) AS bin_id
+FROM c ORDER BY doc_id
+"""
+
+
 def q_ann_ivf_topk_matmul_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry face of the matmul ANN scale path (q_ann_ivf_topk_matmul):
     the (query, neighbor, rank) projection is oracle-exact and shares the
@@ -818,6 +865,7 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),

@@ -147,3 +147,13 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     plan = _plan(q_dedup_minhash_lsh(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_pack_sequences_no_single_partition_exchange(spark, sf_dir):
+    """Sequence packing's global running total must use the two-phase
+    cumsum, never a single-partition window over the whole corpus."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_pack_sequences
+
+    plan = _plan(q_pack_sequences(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan

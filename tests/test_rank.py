@@ -47,3 +47,26 @@ def test_global_rank_many_partitions_few_rows(spark):
     assert {(r["id"], r["rnk"]) for r in got.collect()} == {
         (r["id"], r["rnk"]) for r in want.collect()
     }
+
+
+def test_global_cumsum_matches_window(spark):
+    from fao_elt_pipelines_spark.operators.rank import global_cumsum
+
+    rows = [(i, (i * 37) % 11 + 1) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in global_cumsum(df, "k", "v", "cum", num_partitions=8).collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+def test_global_cumsum_empty(spark):
+    from fao_elt_pipelines_spark.operators.rank import global_cumsum
+
+    df = spark.createDataFrame([], "k long, v long")
+    assert global_cumsum(df, "k", "v", "cum").count() == 0
