@@ -789,6 +789,58 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# per-language keep rates as md5-prefix thresholds: a doc is kept iff the
+# first 4 hex chars of md5('samp|'||doc_id) sort below the stratum's
+# threshold — k/65536 rates expressed as hex-string compares, which both
+# engines evaluate identically on lowercase hex (no float, no RNG)
+SAMPLE_THRESHOLDS = {"py": "8000", "js": "4000", "go": "4000"}  # 50% / 25% / 25%
+SAMPLE_DEFAULT_THRESHOLD = "2000"  # 12.5% for every other language
+VAL_THRESHOLD = "0ccd"  # ~5% of kept docs become the eval split
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling + train/eval split — the
+    reproducible-subset step of a training-data pipeline. Membership is a
+    pure function of doc_id (md5-prefix threshold per language stratum,
+    independent second hash for the split), so the sample is stable
+    across runs, engines, and cluster sizes, and the sampling itself is a
+    whole-stage-codegen filter — no shuffle, embarrassingly parallel at
+    any corpus size (the trailing orderBy is presentation only). No RNG,
+    no sampleBy (whose seeds don't reproduce across engines)."""
+    d = load(spark, sf_dir, "documents")
+    keep_hash = F.substring(F.md5(F.concat(F.lit("samp|"), F.col("doc_id"))), 1, 4)
+    thr = F.lit(SAMPLE_DEFAULT_THRESHOLD)
+    for lang, t in SAMPLE_THRESHOLDS.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    split_hash = F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id"))), 1, 4)
+    return (
+        d.filter(keep_hash < thr)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(split_hash < F.lit(VAL_THRESHOLD), F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SAMPLE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN '{t}'" for lang, t in SAMPLE_THRESHOLDS.items()
+)
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang,
+       CASE WHEN substr(md5('split|' || doc_id), 1, 4) < '{VAL_THRESHOLD}'
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+WHERE substr(md5('samp|' || doc_id), 1, 4)
+      < (CASE {_SAMPLE_CASE} ELSE '{SAMPLE_DEFAULT_THRESHOLD}' END)
+ORDER BY doc_id
+"""
+
+
 PACK_CAPACITY = 512
 
 
@@ -866,6 +918,7 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),

@@ -157,3 +157,13 @@ def test_pack_sequences_no_single_partition_exchange(spark, sf_dir):
     plan = _plan(q_pack_sequences(spark, sf_dir))
     assert "Exchange SinglePartition" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_sample_stratified_codegen_filter(spark, sf_dir):
+    """Stratified sampling must stay a JVM codegen filter: no Python eval
+    and no shuffle before the presentation sort."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_sample_stratified
+
+    plan = _plan(q_sample_stratified(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert _n_nodes(plan, "Exchange") <= 1, plan  # only the orderBy range exchange
