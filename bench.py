@@ -49,10 +49,10 @@ QUERY_TRIALS = int(os.environ.get("BENCH_QUERY_TRIALS", "5"))
 
 
 def bench_query(spark, name: str) -> float:
-    """Median of QUERY_TRIALS end-to-end runs. Sub-second entries swing
-    ±30% with box weather when timed once; the median of three is what
-    round-over-round comparisons need (replay stays 1× — its 4M events
-    are long enough to self-average)."""
+    """Median of QUERY_TRIALS (default 5) end-to-end runs. Sub-second
+    entries swing ±30% with box weather when timed once; the median of
+    several is what round-over-round comparisons need (replay stays 1× —
+    its 4M events are long enough to self-average)."""
     fn, _ = REGISTRY[name]
     times = []
     for _ in range(QUERY_TRIALS):

@@ -80,6 +80,8 @@ def main() -> None:
         assert len({r1a, rka, r1b, rkb}) == 1, "state diverged"
         t1, tk = min(t1a, t1b), min(tka, tkb)
         n_groups = -(-args.epochs // args.batch)
+        if n_groups >= args.epochs:
+            raise SystemExit("--batch must be > 1 (batch 1 has no commit delta to measure)")
         # T = events_work + fixed * n_commits  (events_work identical)
         fixed = (t1 - tk) / (args.epochs - n_groups)
         doc = {

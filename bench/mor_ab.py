@@ -11,8 +11,11 @@ counts: the IDENTICAL binlog replayed with each strategy in fresh
 subprocesses, INTERLEAVED (late/sorted per round, ratio within the round
 so drift cancels), median of rounds.
 
-Writes BENCH/mor_strategy_ab.json keyed by core count; LakeTable's
-``strategy=None`` auto-resolution consults the committed measurements.
+Writes BENCH/mor_strategy_ab.json keyed by core count. LakeTable's
+``strategy=None`` resolves to the measured winner — sorted at every
+core count per this artifact; the default is hardcoded from it, so a
+future re-measure that flips a level means editing merge_changes, not
+just re-running this harness.
 
 Usage: python bench/mor_ab.py [--cores 32] [--events 4000000] [--rounds 3]
 """

@@ -223,9 +223,16 @@ def main() -> None:
         for k, v in pools.items()
     }
     headline = series["pooled_by_strategy"].get(series_cfg)
-    if headline is None:  # no run of the declared config yet
-        allr = sorted(e for v in pools.values() for e in v)
-        headline = {"rounds": allr, "median": allr[len(allr) // 2], "n_rounds": len(allr)}
+    if headline is None:
+        # No round of the declared config yet: the headline must be labeled
+        # by what it actually pools, never claim a config it has no data for
+        if len(pools) == 1:
+            series_cfg = next(iter(pools))
+            headline = series["pooled_by_strategy"][series_cfg]
+        else:
+            series_cfg = "mixed"
+            allr = sorted(e for v in pools.values() for e in v)
+            headline = {"rounds": allr, "median": allr[len(allr) // 2], "n_rounds": len(allr)}
     series["series_strategy"] = series_cfg
     series["pooled_rounds"] = headline["rounds"]
     series["pooled_median"] = headline["median"]

@@ -130,8 +130,13 @@ def replay(
     if pending:
         groups.append(pending)
     for group in groups:
-        if max_epochs is not None and applied >= max_epochs:
-            break
+        if max_epochs is not None:
+            if applied >= max_epochs:
+                break
+            # a batched group must not overshoot the caller's cap: truncate
+            # to the remaining budget (epochs in a group are consecutive,
+            # so the truncated prefix is still a valid between() slice)
+            group = group[: max_epochs - applied]
         e_lo, e_hi = group[0], group[-1]
         batch = events.filter(
             F.col(epoch_col) == e_lo

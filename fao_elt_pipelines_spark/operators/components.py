@@ -75,4 +75,12 @@ def connected_components(
         if cur_sum == prev_sum:  # labels are non-increasing: fixpoint
             break
         prev_sum = cur_sum
+    else:
+        # Never return silently-wrong clusters: a component whose diameter
+        # exceeds max_iter would otherwise come back split into several
+        # cluster ids (under-dedup) with no signal.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "raise max_iter or use star-contraction for long-chain graphs"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

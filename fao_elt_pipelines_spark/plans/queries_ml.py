@@ -218,24 +218,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/components.py): one shuffle per round, rounds = cluster
     diameter. The DuckDB oracle recomputes the same closure exactly with
     a recursive CTE."""
-    release_caches()
-    sh = _managed_persist(_shingle_rows(spark, sf_dir))
-    sig = _managed_persist(SIM.minhash_signature(sh, "doc_id", "shingle", k=8))
-    bands = SIM.lsh_bands(sig, "doc_id", k=8, rows_per_band=2)
-    cand = SIM.candidate_pairs(bands, "doc_id")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("c"))
-    )
-    pairs = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .filter(F.col("c") / (F.col("na") + F.col("nb") - F.col("c")) >= JACCARD_TAU)
-        .select("doc_a", "doc_b")
-    )
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     cc = connected_components(pairs, "doc_a", "doc_b")
     return cc.select(
         F.col("node").alias("doc_id"),

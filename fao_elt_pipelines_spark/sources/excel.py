@@ -162,7 +162,13 @@ def read_excel_chunked(
 
     parts = list(_chunks(path, chunk_size, max_rows, header))
     if not parts:
-        raise ValueError(f"empty workbook: {path}")
+        # header-only workbook (a just-initialized export is valid): an
+        # empty frame with the header's columns, all-string typed
+        hdr = next(iter_xlsx_rows(path), None)
+        if hdr is None:
+            raise ValueError(f"empty workbook: {path}")
+        cols = [str(c) for c in hdr] if header else [f"c{i}" for i in range(len(hdr))]
+        return spark.createDataFrame([], ", ".join(f"`{c}` string" for c in cols))
     pdf = pd.concat(parts, ignore_index=True)
     # mixed int/None object columns → nullable float is pandas' default;
     # let Spark infer from the concatenated frame (schema identical per
@@ -177,6 +183,8 @@ def read_excel_distributed(spark, paths: list[str], schema, header: bool = True)
     unsplittable); no driver data path, O(row-chunk) memory per task."""
     import pandas as pd
 
+    if not paths:  # empty glob: an empty frame of the requested schema
+        return spark.createDataFrame([], schema)
     path_df = spark.createDataFrame([(p,) for p in paths], "path string").repartition(
         min(len(paths), 64), "path"
     )
@@ -214,13 +222,12 @@ def detect_excel_structure(path: str, n_sample: int = 100) -> dict:
                 if el.tag == f"{{{_NS}}}dimension":
                     dim = el.get("ref")
                     break
-    if dim and ":" in dim:
-        m = re.search(r"(\d+)$", dim)
-        est = int(m.group(1)) - 1 if m else None
-        exact = True
-    else:
+    m = re.search(r"(\d+)$", dim) if dim and ":" in dim else None
+    if m:
+        est = int(m.group(1)) - 1  # data rows below the header row
+    else:  # no usable <dimension> (e.g. column-only ref 'A:C'): stream-count
         est = sum(1 for _ in iter_xlsx_rows(path)) - 1
-        exact = True
+    exact = True
     rows = []
     it = iter_xlsx_rows(path)
     header = next(it, [])

@@ -806,3 +806,17 @@ def test_point_lookup_prunes_to_one_bucket(spark, events, events_parquet, tmp_pa
 
     # missing key resolves through the same pruned path to zero rows
     assert table.lookup(repo, "no/such/path.xyz").count() == 0
+
+
+def test_epoch_batch_respects_max_epochs(spark, events, events_parquet, tmp_path):
+    """A batched group must be truncated to the caller's max_epochs budget,
+    not applied whole: epoch_batch=8 with max_epochs=2 applies exactly 2."""
+    stored = spark.read.parquet(events_parquet)
+    t = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "c.json"))
+    rep = replay(spark, stored, t, ck, mode="mor", epoch_batch=8, max_epochs=2)
+    assert rep.epochs_applied == [0, 1]
+    assert t.committed_epochs() == {0, 1}
+    # resume with no cap applies the rest exactly once
+    rep2 = replay(spark, stored, t, ck, mode="mor", epoch_batch=8)
+    assert set(rep2.epochs_applied) == set(range(N_EVENTS // EPOCH)) - {0, 1}

@@ -99,3 +99,16 @@ def test_unicode_and_escaping(tmp_path):
     got = list(X.iter_xlsx_rows(p))
     assert got[1][1] == 'béta & <tag> "q"'
     assert got[2][1] == "日本語"
+
+
+def test_header_only_workbook_reads_empty(spark, tmp_path):
+    p = X.write_xlsx(str(tmp_path / "empty.xlsx"), COLS, [])
+    df = X.read_excel_chunked(spark, p)
+    assert df.columns == COLS
+    assert df.count() == 0
+
+
+def test_distributed_empty_path_list(spark):
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df = X.read_excel_distributed(spark, [], schema)
+    assert df.count() == 0 and df.schema == schema

@@ -206,3 +206,15 @@ def test_connected_components_converges_on_long_path(spark):
     rows = connected_components(pairs).collect()
     assert {r["cluster_id"] for r in rows} == {0}
     assert len(rows) == n
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    import pytest as _pytest
+
+    from fao_elt_pipelines_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
