@@ -824,6 +824,69 @@ ORDER BY doc_id
 """
 
 
+# PII patterns shared by the Spark and DuckDB sides (both dialects are
+# Perl-ish leftmost-first here; the redacted-text sha equality below is
+# the differential that would catch any divergence)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_LONGNUM = r"\d{9,}"
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrubbing pass a training corpus runs before
+    anything else. The synthetic corpus contains no PII, so (multimodal
+    pattern, functions/multimodal.py) each doc gets a deterministic
+    email + IPv4 + long-id injected from its doc_id; the OPERATOR under
+    test — sequential regexp_replace (email → IP → long-number, order
+    chosen so classes can't shadow each other) + regexp_count, all
+    whole-stage codegen — then redacts it, and the oracle compares
+    per-class counts AND the sha256 of the full redacted text, so any
+    regex-dialect or replacement divergence fails the hash."""
+    d = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" from 10."), (did % 256).cast("string"),
+        F.lit("."), ((did * 7) % 256).cast("string"), F.lit(".1"),
+        F.lit(" account "), (did * 1000003 + 123456789).cast("string"),
+    )
+    red = F.regexp_replace(synth, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_IP, "<IP>")
+    red = F.regexp_replace(red, PII_LONGNUM, "<NUM>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(synth, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(synth, F.lit(PII_IP)).cast("long").alias("n_ips"),
+        F.regexp_count(synth, F.lit(PII_LONGNUM)).cast("long").alias("n_longnums"),
+        F.sha2(red, 256).alias("redacted_sha"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_REDACT_PII = f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com'
+              || ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.1'
+              || ' account ' || (doc_id * 1000003 + 123456789) AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '{PII_IP}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(s, '{PII_LONGNUM}')) AS BIGINT) AS n_longnums,
+       sha256(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(s, '{PII_EMAIL}', '<EMAIL>', 'g'),
+             '{PII_IP}', '<IP>', 'g'),
+           '{PII_LONGNUM}', '<NUM>', 'g')
+       ) AS redacted_sha
+FROM synth
+ORDER BY doc_id
+"""
+
+
 PACK_CAPACITY = 512
 
 
@@ -914,4 +977,5 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "embedding_neardup_lsh_np": (q_embedding_neardup_lsh_np_ids, SQL_EMBEDDING_NEARDUP_LSH_IDS),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
+    "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
 }
