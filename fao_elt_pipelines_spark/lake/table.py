@@ -82,6 +82,18 @@ def bucket_expr(n_buckets: int, key_cols: tuple[str, str] = ("repo", "path")) ->
     return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
 
 
+def _stats_may_contain(entry: dict[str, Any], col: str, value: Any) -> bool:
+    """Conservative file-level stats test: False only when the manifest's
+    per-file [min, max] bounds for ``col`` PROVE the value is absent.
+    Missing stats → True (never prune blind). Parquet writers may truncate
+    string bounds, but the spec requires truncation to stay valid bounds,
+    so the containment test remains conservative."""
+    rng = (entry.get("stats") or {}).get(col)
+    if not rng:
+        return True
+    return rng[0] <= value <= rng[1]
+
+
 @dataclass
 class Snapshot:
     snapshot_id: int
@@ -368,13 +380,25 @@ class LakeTable:
         O(1/n_buckets) of the table regardless of total size, so a point
         read against 10^10 rows touches one bucket's parquet (further
         pruned by parquet row-group stats under the exact filter pushed
-        below). The one-row bucket-hash job is a driver scalar, not a
-        data-path collect."""
+        below). Within the bucket, files whose manifest ``repo`` bounds
+        exclude the key are skipped without opening them (Iceberg-style
+        file-level stats pruning) — under the sorted-merge strategy files
+        are key-sorted, so a lookup typically opens one file per snapshot
+        generation, not the whole bucket. The one-row bucket-hash job is a
+        driver scalar, not a data-path collect."""
         meta = self._load_metadata()
-        b = self.spark.range(1).select(
-            bucket_expr(meta["n_buckets"], (F.lit(repo), F.lit(path))).alias("b")
-        ).first()["b"]
-        return self.read_buckets({int(b)}).filter(
+        b = int(
+            self.spark.range(1)
+            .select(bucket_expr(meta["n_buckets"], (F.lit(repo), F.lit(path))).alias("b"))
+            .first()["b"]
+        )
+        snap = self.current_snapshot()
+        entries = [
+            e
+            for e in (snap["manifest"] if snap else [])
+            if e["bucket"] == b and _stats_may_contain(e, "repo", repo)
+        ]
+        return self._read_entries(entries).filter(
             (F.col("repo") == repo) & (F.col("path") == path)
         )
 
@@ -409,16 +433,28 @@ class LakeTable:
                 stats: dict[str, list[Any]] = {}
                 try:
                     idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                    if "last_seq" in idx:
-                        j = idx["last_seq"]
+                    # last_seq bounds derive the epoch's seq_hi without a
+                    # re-scan (lake.replay); repo bounds prune the file list
+                    # under point lookups / key-range reads (files are
+                    # key-sorted within a bucket under the sorted-merge
+                    # strategy, so bounds are tight there).
+                    for col in ("last_seq", "repo"):
+                        if col not in idx:
+                            continue
+                        j = idx[col]
                         mins, maxs = [], []
                         for rg in range(md.num_row_groups):
                             st = md.row_group(rg).column(j).statistics
                             if st is not None and st.has_min_max:
-                                mins.append(st.min)
-                                maxs.append(st.max)
+                                lo, hi = st.min, st.max
+                                if isinstance(lo, bytes):
+                                    lo = lo.decode("utf-8", "surrogateescape")
+                                if isinstance(hi, bytes):
+                                    hi = hi.decode("utf-8", "surrogateescape")
+                                mins.append(lo)
+                                maxs.append(hi)
                         if mins:
-                            stats["last_seq"] = [min(mins), max(maxs)]
+                            stats[col] = [min(mins), max(maxs)]
                 except Exception:  # stats are an optimization, never fatal
                     pass
                 entries.append(

@@ -808,6 +808,44 @@ def test_point_lookup_prunes_to_one_bucket(spark, events, events_parquet, tmp_pa
     assert table.lookup(repo, "no/such/path.xyz").count() == 0
 
 
+def test_point_lookup_prunes_files_by_repo_stats(spark, tmp_path):
+    """File-level stats pruning BELOW the bucket: two appends with disjoint
+    repo ranges put ≥2 files in each bucket; a lookup must open only files
+    whose manifest repo-bounds can contain the key, not the whole bucket."""
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=4)
+
+    def batch(prefix):
+        rows = [
+            (f"{prefix}/repo{i:03d}", f"src/f{j}.py", "c0", "py", "x", "sha", i * 100 + j)
+            for i in range(40)
+            for j in range(5)
+        ]
+        return spark.createDataFrame(rows, STATE_SCHEMA)
+
+    table.append(batch("aaa"))
+    table.append(batch("zzz"))
+
+    snap = table.current_snapshot()
+    df = table.lookup("aaa/repo007", "src/f3.py")
+    assert df.count() == 1
+    b = next(
+        e["bucket"]
+        for e in snap["manifest"]
+        if e["path"] in {f.removeprefix("file://") for f in df.inputFiles()}
+    )
+    bucket_files = [e for e in snap["manifest"] if e["bucket"] == b]
+    # both appends landed a file in this bucket, but only the aaa-range
+    # file(s) were opened
+    assert len(bucket_files) >= 2
+    touched = {f.removeprefix("file://") for f in df.inputFiles()}
+    assert all(e["stats"]["repo"][0] <= "aaa/repo007" <= e["stats"]["repo"][1]
+               for e in bucket_files if e["path"] in touched)
+    assert len(touched) < len(bucket_files)
+
+    # stats never prune a live key: every row remains reachable
+    assert table.lookup("zzz/repo039", "src/f4.py").count() == 1
+
+
 def test_epoch_batch_respects_max_epochs(spark, events, events_parquet, tmp_path):
     """A batched group must be truncated to the caller's max_epochs budget,
     not applied whole: epoch_batch=8 with max_epochs=2 applies exactly 2."""
