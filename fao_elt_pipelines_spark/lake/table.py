@@ -82,16 +82,20 @@ def bucket_expr(n_buckets: int, key_cols: tuple[str, str] = ("repo", "path")) ->
     return F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
 
 
-def _stats_may_contain(entry: dict[str, Any], col: str, value: Any) -> bool:
+def _stats_overlap(entry: dict[str, Any], col: str, lo: Any, hi: Any) -> bool:
     """Conservative file-level stats test: False only when the manifest's
-    per-file [min, max] bounds for ``col`` PROVE the value is absent.
+    per-file [min, max] bounds for ``col`` PROVE [lo, hi] is absent.
     Missing stats → True (never prune blind). Parquet writers may truncate
     string bounds, but the spec requires truncation to stay valid bounds,
-    so the containment test remains conservative."""
+    so the overlap test remains conservative."""
     rng = (entry.get("stats") or {}).get(col)
     if not rng:
         return True
-    return rng[0] <= value <= rng[1]
+    return rng[0] <= hi and rng[1] >= lo
+
+
+def _stats_may_contain(entry: dict[str, Any], col: str, value: Any) -> bool:
+    return _stats_overlap(entry, col, value, value)
 
 
 @dataclass
@@ -401,6 +405,28 @@ class LakeTable:
         return self._read_entries(entries).filter(
             (F.col("repo") == repo) & (F.col("path") == path)
         )
+
+    def scan_repos(self, lo: str, hi: str | None = None) -> DataFrame:
+        """Repo(-range) scan with manifest file pruning — the analytics
+        read path for "give me repo X" / "repos [lo, hi]" queries.
+
+        Bucketing hashes the FULL (repo, path) key (skew-free merges; see
+        bucket_expr), so a repo's rows span every bucket and bucket pruning
+        can't help here. But under the sorted-merge strategy each bucket's
+        files are key-sorted contiguous ranges, so the per-file repo bounds
+        collected at write time prune the file list to ~1 file per bucket
+        per snapshot generation for an equality scan — O(n_buckets) files
+        opened out of the whole table, independent of table size. ``hi``
+        defaults to ``lo`` (single-repo scan). Conservative: files without
+        stats are always read."""
+        hi = lo if hi is None else hi
+        snap = self.current_snapshot()
+        entries = [
+            e
+            for e in (snap["manifest"] if snap else [])
+            if _stats_overlap(e, "repo", lo, hi)
+        ]
+        return self._read_entries(entries).filter(F.col("repo").between(lo, hi))
 
     # -------------------------------------------------------------- write
     def _write_data_files(

@@ -10,6 +10,7 @@ snapshot metadata.
     python scripts/table_tool.py --table /path compact [--expire-below SEQ]
     python scripts/table_tool.py --table /path read [--snapshot K] [--limit N]
     python scripts/table_tool.py --table /path lookup --repo R --path P
+    python scripts/table_tool.py --table /path scan-repos --repo R [--repo-hi R2]
 
 Each subcommand prints one JSON document (``read`` prints one JSON line
 per row) so output is scriptable.
@@ -78,6 +79,10 @@ def main() -> None:
     p_lk = sub.add_parser("lookup")
     p_lk.add_argument("--repo", required=True)
     p_lk.add_argument("--path", required=True)
+    p_sc = sub.add_parser("scan-repos")
+    p_sc.add_argument("--repo", required=True, help="repo, or range lower bound")
+    p_sc.add_argument("--repo-hi", default=None, help="range upper bound (inclusive)")
+    p_sc.add_argument("--limit", type=int, default=20)
     p_chg = sub.add_parser("changes")
     p_chg.add_argument("--from-snapshot", type=int, default=None)
     p_chg.add_argument("--to-snapshot", type=int, default=None)
@@ -99,6 +104,10 @@ def main() -> None:
             print(row)
     elif args.cmd == "lookup":
         for row in table.lookup(args.repo, args.path).toJSON().collect():
+            print(row)
+    elif args.cmd == "scan-repos":
+        df = table.scan_repos(args.repo, args.repo_hi)
+        for row in df.limit(args.limit).toJSON().collect():
             print(row)
     elif args.cmd == "expire":
         print(json.dumps(table.expire_snapshots(keep_last=args.keep_last)))

@@ -845,6 +845,18 @@ def test_point_lookup_prunes_files_by_repo_stats(spark, tmp_path):
     # stats never prune a live key: every row remains reachable
     assert table.lookup("zzz/repo039", "src/f4.py").count() == 1
 
+    # repo-range scan: correct rows, and only aaa-bounded files opened
+    sc = table.scan_repos("aaa/repo000", "aaa/repo009")
+    assert sc.count() == 10 * 5
+    assert {r["repo"] for r in sc.select("repo").distinct().collect()} == {
+        f"aaa/repo{i:03d}" for i in range(10)
+    }
+    sc_files = {f.removeprefix("file://") for f in sc.inputFiles()}
+    zzz_files = {
+        e["path"] for e in snap["manifest"] if e["stats"]["repo"][0].startswith("zzz")
+    }
+    assert zzz_files and not (sc_files & zzz_files)
+
 
 def test_epoch_batch_respects_max_epochs(spark, events, events_parquet, tmp_path):
     """A batched group must be truncated to the caller's max_epochs budget,
