@@ -962,10 +962,26 @@ class LakeTable:
         carries the whole bucket, so unchanged keys of touched buckets
         re-appear — inherent to copy-on-write without row-level diff
         tracking; consumers LWW on (key, last_seq) as usual."""
+        new_entries = self._changes_entries(from_snapshot_id, to_snapshot_id)
+        df = self._read_entries(new_entries, include_tombstones=True, merged=False)
+        return df.withColumn(
+            "_op",
+            F.when(F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)), F.lit("delete")).otherwise(
+                F.lit("upsert")
+            ),
+        ).drop(TOMBSTONE_COL)
+
+    def _changes_entries(
+        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Manifest entries of the files added in (from, to] — the metadata
+        half of changes_between, exposed separately so incremental
+        consumers (lake.mv) can plan bucket-pruned reads from the entry
+        list without touching data."""
         meta = self._load_metadata()
         to_sid = to_snapshot_id if to_snapshot_id is not None else meta["current_snapshot_id"]
         if to_sid is None:
-            return self._read_entries([], include_tombstones=True, merged=False)
+            return []
         if from_snapshot_id is not None and not any(
             s["snapshot_id"] <= from_snapshot_id for s in meta["snapshots"]
         ):
@@ -994,13 +1010,7 @@ class LakeTable:
                 if e["path"] not in seen:
                     seen.add(e["path"])
                     new_entries.append(e)
-        df = self._read_entries(new_entries, include_tombstones=True, merged=False)
-        return df.withColumn(
-            "_op",
-            F.when(F.coalesce(F.col(TOMBSTONE_COL), F.lit(False)), F.lit("delete")).otherwise(
-                F.lit("upsert")
-            ),
-        ).drop(TOMBSTONE_COL)
+        return new_entries
 
     def compact(
         self,

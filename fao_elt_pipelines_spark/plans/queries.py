@@ -180,6 +180,77 @@ def q_cdc_epoch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance as a differential query —
+    the pure-DataFrame twin of lake/mv.py's refresh algebra (which the
+    engine runs over changes_between + time-travel before-images; see
+    tests/test_mv.py for the lake-backed path).
+
+    Build the per-repo gold aggregate over the first half of the stream,
+    then advance it to the full stream by the delta rule
+    ``new = old − contrib(before-image) + contrib(after-image)`` over the
+    CHANGED KEYS ONLY. The oracle computes the final aggregate by full
+    recompute — the incremental path must be algebraically identical,
+    including repos fully deleted in the second half (n_paths drops to 0
+    and the row leaves the view)."""
+    binlog = _derived_binlog(spark, sf_dir)
+    mid = binlog.agg((F.max("seq") / 2).cast("long")).collect()[0][0]
+
+    def contrib(state: DataFrame) -> DataFrame:
+        return state.groupBy("repo").agg(
+            F.count("*").alias("n_paths"),
+            F.sum(F.length(F.col("content")).cast("long")).alias("total_bytes"),
+        )
+
+    state1 = _lww(binlog.filter(F.col("seq") <= mid)).filter(F.col("op") != "delete")
+    agg1 = contrib(state1)
+    keys = binlog.filter(F.col("seq") > mid).select("repo", "path").distinct()
+    before = state1.join(keys, ["repo", "path"], "left_semi")
+    after = (
+        _lww(binlog).filter(F.col("op") != "delete").join(keys, ["repo", "path"], "left_semi")
+    )
+    delta = (
+        contrib(after)
+        .withColumnRenamed("n_paths", "a_n").withColumnRenamed("total_bytes", "a_b")
+        .join(
+            contrib(before)
+            .withColumnRenamed("n_paths", "b_n").withColumnRenamed("total_bytes", "b_b"),
+            ["repo"],
+            "full_outer",
+        )
+    )
+    z = F.lit(0).cast("long")
+    return (
+        agg1.join(delta, ["repo"], "full_outer")
+        .select(
+            "repo",
+            (F.coalesce("n_paths", z) + F.coalesce("a_n", z) - F.coalesce("b_n", z)).alias(
+                "n_paths"
+            ),
+            (F.coalesce("total_bytes", z) + F.coalesce("a_b", z) - F.coalesce("b_b", z)).alias(
+                "total_bytes"
+            ),
+        )
+        .filter(F.col("n_paths") > 0)
+        .orderBy("repo")
+    )
+
+
+SQL_CDC_INCREMENTAL_GOLD = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM binlog
+)
+SELECT repo,
+       count(*) AS n_paths,
+       CAST(sum(length(content)) AS BIGINT) AS total_bytes
+FROM w WHERE rn = 1 AND op <> 'delete'
+GROUP BY repo
+ORDER BY repo
+"""
+
+
 SQL_CDC_EPOCH_METRICS = f"""
 WITH binlog AS ({_BINLOG_SQL})
 SELECT CAST((seq - seq % 2000) / 2000 AS BIGINT) AS epoch,
@@ -894,6 +965,7 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_lww_state": (q_cdc_lww_state, SQL_CDC_LWW_STATE),
     "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_LWW_STATE),  # MERGE ≡ LWW (see docstring)
     "cdc_epoch_metrics": (q_cdc_epoch_metrics, SQL_CDC_EPOCH_METRICS),
+    "cdc_incremental_gold": (q_cdc_incremental_gold, SQL_CDC_INCREMENTAL_GOLD),
     "silver_events_cleaned": (q_silver_events_cleaned, SQL_SILVER_EVENTS_CLEANED),
     "silver_standardize": (q_silver_standardize, SQL_SILVER_STANDARDIZE),
     "silver_surrogate_key": (q_silver_surrogate_key, SQL_SILVER_SURROGATE_KEY),

@@ -77,6 +77,12 @@ def main() -> None:
         "memory-bandwidth ceiling)",
     )
     ap.add_argument(
+        "--mv-dir", default=None,
+        help="maintain the per-repo gold aggregate view incrementally "
+        "after the replay (lake/mv.py): first run = full compute, later "
+        "runs apply only the change interval since the view's cursor",
+    )
+    ap.add_argument(
         "--fast-stats", action="store_true",
         help="skip the per-epoch delta pre-scan; seq_hi from written-file "
         "parquet bounds (events_in then derived from the seq span — exact "
@@ -118,6 +124,11 @@ def main() -> None:
         merge_strategy=None if args.strategy == "auto" else args.strategy,
     )
     dt = time.time() - t0
+    mv_report = None
+    if args.mv_dir:
+        from fao_elt_pipelines_spark.lake.mv import IncrementalGoldView
+
+        mv_report = IncrementalGoldView(spark, table, args.mv_dir).refresh()
     if args.fast_stats and rep.epochs_applied:
         end_seq = ckpt.load()["sources"].get("binlog", {}).get("seq_hi", start_seq)
         rep.events_in = end_seq - start_seq
@@ -138,6 +149,7 @@ def main() -> None:
                 "state_repos": summary["repos"],
                 "max_seq": summary["max_seq"],
                 "snapshots": len(table.snapshots()),
+                **({"mv": mv_report} if mv_report else {}),
             }
         )
     )
