@@ -64,6 +64,27 @@ def test_incremental_refresh_equals_full_recompute(spark, mv_events, tmp_path, m
     assert _rows(view.read()) == inc
 
 
+def test_refresh_reads_touched_buckets_only(spark, mv_events, tmp_path):
+    """Locality: a one-key delta must refresh via exactly one of the 8
+    buckets — the before/after reads cannot degrade to a table scan."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
+    replay(spark, mv_events, table, ck, mode="mor")
+    view.refresh()
+
+    one = spark.createDataFrame(
+        [(10_000_000, "insert", "solo_repo", "only/path.py", "c9", "py", "xyz")],
+        "seq long, op string, repo string, path string, commit string, lang string, content string",
+    )
+    table.merge_changes(one, epoch_id=99, mode="mor")
+    rep = view.refresh()
+    assert rep["mode"] == "incremental"
+    assert rep["touched_buckets"] == 1
+    assert _rows(view.read()) == _rows(_contrib(table.read()))
+    assert view.read().filter("repo = 'solo_repo'").count() == 1
+
+
 def test_refresh_crash_leaves_old_state(spark, mv_events, tmp_path, monkeypatch):
     """A refresh that dies before the cursor swap must leave the previous
     state fully readable, and the retry must converge."""
