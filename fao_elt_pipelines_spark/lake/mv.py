@@ -15,10 +15,16 @@ Cost per refresh at 10^10-row scale:
 - changed keys come from ``changes_between`` — O(files the interval
   added), no shuffle;
 - before/after images are read at the cursor / head snapshots via
-  time travel, pruned to the TOUCHED BUCKETS ONLY (the manifest entries
-  of the change interval carry their bucket ids) and then semi-joined to
-  the changed keys — a delta touching 1 of 64 buckets reads 1/64th of
-  two snapshots, not two full tables;
+  time travel, pruned three ways: to the TOUCHED BUCKETS (manifest
+  entries of the interval carry bucket ids), to the files whose
+  manifest repo-bounds intersect the changed-repo set, and — for a
+  bounded changed-repo set — by a literal ``repo IN (...)`` predicate
+  that reaches parquet row-group stats AND passes through the MOR
+  read-merge aggregate, so the LWW merge runs over ~interval-sized
+  input rather than the touched buckets' full contents;
+- when the interval rewrote ≥30% of the table, refresh auto-falls-back
+  to a full recompute (cheaper than restricted images of two
+  snapshots) — decided from manifest row counts alone;
 - the view state itself is O(distinct repos), rewritten atomically per
   refresh (tiny compared to the base table).
 
@@ -49,6 +55,19 @@ from .table import LakeTable
 KEYS = ("repo", "path")
 
 
+def _any_repo_in_bounds(entry: dict[str, Any], repos_sorted: list[str]) -> bool:
+    """Manifest-level file prune: does the file's [min, max] repo range
+    contain ANY changed repo? Conservative (no stats → keep). Binary
+    search keeps the driver-side walk O(files · log repos)."""
+    import bisect
+
+    rng = (entry.get("stats") or {}).get("repo")
+    if not rng:
+        return True
+    i = bisect.bisect_left(repos_sorted, rng[0])
+    return i < len(repos_sorted) and repos_sorted[i] <= rng[1]
+
+
 def _contrib(df: DataFrame) -> DataFrame:
     """Decomposable per-repo contributions of a set of live rows."""
     return df.groupBy("repo").agg(
@@ -58,6 +77,13 @@ def _contrib(df: DataFrame) -> DataFrame:
 
 
 class IncrementalGoldView:
+    #: interval rows ≥ this fraction of table rows → full recompute is
+    #: cheaper than reading restricted images of two snapshots
+    FULL_FALLBACK_RATIO = 0.3
+    #: changed-repo cap for the driver-collected InSet pushdown; above it
+    #: the collect itself would dominate and the plain semi-join wins
+    MAX_PUSHDOWN_REPOS = 20_000
+
     def __init__(self, spark: SparkSession, table: LakeTable, state_dir: str):
         self.spark = spark
         self.table = table
@@ -114,17 +140,34 @@ class IncrementalGoldView:
         cur = self.cursor()
         if to_sid is None:
             return {"mode": "noop", "reason": "empty table"}
-        if cur is not None and cur["snapshot_id"] == to_sid:
-            return {"mode": "noop", "from": to_sid, "to": to_sid}
         if cur is None or full:
             self._commit_state(_contrib(self.table.read()), to_sid)
             return {"mode": "full", "to": to_sid}
+        if cur["snapshot_id"] == to_sid:
+            return {"mode": "noop", "from": to_sid, "to": to_sid}
 
         from_sid = cur["snapshot_id"]
-        entries = self.table._changes_entries(from_sid, to_sid)
+        try:
+            entries = self.table._changes_entries(from_sid, to_sid)
+        except ValueError:
+            # cursor predates every retained snapshot (expire_snapshots ran
+            # past it): the interval is unreconstructable, so fall back to
+            # a full recompute instead of wedging the view forever
+            self._commit_state(_contrib(self.table.read()), to_sid)
+            return {"mode": "full", "to": to_sid, "reason": "cursor expired"}
         if not entries:
             self._commit_state(self.read(), to_sid)  # advance cursor only
             return {"mode": "noop", "from": from_sid, "to": to_sid}
+
+        # When the interval rewrote a large fraction of the table, the
+        # delta algebra costs MORE than recomputing (it reads restricted
+        # images of TWO snapshots): recompute instead. Decision is made
+        # from manifest row counts alone — no data IO.
+        interval_rows = sum(e["rows"] for e in entries)
+        table_rows = max(1, sum(e["rows"] for e in snap["manifest"]))
+        if interval_rows >= self.FULL_FALLBACK_RATIO * table_rows:
+            self._commit_state(_contrib(self.table.read()), to_sid)
+            return {"mode": "full", "to": to_sid, "reason": "large interval"}
         touched = {e["bucket"] for e in entries}
 
         # changed keys: superset is fine (unchanged keys cancel in the
@@ -134,19 +177,44 @@ class IncrementalGoldView:
             .select(*KEYS)
             .distinct()
         )
+        # For a bounded changed-repo set, turn the key set into a literal
+        # InSet predicate: it reaches the parquet scan (row-group stats
+        # pruning over key-sorted files) AND passes through the MOR
+        # read-merge aggregate (filter on a grouping key), so the LWW
+        # merge runs over ~interval-sized input instead of the touched
+        # buckets' full contents. Above the cap the driver-side collect
+        # would be the bottleneck — rely on the plain semi-join (AQE picks
+        # broadcast vs shuffle from the actual key count).
+        repos = [
+            r["repo"]
+            for r in keys.select("repo")
+            .distinct()
+            .limit(self.MAX_PUSHDOWN_REPOS + 1)
+            .collect()
+        ]
+        pred = None
+        repos_sorted = None
+        if len(repos) <= self.MAX_PUSHDOWN_REPOS:
+            pred = F.col("repo").isin(repos)
+            repos_sorted = sorted(repos)
         old_snap = next(
             s for s in self.table.snapshots() if s["snapshot_id"] == from_sid
         )
-        # Join strategy stays with Catalyst/AQE: a small interval's key set
-        # broadcasts on its own; a huge interval (millions of changed keys)
-        # must NOT be force-broadcast, and AQE falls back to a shuffled
-        # semi-join sized by the actual key count.
-        before = self.table.read_buckets(touched, snapshot=old_snap).join(
-            keys, list(KEYS), "left_semi"
-        )
-        after = self.table.read_buckets(touched, snapshot=snap).join(
-            keys, list(KEYS), "left_semi"
-        )
+
+        def image(s: dict[str, Any]) -> DataFrame:
+            es = [e for e in s["manifest"] if e["bucket"] in touched]
+            if repos_sorted is not None:
+                es = [e for e in es if _any_repo_in_bounds(e, repos_sorted)]
+            df = self.table._read_entries(es)
+            if pred is not None:
+                df = df.filter(pred)
+            # Join strategy stays with Catalyst/AQE: a small interval's
+            # key set broadcasts on its own; a huge one must NOT be
+            # force-broadcast.
+            return df.join(keys, list(KEYS), "left_semi")
+
+        before = image(old_snap)
+        after = image(snap)
         delta = (
             _contrib(after)
             .withColumnRenamed("n_paths", "a_n")

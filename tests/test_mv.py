@@ -33,17 +33,22 @@ def test_incremental_refresh_equals_full_recompute(spark, mv_events, tmp_path, m
     ck = CheckpointStore(str(tmp_path / "ckpt.json"))
     view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
 
-    # epoch 0-1 → first refresh is a full compute
-    replay(spark, mv_events, table, ck, mode=mode, max_epochs=2)
+    # epochs 0-2 → first refresh is a full compute
+    replay(spark, mv_events, table, ck, mode=mode, max_epochs=3)
     rep = view.refresh()
     assert rep["mode"] == "full"
     assert _rows(view.read()) == _rows(_contrib(table.read()))
 
-    # epochs 2-3 → incremental: delta algebra, touched buckets only
+    # final epoch → MOR interval is the delta files (small → delta
+    # algebra); COW rewrote every touched bucket whole, so the interval
+    # is table-sized and refresh must choose recompute on its own
     replay(spark, mv_events, table, ck, mode=mode)
     rep = view.refresh()
-    assert rep["mode"] == "incremental"
-    assert 0 < rep["touched_buckets"] <= 8
+    if mode == "mor":
+        assert rep["mode"] == "incremental"
+        assert 0 < rep["touched_buckets"] <= 8
+    else:
+        assert rep["mode"] == "full" and rep["reason"] == "large interval"
     assert _rows(view.read()) == _rows(_contrib(table.read()))
 
     # deletes actually exercised: some repo shrank or lost paths vs a
@@ -64,25 +69,44 @@ def test_incremental_refresh_equals_full_recompute(spark, mv_events, tmp_path, m
     assert _rows(view.read()) == inc
 
 
-def test_refresh_reads_touched_buckets_only(spark, mv_events, tmp_path):
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_refresh_reads_touched_buckets_only(spark, mv_events, tmp_path, mode):
     """Locality: a one-key delta must refresh via exactly one of the 8
-    buckets — the before/after reads cannot degrade to a table scan."""
+    buckets — the before/after reads cannot degrade to a table scan.
+    Holds for COW too: the rewrite is confined to the key's bucket."""
     table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
     ck = CheckpointStore(str(tmp_path / "ckpt.json"))
     view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
-    replay(spark, mv_events, table, ck, mode="mor")
+    replay(spark, mv_events, table, ck, mode=mode)
     view.refresh()
 
     one = spark.createDataFrame(
         [(10_000_000, "insert", "solo_repo", "only/path.py", "c9", "py", "xyz")],
         "seq long, op string, repo string, path string, commit string, lang string, content string",
     )
-    table.merge_changes(one, epoch_id=99, mode="mor")
+    table.merge_changes(one, epoch_id=99, mode=mode)
     rep = view.refresh()
     assert rep["mode"] == "incremental"
     assert rep["touched_buckets"] == 1
     assert _rows(view.read()) == _rows(_contrib(table.read()))
     assert view.read().filter("repo = 'solo_repo'").count() == 1
+
+
+def test_refresh_falls_back_to_full_on_expired_cursor(spark, mv_events, tmp_path):
+    """expire_snapshots past the view's cursor makes the interval
+    unreconstructable — refresh must degrade to a full recompute (with the
+    reason surfaced), not wedge or silently double-count."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
+    replay(spark, mv_events, table, ck, mode="mor", max_epochs=2)
+    view.refresh()
+
+    replay(spark, mv_events, table, ck, mode="mor")
+    table.expire_snapshots(keep_last=1)
+    rep = view.refresh()
+    assert rep["mode"] == "full" and rep["reason"] == "cursor expired"
+    assert _rows(view.read()) == _rows(_contrib(table.read()))
 
 
 def test_refresh_crash_leaves_old_state(spark, mv_events, tmp_path, monkeypatch):
@@ -91,12 +115,12 @@ def test_refresh_crash_leaves_old_state(spark, mv_events, tmp_path, monkeypatch)
     table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
     ck = CheckpointStore(str(tmp_path / "ckpt.json"))
     view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
-    replay(spark, mv_events, table, ck, max_epochs=2)
+    replay(spark, mv_events, table, ck, mode="mor", max_epochs=3)
     view.refresh()
     before = _rows(view.read())
     cursor_before = view.cursor()
 
-    replay(spark, mv_events, table, ck)
+    replay(spark, mv_events, table, ck, mode="mor")
     import os as _os
 
     real_replace = _os.replace
