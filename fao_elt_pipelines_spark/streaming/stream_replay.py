@@ -29,6 +29,7 @@ def stream_replay(
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
     epoch_base: int = 1_000_000,
+    mv: "IncrementalGoldView | None" = None,
 ) -> None:
     """Drain ``binlog_dir`` (parquet files) into the table and stop.
 
@@ -36,6 +37,13 @@ def stream_replay(
     epochs so both drivers can feed one table. Trigger(availableNow) drains
     all current input then stops — rerunning is a no-op (offsets + epoch
     guard).
+
+    With ``mv``, each micro-batch ends by advancing the incremental gold
+    view (lake/mv.py) to the just-committed snapshot — a continuously
+    maintained streaming aggregate whose refresh cost tracks the batch,
+    not the table. Crash between merge and refresh is safe: the view's
+    cursor lags and the next refresh (any later batch, or an operator
+    `table_tool mv-refresh`) catches up over the widened interval.
     """
     schema = spark.read.parquet(binlog_dir).schema
     src = (
@@ -46,6 +54,8 @@ def stream_replay(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         table.merge_changes(batch_df, epoch_id=epoch_base + batch_id)
+        if mv is not None:
+            mv.refresh()
 
     q = (
         src.writeStream.foreachBatch(apply_batch)

@@ -11,6 +11,7 @@ snapshot metadata.
     python scripts/table_tool.py --table /path read [--snapshot K] [--limit N]
     python scripts/table_tool.py --table /path lookup --repo R --path P
     python scripts/table_tool.py --table /path scan-repos --repo R [--repo-hi R2]
+    python scripts/table_tool.py --table /path mv-refresh --mv-dir /path/mv [--full]
 
 Each subcommand prints one JSON document (``read`` prints one JSON line
 per row) so output is scriptable.
@@ -83,6 +84,9 @@ def main() -> None:
     p_sc.add_argument("--repo", required=True, help="repo, or range lower bound")
     p_sc.add_argument("--repo-hi", default=None, help="range upper bound (inclusive)")
     p_sc.add_argument("--limit", type=int, default=20)
+    p_mv = sub.add_parser("mv-refresh")
+    p_mv.add_argument("--mv-dir", required=True)
+    p_mv.add_argument("--full", action="store_true")
     p_chg = sub.add_parser("changes")
     p_chg.add_argument("--from-snapshot", type=int, default=None)
     p_chg.add_argument("--to-snapshot", type=int, default=None)
@@ -109,6 +113,11 @@ def main() -> None:
         df = table.scan_repos(args.repo, args.repo_hi)
         for row in df.limit(args.limit).toJSON().collect():
             print(row)
+    elif args.cmd == "mv-refresh":
+        from fao_elt_pipelines_spark.lake.mv import IncrementalGoldView
+
+        view = IncrementalGoldView(spark, table, args.mv_dir)
+        print(json.dumps(view.refresh(full=args.full)))
     elif args.cmd == "expire":
         print(json.dumps(table.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "changes":

@@ -58,6 +58,22 @@ def test_stream_replay_matches_batch_lww(spark, binlog_dir, tmp_path):
     assert len(table.snapshots()) == n_snapshots
 
 
+def test_stream_replay_maintains_mv(spark, binlog_dir, tmp_path):
+    """Streaming MV maintenance: the per-batch refresh keeps the gold view
+    equal to a full recompute once the drain finishes, and its cursor
+    lands on the table's head snapshot."""
+    from fao_elt_pipelines_spark.lake.mv import IncrementalGoldView, _contrib
+
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=8)
+    view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
+    stream_replay(
+        spark, binlog_dir, table, str(tmp_path / "ckpt"), max_files_per_trigger=2, mv=view
+    )
+    rows = lambda df: {tuple(r) for r in df.select("repo", "n_paths", "total_bytes").collect()}
+    assert rows(view.read()) == rows(_contrib(table.read()))
+    assert view.cursor()["snapshot_id"] == table.current_snapshot()["snapshot_id"]
+
+
 def test_repo_progress_stateful_stream(spark, binlog_dir, tmp_path):
     """applyInPandasWithState progress counters must survive across
     micro-batches: final per-repo (events, max_seq, deletes) equals the
