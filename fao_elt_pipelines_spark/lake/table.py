@@ -972,13 +972,18 @@ class LakeTable:
         ).drop(TOMBSTONE_COL)
 
     def _changes_entries(
-        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+        self,
+        from_snapshot_id: int | None,
+        to_snapshot_id: int | None = None,
+        meta: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
         """Manifest entries of the files added in (from, to] — the metadata
         half of changes_between, exposed separately so incremental
         consumers (lake.mv) can plan bucket-pruned reads from the entry
-        list without touching data."""
-        meta = self._load_metadata()
+        list without touching data. Pass ``meta`` to pin the walk to a
+        metadata view already loaded by the caller (one consistent read
+        under concurrent commits/expiry)."""
+        meta = meta if meta is not None else self._load_metadata()
         to_sid = to_snapshot_id if to_snapshot_id is not None else meta["current_snapshot_id"]
         if to_sid is None:
             return []

@@ -197,9 +197,10 @@ def q_cdc_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     mid = binlog.agg((F.max("seq") / 2).cast("long")).collect()[0][0]
 
     def contrib(state: DataFrame) -> DataFrame:
+        # octet_length to match lake/mv.py: total_bytes means bytes
         return state.groupBy("repo").agg(
             F.count("*").alias("n_paths"),
-            F.sum(F.length(F.col("content")).cast("long")).alias("total_bytes"),
+            F.sum(F.octet_length(F.col("content")).cast("long")).alias("total_bytes"),
         )
 
     state1 = _lww(binlog.filter(F.col("seq") <= mid)).filter(F.col("op") != "delete")
@@ -244,7 +245,7 @@ w AS (
 )
 SELECT repo,
        count(*) AS n_paths,
-       CAST(sum(length(content)) AS BIGINT) AS total_bytes
+       CAST(sum(strlen(content)) AS BIGINT) AS total_bytes
 FROM w WHERE rn = 1 AND op <> 'delete'
 GROUP BY repo
 ORDER BY repo

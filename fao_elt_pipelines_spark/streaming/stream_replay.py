@@ -16,10 +16,15 @@ depends on event time — LWW is seq-based).
 
 from __future__ import annotations
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
+
+if TYPE_CHECKING:
+    from ..lake.mv import IncrementalGoldView
 
 
 def stream_replay(

@@ -109,9 +109,71 @@ def test_refresh_falls_back_to_full_on_expired_cursor(spark, mv_events, tmp_path
     assert _rows(view.read()) == _rows(_contrib(table.read()))
 
 
+def test_refresh_overwrite_forces_recompute(spark, mv_events, tmp_path):
+    """overwrite drops rows without tombstoned file-adds — the delta
+    algebra can't see the retractions, so refresh must detect the
+    operation and recompute (not silently keep stale aggregates)."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
+    replay(spark, mv_events, table, ck, mode="mor")
+    view.refresh()
+
+    keep_one = table.read().filter("repo = 'repo_00000'")
+    table.overwrite(keep_one)
+    rep = view.refresh()
+    assert rep["mode"] == "full" and rep["reason"] == "non-incremental operation in interval"
+    got = _rows(view.read())
+    assert got == _rows(_contrib(table.read()))
+    assert {r[0] for r in got} == {"repo_00000"}
+
+
+def test_refresh_noop_advance_and_commit_conflict(spark, mv_events, tmp_path):
+    """A compact-only interval advances the cursor without a Spark write
+    (marker shares the data dir); a racing commit for the same version
+    loses the marker CAS with MVCommitConflict."""
+    from fao_elt_pipelines_spark.lake.mv import MVCommitConflict
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    mv_dir = str(tmp_path / "mv")
+    view = IncrementalGoldView(spark, table, mv_dir)
+    replay(spark, mv_events, table, ck, mode="mor")
+    view.refresh()
+
+    import os as _os
+
+    cur = view.cursor()
+    dirs_before = {d for d in _os.listdir(mv_dir) if d.startswith("data-")}
+    table.compact()
+    rep = view.refresh()
+    assert rep["mode"] == "noop"
+    after = view.cursor()
+    assert after["version"] == cur["version"] + 1 and after["dir"] == cur["dir"]
+    assert {d for d in _os.listdir(mv_dir) if d.startswith("data-")} == dirs_before
+    assert after["snapshot_id"] == table.current_snapshot()["snapshot_id"]
+
+    # CAS: another refresh committed the next version after we pinned our
+    # base (simulated with an injected marker + explicit base_version) →
+    # the loser gets MVCommitConflict and its fresh data dir is removed
+    import json as _json
+
+    taken = dict(after, version=after["version"] + 1)
+    with open(_os.path.join(mv_dir, f"v{taken['version']}.commit.json"), "x") as f:
+        _json.dump(taken, f)
+    with pytest.raises(MVCommitConflict):
+        view._commit_state(
+            view.read(), after["snapshot_id"], base_version=after["version"]
+        )
+    assert {d for d in _os.listdir(mv_dir) if d.startswith("data-")} == dirs_before
+
+
 def test_refresh_crash_leaves_old_state(spark, mv_events, tmp_path, monkeypatch):
-    """A refresh that dies before the cursor swap must leave the previous
-    state fully readable, and the retry must converge."""
+    """A refresh that dies before the commit marker (the commit point)
+    must leave the previous state fully readable — at worst an orphan
+    data directory — and the retry must converge. A crash AFTER the
+    marker but before the cursor.json hint swap is also covered: the
+    cursor rolls forward from the markers."""
     table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
     ck = CheckpointStore(str(tmp_path / "ckpt.json"))
     view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
@@ -121,16 +183,12 @@ def test_refresh_crash_leaves_old_state(spark, mv_events, tmp_path, monkeypatch)
     cursor_before = view.cursor()
 
     replay(spark, mv_events, table, ck, mode="mor")
-    import os as _os
+    real_marker = IncrementalGoldView._commit_marker
 
-    real_replace = _os.replace
+    def boom(self, version, payload):
+        raise RuntimeError("injected crash before commit marker")
 
-    def boom(src, dst):
-        if dst.endswith("cursor.json"):
-            raise RuntimeError("injected crash before cursor swap")
-        return real_replace(src, dst)
-
-    monkeypatch.setattr("fao_elt_pipelines_spark.lake.mv.os.replace", boom)
+    monkeypatch.setattr(IncrementalGoldView, "_commit_marker", boom)
     with pytest.raises(RuntimeError, match="injected crash"):
         view.refresh()
     monkeypatch.undo()
@@ -140,3 +198,18 @@ def test_refresh_crash_leaves_old_state(spark, mv_events, tmp_path, monkeypatch)
     rep = view.refresh()
     assert rep["mode"] == "incremental"
     assert _rows(view.read()) == _rows(_contrib(table.read()))
+
+    # crash between marker create and hint swap: cursor() rolls forward
+    # from the markers even though cursor.json lags
+    import json as _json
+    import os as _os
+
+    del real_marker  # (unused: the marker is hand-written to skip the hint swap)
+    cur = view.cursor()
+    nxt = dict(cur, version=cur["version"] + 1)
+    with open(
+        _os.path.join(str(tmp_path / "mv"), f"v{nxt['version']}.commit.json"), "x"
+    ) as f:
+        _json.dump(nxt, f)
+    healed = view.cursor()
+    assert healed["version"] == nxt["version"] and healed["dir"] == cur["dir"]
