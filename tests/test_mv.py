@@ -109,6 +109,29 @@ def test_refresh_falls_back_to_full_on_expired_cursor(spark, mv_events, tmp_path
     assert _rows(view.read()) == _rows(_contrib(table.read()))
 
 
+def test_refresh_survives_schema_evolution_in_interval(spark, mv_events, tmp_path):
+    """An additive schema evolution inside the change interval (merge
+    carrying a new column) must leave the incremental refresh exact:
+    old files read the new column as NULL, contributions only touch
+    (repo, content)."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
+    replay(spark, mv_events, table, ck, mode="mor")
+    view.refresh()
+
+    evolved = spark.createDataFrame(
+        [(20_000_000, "insert", "evo_repo", "a.py", "c1", "py", "body", 7)],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, stars long",
+    )
+    table.merge_changes(evolved, epoch_id=77, mode="mor")
+    rep = view.refresh()
+    assert rep["mode"] == "incremental"
+    assert _rows(view.read()) == _rows(_contrib(table.read()))
+    assert view.read().filter("repo = 'evo_repo'").count() == 1
+
+
 def test_refresh_overwrite_forces_recompute(spark, mv_events, tmp_path):
     """overwrite drops rows without tombstoned file-adds — the delta
     algebra can't see the retractions, so refresh must detect the
