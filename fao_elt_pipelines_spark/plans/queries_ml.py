@@ -887,6 +887,63 @@ ORDER BY doc_id
 """
 
 
+CONTAM_TAU = 0.1
+
+
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check — the decontamination pass a training
+    corpus runs against held-out eval sets: fraction of each candidate
+    doc's word-3-grams that also appear in the benchmark set (docs with
+    ``doc_id % 97 == 0``, a deterministic stand-in for an eval suite).
+
+    Scale shape: the benchmark shingle set is bounded by the EVAL corpus
+    (small by construction) → broadcast left-semi join against the
+    candidate shingles, then two hash aggregates; no shuffle of the
+    candidate corpus beyond its own per-doc counts. At 10^10 docs the
+    eval set stays fixed, so the broadcast stays fixed."""
+    sh = _shingle_rows(spark, sf_dir)
+    is_bench = F.col("doc_id") % 97 == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    cand = sh.filter(~is_bench)
+    sizes = cand.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        cand.join(F.broadcast(bench), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    n_cont = F.coalesce(F.col("hits"), F.lit(0)).cast("long")
+    frac = n_cont / F.col("n_shingles")
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            n_cont.alias("n_contaminated"),
+            frac.alias("contamination_frac"),
+            (frac >= CONTAM_TAU).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_TEXT_CONTAMINATION = f"""
+WITH {_SH_SQL},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+cand AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM cand GROUP BY 1),
+hits AS (
+  SELECT c.doc_id, count(*) AS h FROM cand c JOIN bench b USING (shingle)
+  GROUP BY 1
+)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(h.h, 0) AS BIGINT) AS n_contaminated,
+       coalesce(h.h, 0) / s.n_shingles AS contamination_frac,
+       coalesce(h.h, 0) / s.n_shingles >= {CONTAM_TAU} AS contaminated
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 PACK_CAPACITY = 512
 
 
@@ -978,4 +1035,5 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
     "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
+    "text_contamination": (q_text_contamination, SQL_TEXT_CONTAMINATION),
 }
