@@ -63,6 +63,7 @@ def main() -> None:
             "--mode", "mor",
             "--compact-delta-ratio", "0.25",  # round-3 size-based trigger
             "--profile", "bandwidth",
+            "--mv-dir", os.path.join(args.workdir, "mv"),
         ],
         capture_output=True, text=True, cwd=REPO,
     )
@@ -139,6 +140,30 @@ def main() -> None:
         ).fetchall()
     )
 
+    # ---- MV check: the gold view replay_job maintained must match the
+    # oracle's per-repo (live paths, byte totals) exactly
+    mv_cur, v = None, -1
+    mv_dir = os.path.join(args.workdir, "mv")
+    while os.path.exists(os.path.join(mv_dir, f"v{v + 1}.commit.json")):
+        v += 1
+    with open(os.path.join(mv_dir, f"v{v}.commit.json")) as f:
+        mv_cur = json.load(f)
+    mv_match = bool(
+        con.execute(
+            f"""
+            WITH ora AS (
+              SELECT repo, count(*) AS n_paths,
+                     CAST(sum(strlen(content)) AS BIGINT) AS total_bytes
+              FROM winners WHERE op <> 'delete' GROUP BY repo
+            ),
+            mv AS (SELECT repo, n_paths, total_bytes
+                   FROM read_parquet('{os.path.join(mv_dir, mv_cur["dir"])}/*.parquet'))
+            SELECT (SELECT count(*) FROM (SELECT * FROM ora EXCEPT SELECT * FROM mv)) = 0
+               AND (SELECT count(*) FROM (SELECT * FROM mv EXCEPT SELECT * FROM ora)) = 0
+            """
+        ).fetchone()[0]
+    )
+
     repo_match = (
         len(eng_repo) == len(ora_repo)
         and (eng_repo["repo"].values == ora_repo["repo"].values).all()
@@ -160,7 +185,8 @@ def main() -> None:
         "per_repo_match": bool(repo_match),
         "sample_rows": len(eng_sample),
         "sample_hash_match": bool(sample_match),
-        "pass": bool(repo_match and sample_match),
+        "mv_match": mv_match,
+        "pass": bool(repo_match and sample_match and mv_match),
     }
     with open(os.path.join(REPO, "BENCH", "validate_1e8.json"), "w") as f:
         json.dump(out, f, indent=1)
