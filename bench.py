@@ -40,6 +40,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # state replay rate (~1.5e5/s here), matching BENCH/BASELINE.md's series
 REPLAY_EVENTS = int(os.environ.get("BENCH_REPLAY_EVENTS", "4000000"))
 REPLAY_EPOCHS = int(os.environ.get("BENCH_REPLAY_EPOCHS", "2"))
+# Median of 3 replay trials (fresh table each, same binlog). The first
+# merge of a session pays a 3-6x one-time cost that is NOT Spark: this VM
+# first-touch-faults fresh memory (a 32-thread numpy probe shows the same
+# 4.2s -> 1.5s round-0 penalty, BENCH/BASELINE.md). At 10^10 events that
+# warmup is 0.001% of the run; the steady-state rate is the metric, and a
+# single timed trial was the one entry in this file still absorbing it.
+REPLAY_TRIALS = int(os.environ.get("BENCH_REPLAY_TRIALS", "3"))
 
 #: queries benched (all registry entries; heavier ones drive the signal)
 HEADLINE = sorted(REGISTRY.keys())
@@ -77,14 +84,20 @@ def bench_replay(spark, workdir: str) -> tuple[float, float]:
     # (partition pruning), exactly like Kafka offsets / WAL segments
     events.write.partitionBy("epoch").parquet(binlog_path)
     stored = spark.read.parquet(binlog_path)
-    table = LakeTable.create(spark, os.path.join(workdir, "state"), STATE_SCHEMA, n_buckets=64)
-    ckpt = CheckpointStore(os.path.join(workdir, "ckpt.json"))
-    t0 = time.time()
-    # merge-on-read + periodic compaction: the write-optimized CDC path
-    # (see lake.table.merge_changes; COW benched in tests/perf notes)
-    rep = replay(spark, stored, table, ckpt, mode="mor", compact_every=4)
-    dt = time.time() - t0
-    return round(dt, 3), round(rep.events_in / dt, 1)
+    times = []
+    for trial in range(max(1, REPLAY_TRIALS)):
+        table = LakeTable.create(
+            spark, os.path.join(workdir, f"state{trial}"), STATE_SCHEMA, n_buckets=64
+        )
+        ckpt = CheckpointStore(os.path.join(workdir, f"ckpt{trial}.json"))
+        t0 = time.time()
+        # merge-on-read + periodic compaction: the write-optimized CDC path
+        # (see lake.table.merge_changes; COW benched in tests/perf notes)
+        rep = replay(spark, stored, table, ckpt, mode="mor", compact_every=4)
+        times.append((time.time() - t0, rep.events_in))
+        shutil.rmtree(os.path.join(workdir, f"state{trial}"), ignore_errors=True)
+    dt, events_in = sorted(times)[len(times) // 2]
+    return round(dt, 3), round(events_in / dt, 1)
 
 
 def main() -> None:
