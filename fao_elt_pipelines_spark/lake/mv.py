@@ -76,6 +76,10 @@ KEYS = ("repo", "path")
 #: file-adds (+ tombstones) — the precondition of the delta algebra.
 #: ``overwrite`` drops every prior file without writing tombstones, so
 #: its disappearing rows would never be retracted incrementally.
+#: ``rebucket`` must stay excluded even though it moves bytes only: the
+#: interval's change entries carry OLD-layout bucket ids while the head
+#: snapshot is NEW-layout, so the touched-bucket image pruning below
+#: would read the wrong buckets — full recompute is the safe path.
 INCREMENTAL_SAFE_OPS = frozenset({"merge", "append", "compact"})
 
 

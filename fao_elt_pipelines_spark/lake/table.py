@@ -1008,7 +1008,10 @@ class LakeTable:
                 continue
             if s["snapshot_id"] > to_sid:
                 break
-            if s["operation"] == "compact":
+            if s["operation"] in ("compact", "rebucket"):
+                # bytes moved, not logical state: every row these rewrites
+                # carry was already delivered by the snapshot that first
+                # added it, so re-emitting them would double-deliver
                 seen.update(e["path"] for e in s["manifest"])
                 continue
             for e in s["manifest"]:
@@ -1069,6 +1072,66 @@ class LakeTable:
         if metrics:
             summary.update(metrics)
         return self._commit("compact", new_entries, kept, None, summary, base=(meta, base_v))
+
+    def rebucket(self, n_buckets: int, metrics: dict[str, Any] | None = None) -> int | None:
+        """Online bucket-count evolution (Iceberg partition-spec evolution
+        for the ``bucket[N]`` transform).
+
+        The bucket count is the table's parallelism knob (~2 buckets per
+        executor-core at cluster scale): a table created for an N-executor
+        cluster under-parallelizes on a 4N one — exactly the two cluster
+        sizes the scaling rule names — and the key-hash changes with N, so
+        the layout can't be migrated file-by-file. This rewrites the merged
+        state into the new layout in ONE shuffle (the same single-exchange
+        sorted LWW every merge uses, just keyed by the new bucket count)
+        and commits the data rewrite and the ``n_buckets`` metadata change
+        in the SAME CAS commit — concurrent writers that planned against
+        the old layout lose the CAS and retry against the new one, so no
+        commit can ever mix layouts.
+
+        Logical state is untouched: tombstones are preserved (they must
+        keep outranking late re-deliveries), committed-epoch ids survive
+        (exactly-once replay-skip is layout-independent), and
+        ``changes_between`` treats the rewrite like compaction — bytes
+        moved, not logical changes. Time travel to pre-rebucket snapshots
+        reads their own manifests (bucket ids are per-snapshot metadata).
+
+        Returns the committed snapshot id; no-op (returns the current id)
+        when the count is unchanged. On an empty table only the metadata
+        changes."""
+        t0 = time.time()
+        meta, base_v = self._load_versioned()
+        old_n = meta["n_buckets"]
+        if n_buckets == old_n:
+            return meta["current_snapshot_id"]
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        meta["n_buckets"] = n_buckets
+        meta["partition_spec"] = [
+            {"source": ["repo", "path"], "transform": f"bucket[{n_buckets}]"}
+        ]
+        sid = meta["current_snapshot_id"]
+        if sid is None:
+            self._write_metadata(meta, version=base_v + 1)
+            return None
+        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+        state_schema = schema_evo.registry_to_schema(meta["schema"])
+        payload_cols = [
+            f.name for f in state_schema.fields if f.name not in ("content_sha256", "last_seq")
+        ]
+        phys = self._read_entries(snap["manifest"], include_tombstones=True, merged=False)
+        ev = self._as_events(phys, payload_cols, seq_col="seq", op_col="op")
+        final = self._sorted_lww(ev, ("repo", "path"), "seq", "op", payload_cols, n_buckets)
+        new_entries = self._write_data_files(final, None, kind="base")
+        summary = {
+            "n_buckets_from": old_n,
+            "n_buckets_to": n_buckets,
+            "rows_written": sum(e["rows"] for e in new_entries),
+            "duration_sec": round(time.time() - t0, 3),
+        }
+        if metrics:
+            summary.update(metrics)
+        return self._commit("rebucket", new_entries, [], None, summary, base=(meta, base_v))
 
 
 def _state_schema_for(payload_schema: T.StructType, seq_col: str) -> T.StructType:

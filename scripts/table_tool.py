@@ -87,6 +87,8 @@ def main() -> None:
     p_mv = sub.add_parser("mv-refresh")
     p_mv.add_argument("--mv-dir", required=True)
     p_mv.add_argument("--full", action="store_true")
+    p_rb = sub.add_parser("rebucket")
+    p_rb.add_argument("--n-buckets", type=int, required=True)
     p_chg = sub.add_parser("changes")
     p_chg.add_argument("--from-snapshot", type=int, default=None)
     p_chg.add_argument("--to-snapshot", type=int, default=None)
@@ -118,6 +120,9 @@ def main() -> None:
 
         view = IncrementalGoldView(spark, table, args.mv_dir)
         print(json.dumps(view.refresh(full=args.full)))
+    elif args.cmd == "rebucket":
+        sid = table.rebucket(args.n_buckets)
+        print(json.dumps({"rebucket_snapshot_id": sid, "n_buckets": args.n_buckets}))
     elif args.cmd == "expire":
         print(json.dumps(table.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "changes":

@@ -870,3 +870,99 @@ def test_epoch_batch_respects_max_epochs(spark, events, events_parquet, tmp_path
     # resume with no cap applies the rest exactly once
     rep2 = replay(spark, stored, t, ck, mode="mor", epoch_batch=8)
     assert set(rep2.epochs_applied) == set(range(N_EVENTS // EPOCH)) - {0, 1}
+
+
+def test_rebucket_online_layout_evolution(spark, events, events_parquet, tmp_path):
+    """Bucket-count evolution (Iceberg partition-spec evolution for
+    bucket[N]): rewrite into a new layout without changing logical state.
+    Exactly-once, tombstones, point lookups, incremental reads, and time
+    travel must all survive the layout change."""
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=8)
+    ckpt = CheckpointStore(str(tmp_path / "ckpt.json"))
+    replay(spark, events, table, ckpt, mode="mor")
+    want = oracle_state(events_parquet)
+    pre_sid = table.current_snapshot()["snapshot_id"]
+    pre_tombstones = table.read(include_tombstones=True).filter("_is_deleted").count()
+    assert pre_tombstones > 0  # the generator emits deletes
+
+    # no-op when the count is unchanged: same snapshot, no rewrite
+    assert table.rebucket(8) == pre_sid
+
+    sid = table.rebucket(48)
+    assert sid == pre_sid + 1
+    assert table.n_buckets == 48
+
+    def state():
+        return {
+            (r["repo"], r["path"]): (r["commit"], r["lang"], r["content_sha256"], r["last_seq"])
+            for r in table.read().collect()
+        }
+
+    # logical state identical; tombstones physically preserved
+    assert state() == want
+    assert table.read(include_tombstones=True).filter("_is_deleted").count() == pre_tombstones
+    snap = table.current_snapshot()
+    assert all(e["kind"] == "base" for e in snap["manifest"])
+    assert max(e["bucket"] for e in snap["manifest"]) >= 8  # new layout in effect
+
+    # tombstone still outranks a late re-delivery of an older event
+    dead = table.read(include_tombstones=True).filter("_is_deleted").first()
+    late = spark.createDataFrame(
+        [(dead["repo"], dead["path"], "c0", "py", "zombie", int(dead["last_seq"]) - 1, "upsert", 999)],
+        "repo string, path string, commit string, lang string, content string, seq long, op string, epoch int",
+    )
+    table.merge_changes(late, epoch_id=999, mode="mor")
+    assert table.lookup(dead["repo"], dead["path"]).count() == 0
+
+    # exactly-once is layout-independent: even with the checkpoint hint
+    # lost, a full re-replay recognizes every epoch from the (rebucketed)
+    # table's snapshot log and applies nothing
+    rep = replay(spark, events, table, CheckpointStore(str(tmp_path / "ckpt2.json")), mode="mor")
+    assert rep.epochs_applied == []
+    assert set(rep.epochs_skipped) == set(range(N_EVENTS // EPOCH))
+
+    # point lookup prunes to one NEW-layout bucket
+    (repo, path), (commit, lang, sha, last_seq) = next(iter(want.items()))
+    df = table.lookup(repo, path)
+    assert df.count() == 1
+    by_bucket: dict[int, set] = {}
+    for e in table.current_snapshot()["manifest"]:
+        by_bucket.setdefault(e["bucket"], set()).add(e["path"])
+    touched = {f.removeprefix("file://") for f in df.inputFiles()}
+    owners = {b for b, files in by_bucket.items() if touched & files}
+    assert len(owners) == 1
+
+    # incremental read across the rebucket: the rewrite is bytes moved,
+    # not logical changes — only the post-rebucket late merge shows up
+    chg = table.changes_between(pre_sid)
+    assert chg.count() == 1 and chg.first()["seq" if "seq" in chg.columns else "last_seq"] is not None
+
+    # time travel to the pre-rebucket snapshot reads the OLD manifest
+    old = table.read(snapshot_id=pre_sid)
+    got_old = {
+        (r["repo"], r["path"]): (r["commit"], r["lang"], r["content_sha256"], r["last_seq"])
+        for r in old.collect()
+    }
+    assert got_old == want
+
+    # a subsequent merge lands in the new layout and stays consistent
+    extra = binlog.change_events(
+        spark, N_EVENTS + 2000, n_repos=100, paths_per_repo=50, events_per_epoch=EPOCH
+    ).filter(F.col("seq") >= N_EVENTS)
+    table.merge_changes(extra, epoch_id=1000, mode="cow")
+    st = table.read()
+    assert st.groupBy("repo", "path").count().filter("count > 1").count() == 0
+    assert st.filter(F.sha2(F.col("content"), 256) != F.col("content_sha256")).count() == 0
+
+
+def test_rebucket_empty_table_metadata_only(spark, tmp_path):
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+    assert table.rebucket(16) is None
+    assert table.n_buckets == 16
+    table.append(
+        spark.createDataFrame(
+            [("r", "p", "c", "py", "x", 1)],
+            "repo string, path string, commit string, lang string, content string, last_seq long",
+        )
+    )
+    assert {e["bucket"] for e in table.current_snapshot()["manifest"]} <= set(range(16))

@@ -236,3 +236,32 @@ def test_refresh_crash_leaves_old_state(spark, mv_events, tmp_path, monkeypatch)
         _json.dump(nxt, f)
     healed = view.cursor()
     assert healed["version"] == nxt["version"] and healed["dir"] == cur["dir"]
+
+
+def test_refresh_rebucket_forces_recompute(spark, mv_events, tmp_path):
+    """A rebucket inside the refresh interval remaps keys across buckets:
+    pre-rebucket change entries carry OLD-layout bucket ids, so the
+    touched-bucket image pruning would read the wrong buckets. Refresh
+    must detect the operation and recompute — and an interval with a
+    rebucket PLUS a later merge must still end exactly equal to the full
+    aggregate."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
+    replay(spark, mv_events, table, ck, mode="mor", max_epochs=3)
+    view.refresh()
+
+    table.rebucket(24)
+    replay(spark, mv_events, table, ck, mode="mor")  # final epoch, new layout
+    rep = view.refresh()
+    assert rep["mode"] == "full" and rep["reason"] == "non-incremental operation in interval"
+    assert _rows(view.read()) == _rows(_contrib(table.read()))
+
+    # next interval (merge only, new layout) is incremental again
+    extra = binlog.change_events(
+        spark, 18_000, n_repos=60, paths_per_repo=40, events_per_epoch=4_000
+    ).filter(F.col("seq") >= 16_000)
+    table.merge_changes(extra, epoch_id=50, mode="mor")
+    rep = view.refresh()
+    assert rep["mode"] == "incremental"
+    assert _rows(view.read()) == _rows(_contrib(table.read()))
