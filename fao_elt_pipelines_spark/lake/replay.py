@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .checkpoint import CheckpointStore
+from .quarantine import split_malformed, write_dead_letters
 from .table import LakeTable
 
 
@@ -68,6 +69,7 @@ def replay(
     merge_strategy: str | None = None,
     compact_delta_ratio: float | None = None,
     epoch_batch: int = 1,
+    quarantine_dir: str | None = None,
 ) -> ReplayReport:
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.
@@ -94,6 +96,14 @@ def replay(
     (predicate pushdown on ``epoch``); at 100 TB the binlog would be a
     parquet/Kafka source partitioned by epoch and this filter becomes
     partition pruning.
+
+    ``quarantine_dir``: dead-letter handling (lake.quarantine). Malformed
+    events — null/empty key, null seq, unknown op, payload-less upsert —
+    are diverted to an epoch-partitioned quarantine table with a reason
+    column instead of poisoning the merge; the valid remainder applies
+    normally and ``rows_quarantined`` lands in the merge's lineage
+    metrics. Without it (default), the contract stays what it was: the
+    source is trusted to be well-formed.
     """
     t0 = time.time()
     rep = ReplayReport()
@@ -143,6 +153,13 @@ def replay(
             if e_lo == e_hi
             else F.col(epoch_col).between(e_lo, e_hi)
         )
+        n_bad = 0
+        if quarantine_dir is not None:
+            # split BEFORE stats/merge: null-seq rows must not feed the
+            # expiry guard's min(seq), and the applied-event count should
+            # mean applied events
+            batch, bad = split_malformed(batch)
+            n_bad = write_dead_letters(bad, quarantine_dir, epoch_col)
         seq_lo = None
         if collect_delta_stats:
             # exact per-group stats: one extra column-pruned scan of the slice
@@ -169,7 +186,11 @@ def replay(
         sid = table.merge_changes(
             batch,
             epoch_id=group[0] if len(group) == 1 else group,
-            metrics={"rows_in_delta": n, "source": source},
+            metrics={
+                "rows_in_delta": n,
+                "source": source,
+                **({"rows_quarantined": n_bad} if quarantine_dir is not None else {}),
+            },
             mode=mode, strategy=merge_strategy,
         )
         if seq_hi is None:

@@ -959,7 +959,65 @@ GROUP BY user_id, session_id
 """
 
 
+def q_cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter classification (lake.quarantine): the derived binlog is
+    well-formed by construction, so malformations are injected
+    deterministically per event id — null path, null seq, protocol-unknown
+    op, payload-less upsert — mirroring text_redact_pii's injection
+    pattern. The reason column comes from the ENGINE's own classifier
+    (``malformed_reason``), so the oracle differentially checks the exact
+    whole-stage-codegen CASE that ``replay(quarantine_dir=...)`` splits on,
+    including its reason precedence (key > seq > op > payload)."""
+    from ..lake.quarantine import malformed_reason
+
+    b = _derived_binlog(spark, sf_dir)
+    inj = b.select(
+        F.col("seq").alias("event_id"),
+        F.col("repo"),
+        F.when(F.col("seq") % 41 == 7, F.lit(None).cast("string"))
+        .otherwise(F.col("path"))
+        .alias("path"),
+        F.when(F.col("seq") % 53 == 17, F.lit(None).cast("long"))
+        .otherwise(F.col("seq"))
+        .alias("seq"),
+        F.when(F.col("seq") % 43 == 11, F.lit("noop")).otherwise(F.col("op")).alias("op"),
+        F.when((F.col("seq") % 59 == 23) & (F.col("op") != "delete"), F.lit(None).cast("string"))
+        .otherwise(F.col("content"))
+        .alias("content"),
+    )
+    tagged = inj.withColumn("reason", malformed_reason())
+    return tagged.filter(F.col("reason").isNotNull()).select(
+        "event_id", "repo", "op", "reason"
+    )
+
+
+SQL_CDC_QUARANTINE = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+inj AS (
+  SELECT seq AS event_id,
+         repo,
+         CASE WHEN seq % 41 = 7 THEN NULL ELSE path END AS path,
+         CASE WHEN seq % 53 = 17 THEN NULL ELSE seq END AS seq_inj,
+         CASE WHEN seq % 43 = 11 THEN 'noop' ELSE op END AS op,
+         CASE WHEN seq % 59 = 23 AND op <> 'delete' THEN NULL ELSE content END AS content
+  FROM binlog
+),
+tagged AS (
+  SELECT event_id, repo, op,
+         CASE WHEN repo IS NULL OR repo = '' OR path IS NULL OR path = '' THEN 'null_key'
+              WHEN seq_inj IS NULL THEN 'null_seq'
+              WHEN op IS NULL
+                   OR op NOT IN ('insert','update','upsert','delete','base') THEN 'unknown_op'
+              WHEN op <> 'delete' AND content IS NULL THEN 'null_content'
+         END AS reason
+  FROM inj
+)
+SELECT event_id, repo, op, reason FROM tagged WHERE reason IS NOT NULL
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
+    "cdc_quarantine": (q_cdc_quarantine, SQL_CDC_QUARANTINE),
     "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
     "sliding_window_counts": (q_sliding_window_counts, SQL_SLIDING_WINDOW_COUNTS),
     "session_window_counts": (q_session_window_counts, SQL_SESSION_WINDOW_COUNTS),

@@ -83,6 +83,12 @@ def main() -> None:
         "runs apply only the change interval since the view's cursor",
     )
     ap.add_argument(
+        "--quarantine-dir", default=None,
+        help="divert malformed events (null key/seq, unknown op, "
+        "payload-less upsert) to this epoch-partitioned dead-letter "
+        "table instead of merging them (lake/quarantine.py)",
+    )
+    ap.add_argument(
         "--fast-stats", action="store_true",
         help="skip the per-epoch delta pre-scan; seq_hi from written-file "
         "parquet bounds (events_in then derived from the seq span — exact "
@@ -122,6 +128,7 @@ def main() -> None:
         epoch_batch=args.epoch_batch,
         collect_delta_stats=not args.fast_stats,
         merge_strategy=None if args.strategy == "auto" else args.strategy,
+        quarantine_dir=args.quarantine_dir,
     )
     dt = time.time() - t0
     mv_report = None

@@ -966,3 +966,81 @@ def test_rebucket_empty_table_metadata_only(spark, tmp_path):
         )
     )
     assert {e["bucket"] for e in table.current_snapshot()["manifest"]} <= set(range(16))
+
+
+def test_replay_quarantines_malformed_events(spark, events, events_parquet, tmp_path):
+    """Dead-letter split: malformed events (null key, null seq, unknown op,
+    payload-less upsert) land in the epoch-partitioned quarantine table
+    with a reason, the valid remainder merges normally, and a re-applied
+    epoch rewrites (not duplicates) its own dead letters."""
+    from fao_elt_pipelines_spark.lake.quarantine import read_dead_letters
+
+    bad = spark.createDataFrame(
+        [
+            (None, "p1", "c", "py", "x", 10_000_000, "insert", 0),      # null_key
+            ("", "p2", "c", "py", "x", 10_000_001, "insert", 0),        # null_key (empty)
+            ("r3", "p3", "c", "py", "x", None, "insert", 1),            # null_seq
+            ("r4", "p4", "c", "py", "x", 10_000_002, "chaos", 1),       # unknown_op
+            ("r5", "p5", "c", "py", None, 10_000_003, "update", 2),     # null_content
+            (None, "p6", "c", "py", None, None, "chaos", 3),            # precedence: null_key
+        ],
+        "repo string, path string, commit string, lang string, content string, seq long, op string, epoch int",
+    )
+    dirty = events.unionByName(bad.withColumn("ingest_ts", F.lit(None).cast("timestamp")), allowMissingColumns=True) \
+        if "ingest_ts" in events.columns else events.unionByName(bad)
+    qdir = str(tmp_path / "dead_letters")
+
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=8)
+    rep = replay(
+        spark, dirty, table, CheckpointStore(str(tmp_path / "c1.json")),
+        mode="mor", quarantine_dir=qdir,
+    )
+    assert rep.events_in == N_EVENTS  # applied = valid events only
+
+    # final state is exactly the clean-stream oracle: no malformed row
+    # leaked into the merge, no valid row was lost to the split
+    got = {
+        (r["repo"], r["path"]): (r["commit"], r["lang"], r["content_sha256"], r["last_seq"])
+        for r in table.read().collect()
+    }
+    assert got == oracle_state(events_parquet)
+
+    dl = read_dead_letters(spark, qdir)
+    rows = {(r["path"], r["_dead_letter_reason"]) for r in dl.collect()}
+    assert rows == {
+        ("p1", "null_key"), ("p2", "null_key"), ("p3", "null_seq"),
+        ("p4", "unknown_op"), ("p5", "null_content"), ("p6", "null_key"),
+    }
+    # epoch lineage preserved on the dead letters themselves
+    assert {r["epoch"] for r in dl.collect()} == {0, 1, 2, 3}
+    # ...and in the merge metrics
+    by_epoch = {m["epoch_id"]: m.get("rows_quarantined") for m in rep.metrics}
+    assert by_epoch[0] == 2 and by_epoch[1] == 2 and by_epoch[2] == 1 and by_epoch[3] == 1
+
+    # re-apply with a lost checkpoint: table-level exactly-once skips the
+    # merges, and the dead letters are NOT re-split (no epoch re-applies),
+    # so the quarantine table is unchanged — not doubled
+    rep2 = replay(
+        spark, dirty, table, CheckpointStore(str(tmp_path / "c2.json")),
+        mode="mor", quarantine_dir=qdir,
+    )
+    assert rep2.epochs_applied == []
+    assert read_dead_letters(spark, qdir).count() == 6
+
+    # crash-retry idempotency at the epoch grain: force epoch 0 to re-apply
+    # on a FRESH table — its dead letters overwrite partition epoch=0 only
+    t2 = LakeTable.create(spark, str(tmp_path / "state2"), STATE_SCHEMA, n_buckets=8)
+    replay(spark, dirty, t2, CheckpointStore(str(tmp_path / "c3.json")),
+           mode="mor", quarantine_dir=qdir, max_epochs=1)
+    dl2 = read_dead_letters(spark, qdir)
+    assert dl2.filter("epoch = 0").count() == 2
+    assert dl2.count() == 6  # other epochs' letters untouched
+
+
+def test_replay_without_quarantine_unchanged(spark, events, events_parquet, tmp_path):
+    """Default path (no quarantine_dir) must not change: well-formed
+    streams replay identically with the feature off."""
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=8)
+    rep = replay(spark, events, table, CheckpointStore(str(tmp_path / "c.json")), mode="mor")
+    assert rep.events_in == N_EVENTS
+    assert all("rows_quarantined" not in m for m in rep.metrics)
