@@ -56,6 +56,18 @@ class CheckpointStore:
         doc["expiry"][source] = max(cur, watermark)
         self._write(doc)
 
+    def bootstrap_watermark(self, source: str = "binlog") -> int | None:
+        """Consistent-snapshot seq of the initial load (lake.bootstrap):
+        replay filters the binlog to ``seq > watermark`` because everything
+        at or below it is already reflected in the snapshot rows. Kept
+        outside ``sources`` for the same reason as the expiry watermark."""
+        return self.load().get("bootstrap", {}).get(source)
+
+    def set_bootstrap_watermark(self, source: str, watermark: int) -> None:
+        doc = self.load()
+        doc.setdefault("bootstrap", {})[source] = watermark
+        self._write(doc)
+
     def _write(self, doc: dict[str, Any]) -> None:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:

@@ -107,6 +107,16 @@ def replay(
     """
     t0 = time.time()
     rep = ReplayReport()
+    wm_boot = checkpoint.bootstrap_watermark(source)
+    if wm_boot is not None:
+        # snapshot-bootstrap handoff (lake.bootstrap): everything at or
+        # below the watermark is already reflected in the snapshot rows.
+        # Declarative filter → parquet pushdown, so epochs fully below the
+        # watermark drop out of the bounds agg and the epoch loop entirely
+        # (they cost a stats-pruned scan, not an apply). Correctness never
+        # depends on it: sub-watermark events would lose LWW to the
+        # snapshot rows anyway.
+        events = events.filter(F.col("seq") > int(wm_boot))
     bounds = events.agg(
         F.min(epoch_col).alias("lo"), F.max(epoch_col).alias("hi")
     ).collect()[0]

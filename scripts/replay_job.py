@@ -83,6 +83,22 @@ def main() -> None:
         "runs apply only the change interval since the view's cursor",
     )
     ap.add_argument(
+        "--bootstrap-snapshot", default=None,
+        help="parquet path of a full source snapshot to load before "
+        "tailing the binlog (Debezium-style initial load; lake/bootstrap.py)",
+    )
+    ap.add_argument(
+        "--bootstrap-watermark", type=int, default=None,
+        help="log position the snapshot is consistent as of; replay then "
+        "tails the binlog from seq > watermark (required with "
+        "--bootstrap-snapshot)",
+    )
+    ap.add_argument(
+        "--bootstrap-seq-col", default=None,
+        help="snapshot column carrying per-row seqs (exact last_seq parity); "
+        "omit to load every row at the watermark",
+    )
+    ap.add_argument(
         "--quarantine-dir", default=None,
         help="divert malformed events (null key/seq, unknown op, "
         "payload-less upsert) to this epoch-partitioned dead-letter "
@@ -118,6 +134,17 @@ def main() -> None:
     else:
         table = LakeTable(spark, args.table)
     ckpt = CheckpointStore(args.checkpoint)
+
+    if args.bootstrap_snapshot:
+        if args.bootstrap_watermark is None:
+            ap.error("--bootstrap-snapshot requires --bootstrap-watermark")
+        from fao_elt_pipelines_spark.lake.bootstrap import bootstrap_snapshot
+
+        bootstrap_snapshot(
+            spark.read.parquet(args.bootstrap_snapshot), table, ckpt,
+            watermark_seq=args.bootstrap_watermark,
+            seq_col=args.bootstrap_seq_col, mode=args.mode,
+        )
 
     start_seq = ckpt.load()["sources"].get("binlog", {}).get("seq_hi", -1)
     t0 = time.time()
