@@ -70,6 +70,7 @@ def replay(
     compact_delta_ratio: float | None = None,
     epoch_batch: int = 1,
     quarantine_dir: str | None = None,
+    wap_audit: Callable[[LakeTable, str, dict[str, Any]], list[str]] | None = None,
 ) -> ReplayReport:
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.
@@ -104,6 +105,13 @@ def replay(
     normally and ``rows_quarantined`` lands in the merge's lineage
     metrics. Without it (default), the contract stays what it was: the
     source is trusted to be well-formed.
+
+    ``wap_audit``: write-audit-publish (lake.wap). Each group merges onto
+    a staging branch, the audit runs against the staged commit, and only a
+    pass fast-forwards main — consumers never see an epoch that fails its
+    checks. A failing audit raises WapAuditError with the checkpoint NOT
+    advanced and main untouched; the epoch stays pending for a fixed
+    source to re-offer. Costs two metadata-only CAS commits per group.
     """
     t0 = time.time()
     rep = ReplayReport()
@@ -193,16 +201,26 @@ def replay(
                 # armed.
                 seq_lo = batch.agg(F.min("seq").alias("lo")).collect()[0]["lo"]
                 _check_expiry_precondition(e_lo, seq_lo, expiry_watermark)
-        sid = table.merge_changes(
-            batch,
-            epoch_id=group[0] if len(group) == 1 else group,
-            metrics={
-                "rows_in_delta": n,
-                "source": source,
-                **({"rows_quarantined": n_bad} if quarantine_dir is not None else {}),
-            },
-            mode=mode, strategy=merge_strategy,
-        )
+        merge_metrics = {
+            "rows_in_delta": n,
+            "source": source,
+            **({"rows_quarantined": n_bad} if quarantine_dir is not None else {}),
+        }
+        if wap_audit is not None:
+            from .wap import wap_merge
+
+            wap_merge(
+                table, batch, group[0] if len(group) == 1 else group,
+                audit=wap_audit, source=source,
+                metrics=merge_metrics, mode=mode, strategy=merge_strategy,
+            )
+        else:
+            table.merge_changes(
+                batch,
+                epoch_id=group[0] if len(group) == 1 else group,
+                metrics=merge_metrics,
+                mode=mode, strategy=merge_strategy,
+            )
         if seq_hi is None:
             # seq bounds from the committed files' parquet column stats — no
             # extra scan of the delta (manifest stats, lake.table); entries
@@ -263,9 +281,11 @@ def replay(
             raise RuntimeError(f"injected failure after {applied} epochs")
     rep.duration_sec = time.time() - t0
     if collect_metrics:
+        # published lineage only: staged/abandoned branch snapshots in the
+        # log never became part of the table's history
         rep.metrics = [
             {**s["summary"], "epoch_id": s["epoch_id"], "snapshot_id": s["snapshot_id"]}
-            for s in table.snapshots()
+            for s in table.history()
             if s["operation"] == "merge"
         ]
     return rep

@@ -67,6 +67,14 @@ class CommitConflictError(RuntimeError):
     epoch retry is the idempotent recovery path."""
 
 
+class PublishConflictError(CommitConflictError):
+    """``publish`` found the target branch moved since the source branch
+    forked from it — the fast-forward is impossible. Recovery: re-run the
+    whole write-audit-publish cycle against the new head (the staged
+    snapshots are abandoned; their epochs were never published, so the
+    retry re-merges them)."""
+
+
 def bucket_expr(n_buckets: int, key_cols: tuple[str, str] = ("repo", "path")) -> F.Column:
     """Partition bucket = hash of the MERGE key.
 
@@ -165,6 +173,11 @@ class LakeTable:
             "partition_spec": [{"source": ["repo", "path"], "transform": f"bucket[{n_buckets}]"}],
             "current_snapshot_id": None,
             "snapshots": [],
+            # Iceberg's refs model: named pointers into the snapshot log.
+            # "main" is the branch every default read/write targets;
+            # additional branches stage unpublished commits (write-audit-
+            # publish) and tags pin snapshots against expiry.
+            "refs": {"main": {"snapshot_id": None, "type": "branch"}},
         }
         t._write_metadata(meta, version=0)
         return t
@@ -273,22 +286,142 @@ class LakeTable:
     def snapshots(self) -> list[dict[str, Any]]:
         return self._load_metadata()["snapshots"]
 
-    def current_snapshot(self) -> dict[str, Any] | None:
+    # ----------------------------------------------------------------- refs
+    @staticmethod
+    def _refs(meta: dict[str, Any]) -> dict[str, dict[str, Any]]:
+        """The table's named refs; pre-refs metadata synthesizes ``main``
+        from ``current_snapshot_id`` (back-compat with existing tables)."""
+        refs = meta.get("refs")
+        if refs is None:
+            refs = {"main": {"snapshot_id": meta["current_snapshot_id"], "type": "branch"}}
+            meta["refs"] = refs
+        return refs
+
+    def refs(self) -> dict[str, dict[str, Any]]:
+        return self._refs(self._load_metadata())
+
+    def history(self, ref: str = "main") -> list[dict[str, Any]]:
+        """Snapshots on ``ref``'s ancestry, oldest first — the published
+        lineage (staged/abandoned branch snapshots in the log are not
+        part of any history until published)."""
         meta = self._load_metadata()
-        sid = meta["current_snapshot_id"]
+        return self._ancestry(meta, self._head(meta, ref))
+
+    def _head(self, meta: dict[str, Any], ref: str) -> int | None:
+        refs = self._refs(meta)
+        if ref not in refs:
+            raise ValueError(f"unknown ref {ref!r}; have {sorted(refs)}")
+        return refs[ref]["snapshot_id"]
+
+    @staticmethod
+    def _ancestry(meta: dict[str, Any], sid: int | None) -> list[dict[str, Any]]:
+        """Snapshots reachable from ``sid`` via parent links, oldest first.
+        Chains are cut where a parent was expired — exactly Iceberg's
+        behavior: history before the expiry horizon is gone."""
+        by_id = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        chain: list[dict[str, Any]] = []
+        cur = sid
+        while cur is not None and cur in by_id:
+            s = by_id[cur]
+            chain.append(s)
+            cur = s.get("parent_id")
+        chain.reverse()
+        return chain
+
+    def current_snapshot(self, ref: str = "main") -> dict[str, Any] | None:
+        meta = self._load_metadata()
+        sid = self._head(meta, ref)
         if sid is None:
             return None
         return next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
 
-    def committed_epochs(self) -> set[int]:
+    def committed_epochs(self, ref: str = "main") -> set[int]:
+        """Epoch ids the exactly-once skip treats as done: those committed
+        on ``ref``'s ancestry (NOT on other branches — a WAP-staged epoch
+        whose branch was never published must be re-appliable) plus epochs
+        whose snapshots expiry dropped from main's history."""
         meta = self._load_metadata()
         out: set[int] = set(meta.get("expired_epochs", []))  # expiry may drop
         # the snapshot, never the exactly-once guarantee
-        for s in meta["snapshots"]:
+        for s in self._ancestry(meta, self._head(meta, ref)):
             if s.get("epoch_id") is not None:
                 out.add(s["epoch_id"])
             out.update(s.get("epoch_ids") or [])  # batched-group commits
         return out
+
+    def create_branch(
+        self, name: str, at_snapshot_id: int | None = None, reset: bool = False
+    ) -> None:
+        """Create (or with ``reset=True``, create-or-move) a branch ref.
+        ``at_snapshot_id=None`` forks from the current main head. A
+        metadata-only CAS commit — no data is touched."""
+        self._ref_commit("branch", name, at_snapshot_id, reset)
+
+    def create_tag(self, name: str, at_snapshot_id: int | None = None) -> None:
+        """Pin a snapshot under an immutable name. Tagged snapshots survive
+        ``expire_snapshots`` regardless of the retention window (audit
+        holds, reproducibility pins for a training-data cut)."""
+        self._ref_commit("tag", name, at_snapshot_id, reset=False)
+
+    def _ref_commit(
+        self, kind: str, name: str, at_snapshot_id: int | None, reset: bool
+    ) -> None:
+        if name == "main":
+            raise ValueError("main cannot be recreated or retargeted directly")
+        meta, base_v = self._load_versioned()
+        refs = self._refs(meta)
+        if name in refs and not (reset and refs[name]["type"] == "branch"):
+            raise ValueError(f"ref {name!r} already exists")
+        sid = at_snapshot_id if at_snapshot_id is not None else meta["current_snapshot_id"]
+        if sid is not None and not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
+            raise ValueError(f"snapshot {sid} not found (expired, or never existed)")
+        if kind == "tag" and sid is None:
+            raise ValueError("a tag must point at a snapshot; the table is empty")
+        refs[name] = {"snapshot_id": sid, "type": kind}
+        self._write_metadata(meta, version=base_v + 1)
+
+    def drop_ref(self, name: str) -> None:
+        """Delete a branch or tag ref. The snapshots it pointed at stay in
+        the log until ``expire_snapshots`` collects the unreachable ones
+        (their epoch ids are NOT preserved — unpublished work never
+        happened, as far as exactly-once is concerned)."""
+        if name == "main":
+            raise ValueError("main cannot be dropped")
+        meta, base_v = self._load_versioned()
+        refs = self._refs(meta)
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        del refs[name]
+        self._write_metadata(meta, version=base_v + 1)
+
+    def publish(self, branch: str, to: str = "main", drop: bool = True) -> int | None:
+        """Fast-forward ``to`` onto ``branch``'s head — the atomic PUBLISH
+        of write-audit-publish. Readers of ``to`` see either none or all of
+        the staged snapshots, never an intermediate; the commit is the same
+        metadata CAS every write uses, so a concurrent commit on ``to``
+        surfaces as PublishConflictError (re-run the WAP cycle) rather than
+        being clobbered. Returns the published head snapshot id."""
+        meta, base_v = self._load_versioned()
+        refs = self._refs(meta)
+        head = self._head(meta, branch)
+        if refs.get(branch, {}).get("type") == "tag":
+            raise ValueError(f"{branch!r} is a tag; only branches publish")
+        to_head = self._head(meta, to)
+        if head != to_head:
+            ancestors = {s["snapshot_id"] for s in self._ancestry(meta, head)}
+            if to_head is not None and to_head not in ancestors:
+                raise PublishConflictError(
+                    f"branch {to!r} moved to snapshot {to_head} since "
+                    f"{branch!r} forked; fast-forward impossible — re-run "
+                    "the write-audit-publish cycle against the new head"
+                )
+            refs[to] = {"snapshot_id": head, "type": "branch"}
+            if to == "main":
+                meta["current_snapshot_id"] = head
+        if drop and branch in refs:
+            del refs[branch]
+        self._write_metadata(meta, version=base_v + 1)
+        return head
 
     def _physical_schema(self, logical: T.StructType) -> T.StructType:
         return T.StructType(list(logical.fields) + [T.StructField(TOMBSTONE_COL, T.BooleanType(), True)])
@@ -350,12 +483,36 @@ class LakeTable:
         clean = [e for e in entries if e["bucket"] not in delta_buckets]
         return touched, clean
 
-    def read(self, snapshot_id: int | None = None, include_tombstones: bool = False) -> DataFrame:
-        """Read the table at a snapshot (default: current). Time travel =
-        pass any historical snapshot id. Tombstones are hidden unless asked
-        for; MOR delta files are LWW-merged transparently."""
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        include_tombstones: bool = False,
+        ref: str = "main",
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot (default: current main head). Time
+        travel = pass a historical snapshot id, a ``ref`` (branch or tag
+        name), or ``as_of_ms`` (the latest snapshot on ``ref``'s ancestry
+        committed at or before that wall-clock ms — Iceberg's
+        FOR TIMESTAMP AS OF). Tombstones are hidden unless asked for; MOR
+        delta files are LWW-merged transparently."""
         meta = self._load_metadata()
-        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+        if snapshot_id is not None:
+            sid = snapshot_id
+        elif as_of_ms is not None:
+            chain = [
+                s
+                for s in self._ancestry(meta, self._head(meta, ref))
+                if s["timestamp_ms"] <= as_of_ms
+            ]
+            if not chain:
+                raise ValueError(
+                    f"no snapshot on {ref!r} at or before {as_of_ms} "
+                    "(before table history, or expired)"
+                )
+            sid = chain[-1]["snapshot_id"]
+        else:
+            sid = self._head(meta, ref)
         if sid is None:
             return self._read_entries([], include_tombstones)
         snap = next((s for s in meta["snapshots"] if s["snapshot_id"] == sid), None)
@@ -505,6 +662,7 @@ class LakeTable:
         summary: dict[str, Any],
         base: tuple[dict[str, Any], int] | None = None,
         epoch_ids: list[int] | None = None,
+        branch: str = "main",
     ) -> int:
         # ``base`` = the (metadata, version) the caller's plan was built
         # FROM (its kept_entries / touched-bucket pruning). Committing
@@ -513,8 +671,14 @@ class LakeTable:
         # kept_entries — the CAS must target base_version + 1 so that
         # interleaving surfaces as CommitConflictError instead.
         meta, base_v = base if base is not None else self._load_versioned()
-        parent = meta["current_snapshot_id"]
-        sid = (parent or 0) + 1
+        refs = self._refs(meta)
+        if refs.get(branch, {}).get("type") == "tag":
+            raise ValueError(f"{branch!r} is a tag; tags are immutable")
+        parent = self._head(meta, branch)
+        # ids are allocated across ALL branches (max over the log), so a
+        # snapshot id names one commit globally and publish is a pure
+        # pointer move
+        sid = max((s["snapshot_id"] for s in meta["snapshots"]), default=0) + 1
         manifest = kept_entries + new_entries
         # The manifest file is written ONCE, immutably, before the metadata
         # CAS (uuid-suffixed so racing writers targeting the same sid never
@@ -544,14 +708,16 @@ class LakeTable:
             self.meta_dir,
         )
         meta["snapshots"].append(snap)
-        meta["current_snapshot_id"] = sid
+        refs[branch] = {"snapshot_id": sid, "type": "branch"}
+        if branch == "main":
+            meta["current_snapshot_id"] = sid
         self._write_metadata(meta, version=base_v + 1)
         return sid
 
-    def append(self, df: DataFrame, epoch_id: int | None = None) -> int:
+    def append(self, df: DataFrame, epoch_id: int | None = None, branch: str = "main") -> int:
         """Snapshot-append (reference S10 batch-append sink analogue,
         ``/root/reference/ingestion/load_to_database.py:32-68``)."""
-        if epoch_id is not None and epoch_id in self.committed_epochs():
+        if epoch_id is not None and epoch_id in self.committed_epochs(ref=branch):
             return self._load_metadata()["current_snapshot_id"]
         meta, base_v = self._load_versioned()
         new_schema = schema_evo.reconcile(meta["schema"], df.schema)
@@ -560,7 +726,7 @@ class LakeTable:
             "_bucket", bucket_expr(meta["n_buckets"])
         )
         entries = self._write_data_files(dfb, epoch_id)
-        sid = meta["current_snapshot_id"]
+        sid = self._head(meta, branch)
         kept = (
             next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)["manifest"]
             if sid is not None
@@ -573,7 +739,7 @@ class LakeTable:
         return self._commit(
             "append", entries, kept, epoch_id,
             {"rows_appended": sum(e["rows"] for e in entries)},
-            base=(meta, base_v),
+            base=(meta, base_v), branch=branch,
         )
 
     def overwrite(self, df: DataFrame, epoch_id: int | None = None) -> int:
@@ -714,6 +880,7 @@ class LakeTable:
         metrics: dict[str, Any] | None = None,
         mode: str = "cow",
         strategy: str | None = None,
+        branch: str = "main",
     ) -> int:
         """MERGE a change-event batch into the state table.
 
@@ -764,7 +931,7 @@ class LakeTable:
         eids = epoch_id if isinstance(epoch_id, list) else (
             [epoch_id] if epoch_id is not None else []
         )
-        if eids and set(eids) <= self.committed_epochs():
+        if eids and set(eids) <= self.committed_epochs(ref=branch):
             return self._load_metadata()["current_snapshot_id"]
         epoch_id = eids[-1] if eids else None  # scalar tag: lineage + summary
 
@@ -798,7 +965,7 @@ class LakeTable:
             F.col(seq_col).cast("long").alias(seq_col),
             F.col(op_col).alias(op_col),
         )
-        sid = meta["current_snapshot_id"]
+        sid = self._head(meta, branch)
         snap = (
             next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
             if sid is not None
@@ -820,7 +987,7 @@ class LakeTable:
                 summary.update(metrics)
             return self._commit(
                 "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v),
-                epoch_ids=eids,
+                epoch_ids=eids, branch=branch,
             )
 
         # --- copy-on-write ---
@@ -851,7 +1018,7 @@ class LakeTable:
             summary.update(metrics)
         return self._commit(
             "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v),
-            epoch_ids=eids,
+            epoch_ids=eids, branch=branch,
         )
 
     # ---------------------------------------------------- snapshot expiry
@@ -865,17 +1032,36 @@ class LakeTable:
         every version of every bucket forever.
 
         Time travel to an expired snapshot id raises thereafter (same
-        contract as Iceberg). Committed-epoch ids are preserved from the
-        FULL log so exactly-once replay-skip still recognizes epochs whose
-        snapshots were expired (``expired_epochs`` in metadata)."""
+        contract as Iceberg). Committed-epoch ids are preserved from MAIN's
+        dropped history so exactly-once replay-skip still recognizes epochs
+        whose snapshots were expired (``expired_epochs`` in metadata).
+        Ref-aware: tag targets and live branch heads always survive, and
+        snapshots reachable only from a DROPPED ref (an abandoned WAP
+        staging branch) are collected WITHOUT registering their epochs —
+        unpublished work never happened, so a resumed replay re-applies it."""
         meta, base_v = self._load_versioned()
         snaps = meta["snapshots"]
         if len(snaps) <= keep_last:
             return {"expired": 0, "files_deleted": 0}
-        keep = snaps[-keep_last:]
-        if not any(s["snapshot_id"] == meta["current_snapshot_id"] for s in keep):
-            keep = [s for s in snaps if s["snapshot_id"] == meta["current_snapshot_id"]] + keep
-        dropped = [s for s in snaps if s not in keep]
+        main_chain = self._ancestry(meta, meta["current_snapshot_id"])
+        main_ids = {s["snapshot_id"] for s in main_chain}
+        keep_ids = {s["snapshot_id"] for s in main_chain[-keep_last:]}
+        if meta["current_snapshot_id"] is not None:
+            keep_ids.add(meta["current_snapshot_id"])
+        for name, r in self._refs(meta).items():
+            if name != "main" and r["snapshot_id"] is not None:
+                # a ref pins its target, plus (for branches) the staged
+                # suffix off main — manifests are full file lists, so the
+                # target alone suffices for reads; the suffix keeps
+                # changes_between over the branch interval working
+                keep_ids.add(r["snapshot_id"])
+                for s in self._ancestry(meta, r["snapshot_id"]):
+                    if s["snapshot_id"] not in main_ids:
+                        keep_ids.add(s["snapshot_id"])
+        keep = [s for s in snaps if s["snapshot_id"] in keep_ids]
+        dropped = [s for s in snaps if s["snapshot_id"] not in keep_ids]
+        if not dropped:
+            return {"expired": 0, "files_deleted": 0}
         kept_files = {e["path"] for s in keep for e in s["manifest"]}
         dead = [
             e["path"]
@@ -883,9 +1069,20 @@ class LakeTable:
             for e in s["manifest"]
             if e["path"] not in kept_files
         ]
+        # exactly-once survives expiry ONLY for published (main-reachable)
+        # epochs; an epoch staged on an abandoned branch must stay pending
         expired_epochs = sorted(
-            {s["epoch_id"] for s in dropped if s.get("epoch_id") is not None}
-            | {e for s in dropped for e in (s.get("epoch_ids") or [])}
+            {
+                s["epoch_id"]
+                for s in dropped
+                if s.get("epoch_id") is not None and s["snapshot_id"] in main_ids
+            }
+            | {
+                e
+                for s in dropped
+                if s["snapshot_id"] in main_ids
+                for e in (s.get("epoch_ids") or [])
+            }
             | set(meta.get("expired_epochs", []))
         )
         meta["snapshots"] = keep
@@ -928,6 +1125,71 @@ class LakeTable:
             ):
                 shutil.rmtree(cd, ignore_errors=True)
         return {"expired": len(dropped), "files_deleted": deleted}
+
+    def remove_orphan_files(
+        self, older_than_ms: int = 24 * 3600 * 1000, _now_ms: int | None = None
+    ) -> dict[str, int]:
+        """Iceberg's ``remove_orphan_files``: delete files under the table
+        location that no snapshot references — the debris optimistic
+        concurrency legally produces (a loser of the commit CAS has already
+        written its data files and manifest; a writer that crashes before
+        its commit leaves the same). Snapshot expiry never sees these (they
+        were never committed), so without this GC they accumulate forever.
+
+        ``older_than_ms`` is the safety horizon: files younger than it are
+        kept even when unreferenced, because an IN-FLIGHT writer's files
+        are indistinguishable from orphans until its commit lands (Iceberg
+        defaults to 3 days for the same reason; here 24h). Listing is
+        filesystem-walk + set membership against every retained snapshot's
+        manifest — a maintenance-time O(files) pass, never on the write
+        path. ``_now_ms`` pins the clock for tests."""
+        meta = self._load_metadata()
+        referenced: set[str] = set()
+        manifest_files: set[str] = set()
+        for s in meta["snapshots"]:
+            referenced.update(e["path"] for e in s["manifest"])
+            if s.get("manifest_file"):
+                manifest_files.add(os.path.join(self.meta_dir, s["manifest_file"]))
+        now = _now_ms if _now_ms is not None else int(time.time() * 1000)
+        cutoff = (now - older_than_ms) / 1000.0
+        removed = {"data_files": 0, "manifest_files": 0}
+
+        def orphaned(fp: str) -> bool:
+            try:
+                return os.path.getmtime(fp) <= cutoff
+            except OSError:
+                return False  # vanished under us: someone else's problem
+
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                # hidden bookkeeping (_SUCCESS markers, local-FS .crc
+                # checksums) is not data; crc siblings die with their file
+                if fn.startswith(("_", ".")):
+                    continue
+                fp = os.path.join(root, fn)
+                if fp not in referenced and orphaned(fp):
+                    os.remove(fp)
+                    crc = os.path.join(root, f".{fn}.crc")
+                    if os.path.exists(crc):
+                        os.remove(crc)
+                    removed["data_files"] += 1
+        if os.path.isdir(self.manifest_dir):
+            for fn in os.listdir(self.manifest_dir):
+                fp = os.path.join(self.manifest_dir, fn)
+                if fp not in manifest_files and orphaned(fp):
+                    os.remove(fp)
+                    removed["manifest_files"] += 1
+        # stale CAS temp files (a writer that died mid-_write_metadata)
+        for fn in os.listdir(self.meta_dir):
+            if ".tmp" in fn:
+                fp = os.path.join(self.meta_dir, fn)
+                if orphaned(fp):
+                    os.remove(fp)
+        for d in os.listdir(self.data_dir):
+            cd = os.path.join(self.data_dir, d)
+            if os.path.isdir(cd) and not any(fns for _, _, fns in os.walk(cd)):
+                shutil.rmtree(cd, ignore_errors=True)
+        return removed
 
     def delta_stats(self) -> dict[str, int]:
         """MOR delta vs base footprint of the current snapshot, from
@@ -987,8 +1249,13 @@ class LakeTable:
         to_sid = to_snapshot_id if to_snapshot_id is not None else meta["current_snapshot_id"]
         if to_sid is None:
             return []
+        # walk to_sid's ANCESTRY, not the raw log: the log may carry
+        # snapshots of other branches (staged/abandoned WAP commits) whose
+        # files were never part of this lineage and must not appear as
+        # changes
+        chain = self._ancestry(meta, to_sid)
         if from_snapshot_id is not None and not any(
-            s["snapshot_id"] <= from_snapshot_id for s in meta["snapshots"]
+            s["snapshot_id"] <= from_snapshot_id for s in chain
         ):
             # The cursor predates every retained snapshot: it was expired.
             # Without this guard nothing seeds `seen` and the read silently
@@ -1002,12 +1269,10 @@ class LakeTable:
             )
         seen: set[str] = set()
         new_entries: list[dict[str, Any]] = []
-        for s in meta["snapshots"]:
+        for s in chain:
             if from_snapshot_id is not None and s["snapshot_id"] <= from_snapshot_id:
                 seen.update(e["path"] for e in s["manifest"])
                 continue
-            if s["snapshot_id"] > to_sid:
-                break
             if s["operation"] in ("compact", "rebucket"):
                 # bytes moved, not logical state: every row these rewrites
                 # carry was already delivered by the snapshot that first

@@ -105,6 +105,22 @@ def main() -> None:
         "table instead of merging them (lake/quarantine.py)",
     )
     ap.add_argument(
+        "--wap", action="store_true",
+        help="write-audit-publish (lake/wap.py): every merge lands on a "
+        "staging branch, the audits below run against the staged commit, "
+        "and only a pass fast-forwards main — consumers never see a batch "
+        "that fails its checks",
+    )
+    ap.add_argument("--wap-min-rows", type=int, default=1,
+                    help="WAP audit: fail a merge writing fewer rows")
+    ap.add_argument("--wap-max-quarantine-ratio", type=float, default=None,
+                    help="WAP audit: fail when dead-lettered rows exceed "
+                    "this fraction of the batch")
+    ap.add_argument("--wap-max-shrink-ratio", type=float, default=None,
+                    help="WAP audit: fail when live rows shrink by more "
+                    "than this fraction (mass-delete guard; costs two "
+                    "count jobs per publish)")
+    ap.add_argument(
         "--fast-stats", action="store_true",
         help="skip the per-epoch delta pre-scan; seq_hi from written-file "
         "parquet bounds (events_in then derived from the seq span — exact "
@@ -146,6 +162,16 @@ def main() -> None:
             seq_col=args.bootstrap_seq_col, mode=args.mode,
         )
 
+    wap_audit = None
+    if args.wap:
+        from fao_elt_pipelines_spark.lake.wap import basic_audit
+
+        wap_audit = basic_audit(
+            min_rows_written=args.wap_min_rows,
+            max_quarantine_ratio=args.wap_max_quarantine_ratio,
+            max_shrink_ratio=args.wap_max_shrink_ratio,
+        )
+
     start_seq = ckpt.load()["sources"].get("binlog", {}).get("seq_hi", -1)
     t0 = time.time()
     rep = replay(
@@ -156,6 +182,7 @@ def main() -> None:
         collect_delta_stats=not args.fast_stats,
         merge_strategy=None if args.strategy == "auto" else args.strategy,
         quarantine_dir=args.quarantine_dir,
+        wap_audit=wap_audit,
     )
     dt = time.time() - t0
     mv_report = None

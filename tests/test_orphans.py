@@ -1,0 +1,66 @@
+"""Orphan-file GC (LakeTable.remove_orphan_files): uncommitted debris —
+a CAS loser's data files, a crashed writer's manifest, stale commit temp
+files — is collected after the safety horizon, while referenced files and
+younger (possibly in-flight) files are untouched."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from fao_elt_pipelines_spark import binlog
+from fao_elt_pipelines_spark.lake.table import LakeTable
+
+from tests.test_engine_core import STATE_SCHEMA
+
+HOUR_MS = 3600 * 1000
+
+
+def _mk_with_commits(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
+    ev = binlog.change_events(spark, 4000, n_repos=20, paths_per_repo=20, events_per_epoch=2000)
+    for e in (0, 1):
+        t.merge_changes(ev.filter(F.col("epoch") == e), epoch_id=e)
+    return t
+
+
+def test_orphans_collected_referenced_kept(spark, tmp_path):
+    t = _mk_with_commits(spark, tmp_path)
+    before = {tuple(r) for r in t.read().collect()}
+    sid1 = t.history()[0]["snapshot_id"]
+
+    # a CAS loser: data files + manifest written, commit never landed
+    ev = binlog.change_events(spark, 1000, n_repos=20, paths_per_repo=20, events_per_epoch=1000)
+    loser = ev.withColumn("_is_deleted", F.lit(False)).withColumn(
+        "_bucket", F.pmod(F.xxhash64("repo", "path"), F.lit(4)).cast("int")
+    ).drop("op", "epoch", "ingest_ts").withColumnRenamed("seq", "last_seq")
+    orphan_entries = t._write_data_files(loser, source_epoch=99)
+    orphan_paths = [e["path"] for e in orphan_entries]
+    orphan_manifest = os.path.join(t.manifest_dir, "snap-99-deadbeef.json")
+    with open(orphan_manifest, "w") as f:
+        f.write("[]")
+    stale_tmp = os.path.join(t.meta_dir, "v99.metadata.json.tmp.dead")
+    with open(stale_tmp, "w") as f:
+        f.write("{}")
+    assert all(os.path.exists(p) for p in orphan_paths)
+
+    # inside the safety horizon nothing moves (in-flight writers look
+    # exactly like this)
+    assert t.remove_orphan_files(older_than_ms=24 * HOUR_MS) == {
+        "data_files": 0,
+        "manifest_files": 0,
+    }
+    assert all(os.path.exists(p) for p in orphan_paths)
+
+    # past the horizon the debris goes, referenced files stay
+    now = int(time.time() * 1000)
+    removed = t.remove_orphan_files(older_than_ms=HOUR_MS, _now_ms=now + 2 * HOUR_MS)
+    assert removed["data_files"] == len(orphan_paths)
+    assert removed["manifest_files"] == 1
+    assert not any(os.path.exists(p) for p in orphan_paths)
+    assert not os.path.exists(orphan_manifest)
+    assert not os.path.exists(stale_tmp)
+
+    # the table is untouched: current read and time travel bit-identical
+    assert {tuple(r) for r in t.read().collect()} == before
+    assert t.read(snapshot_id=sid1).count() > 0
