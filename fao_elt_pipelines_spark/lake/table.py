@@ -599,59 +599,64 @@ class LakeTable:
             .parquet(commit_dir)
         )
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
-        entries: list[dict[str, Any]] = []
+        def footer_entry(bucket: int, fp: str) -> dict[str, Any]:
+            md = pq.ParquetFile(fp).metadata
+            # Iceberg-style per-file column bounds (from parquet footers,
+            # no data read): used for pruning and to derive the epoch's
+            # seq_hi without re-scanning the delta (lake.replay).
+            stats: dict[str, list[Any]] = {}
+            try:
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                # last_seq bounds derive the epoch's seq_hi without a
+                # re-scan (lake.replay); repo bounds prune the file list
+                # under point lookups / key-range reads (files are
+                # key-sorted within a bucket under the sorted-merge
+                # strategy, so bounds are tight there).
+                for col in ("last_seq", "repo"):
+                    if col not in idx:
+                        continue
+                    j = idx[col]
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(j).statistics
+                        if st is not None and st.has_min_max:
+                            lo, hi = st.min, st.max
+                            if isinstance(lo, bytes):
+                                lo = lo.decode("utf-8", "surrogateescape")
+                            if isinstance(hi, bytes):
+                                hi = hi.decode("utf-8", "surrogateescape")
+                            mins.append(lo)
+                            maxs.append(hi)
+                    if mins:
+                        stats[col] = [min(mins), max(maxs)]
+            except Exception:  # stats are an optimization, never fatal
+                pass
+            return {
+                "path": fp,
+                "bucket": bucket,
+                "rows": md.num_rows,
+                "bytes": os.path.getsize(fp),
+                "source_epoch": source_epoch,
+                "kind": kind,
+                "stats": stats,
+            }
+
+        todo: list[tuple[int, str]] = []
         for bdir in sorted(os.listdir(commit_dir)):
             if not bdir.startswith("_bucket="):
                 continue
             bucket = int(bdir.split("=")[1])
             for fn in sorted(os.listdir(os.path.join(commit_dir, bdir))):
-                if not fn.endswith(".parquet"):
-                    continue
-                fp = os.path.join(commit_dir, bdir, fn)
-                md = pq.ParquetFile(fp).metadata
-                # Iceberg-style per-file column bounds (from parquet footers,
-                # no data read): used for pruning and to derive the epoch's
-                # seq_hi without re-scanning the delta (lake.replay).
-                stats: dict[str, list[Any]] = {}
-                try:
-                    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-                    # last_seq bounds derive the epoch's seq_hi without a
-                    # re-scan (lake.replay); repo bounds prune the file list
-                    # under point lookups / key-range reads (files are
-                    # key-sorted within a bucket under the sorted-merge
-                    # strategy, so bounds are tight there).
-                    for col in ("last_seq", "repo"):
-                        if col not in idx:
-                            continue
-                        j = idx[col]
-                        mins, maxs = [], []
-                        for rg in range(md.num_row_groups):
-                            st = md.row_group(rg).column(j).statistics
-                            if st is not None and st.has_min_max:
-                                lo, hi = st.min, st.max
-                                if isinstance(lo, bytes):
-                                    lo = lo.decode("utf-8", "surrogateescape")
-                                if isinstance(hi, bytes):
-                                    hi = hi.decode("utf-8", "surrogateescape")
-                                mins.append(lo)
-                                maxs.append(hi)
-                        if mins:
-                            stats[col] = [min(mins), max(maxs)]
-                except Exception:  # stats are an optimization, never fatal
-                    pass
-                entries.append(
-                    {
-                        "path": fp,
-                        "bucket": bucket,
-                        "rows": md.num_rows,
-                        "bytes": os.path.getsize(fp),
-                        "source_epoch": source_epoch,
-                        "kind": kind,
-                        "stats": stats,
-                    }
-                )
-        return entries
+                if fn.endswith(".parquet"):
+                    todo.append((bucket, os.path.join(commit_dir, bdir, fn)))
+        # footer reads are IO-bound and GIL-releasing (pyarrow): a serial
+        # loop is a per-commit Amdahl term that grows with the bucket count
+        # (64 here; 1000+ on a real cluster, against object storage where
+        # each footer is a round-trip) — read them concurrently instead
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(todo)))) as ex:
+            return list(ex.map(lambda t: footer_entry(*t), todo))
 
     def _commit(
         self,

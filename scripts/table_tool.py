@@ -12,6 +12,12 @@ snapshot metadata.
     python scripts/table_tool.py --table /path lookup --repo R --path P
     python scripts/table_tool.py --table /path scan-repos --repo R [--repo-hi R2]
     python scripts/table_tool.py --table /path mv-refresh --mv-dir /path/mv [--full]
+    python scripts/table_tool.py --table /path branch staging [--reset]
+    python scripts/table_tool.py --table /path tag cut-v1 --at-snapshot K
+    python scripts/table_tool.py --table /path publish staging
+    python scripts/table_tool.py --table /path drop-ref staging
+    python scripts/table_tool.py --table /path orphans [--older-than-hours H]
+    python scripts/table_tool.py --table /path read [--ref NAME] [--as-of-ms TS]
 
 Each subcommand prints one JSON document (``read`` prints one JSON line
 per row) so output is scriptable.
@@ -45,6 +51,7 @@ def cmd_describe(table: LakeTable) -> dict:
         "delta_files": sum(1 for e in manifest if e.get("kind") == "delta"),
         "rows": sum(e["rows"] for e in manifest),
         "committed_epochs": sorted(table.committed_epochs()),
+        "refs": table.refs(),
     }
 
 
@@ -74,6 +81,9 @@ def main() -> None:
     p_compact.add_argument("--expire-below", type=int, default=None)
     p_read = sub.add_parser("read")
     p_read.add_argument("--snapshot", type=int, default=None)
+    p_read.add_argument("--ref", default="main", help="branch or tag name")
+    p_read.add_argument("--as-of-ms", type=int, default=None,
+                        help="latest snapshot at or before this wall-clock ms")
     p_read.add_argument("--limit", type=int, default=20)
     p_exp = sub.add_parser("expire")
     p_exp.add_argument("--keep-last", type=int, default=2)
@@ -93,6 +103,21 @@ def main() -> None:
     p_chg.add_argument("--from-snapshot", type=int, default=None)
     p_chg.add_argument("--to-snapshot", type=int, default=None)
     p_chg.add_argument("--limit", type=int, default=20)
+    p_br = sub.add_parser("branch")
+    p_br.add_argument("name")
+    p_br.add_argument("--at-snapshot", type=int, default=None)
+    p_br.add_argument("--reset", action="store_true")
+    p_tag = sub.add_parser("tag")
+    p_tag.add_argument("name")
+    p_tag.add_argument("--at-snapshot", type=int, default=None)
+    p_pub = sub.add_parser("publish")
+    p_pub.add_argument("branch")
+    p_drop = sub.add_parser("drop-ref")
+    p_drop.add_argument("name")
+    p_gc = sub.add_parser("orphans")
+    p_gc.add_argument("--older-than-hours", type=float, default=24.0,
+                      help="safety horizon; unreferenced files younger than "
+                      "this are kept (in-flight writers)")
     args = ap.parse_args()
 
     spark = get_spark("table_tool", cores=args.cores)
@@ -105,7 +130,7 @@ def main() -> None:
         sid = table.compact(expire_tombstones_below=args.expire_below)
         print(json.dumps({"compacted_snapshot_id": sid}))
     elif args.cmd == "read":
-        df = table.read(snapshot_id=args.snapshot)
+        df = table.read(snapshot_id=args.snapshot, ref=args.ref, as_of_ms=args.as_of_ms)
         for row in df.limit(args.limit).toJSON().collect():
             print(row)
     elif args.cmd == "lookup":
@@ -129,6 +154,21 @@ def main() -> None:
         df = table.changes_between(args.from_snapshot, args.to_snapshot)
         for row in df.limit(args.limit).toJSON().collect():
             print(row)
+    elif args.cmd == "branch":
+        table.create_branch(args.name, at_snapshot_id=args.at_snapshot, reset=args.reset)
+        print(json.dumps({"ref": args.name, **table.refs()[args.name]}))
+    elif args.cmd == "tag":
+        table.create_tag(args.name, at_snapshot_id=args.at_snapshot)
+        print(json.dumps({"ref": args.name, **table.refs()[args.name]}))
+    elif args.cmd == "publish":
+        head = table.publish(args.branch)
+        print(json.dumps({"published_snapshot_id": head}))
+    elif args.cmd == "drop-ref":
+        table.drop_ref(args.name)
+        print(json.dumps({"dropped": args.name}))
+    elif args.cmd == "orphans":
+        out = table.remove_orphan_files(older_than_ms=int(args.older_than_hours * 3600 * 1000))
+        print(json.dumps(out))
     spark.stop()
 
 

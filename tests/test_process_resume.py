@@ -128,6 +128,17 @@ def test_table_tool_cli(spark, tmp_path):
     ]
     assert len(hit) == 1 and hit[0]["content_sha256"] == rows[0]["content_sha256"]
 
+    # refs surface: tag a cut, branch + publish a no-op fast-forward, GC
+    assert json.loads(tool("tag", "cut-v1", "--at-snapshot", "2")[-1])["snapshot_id"] == 2
+    tagged = [json.loads(l) for l in tool("read", "--ref", "cut-v1", "--limit", "2") if l.startswith("{")]
+    assert len(tagged) == 2
+    assert json.loads(tool("branch", "staging")[-1])["type"] == "branch"
+    assert json.loads(tool("publish", "staging")[-1])["published_snapshot_id"] == 3
+    assert json.loads(tool("drop-ref", "cut-v1")[-1])["dropped"] == "cut-v1"
+    gc = json.loads(tool("orphans", "--older-than-hours", "24")[-1])
+    assert gc == {"data_files": 0, "manifest_files": 0}  # nothing uncommitted
+    assert set(json.loads(tool("describe")[-1])["refs"]) == {"main"}
+
 
 @pytest.mark.slow
 def test_dual_writer_convergence(spark, tmp_path):
