@@ -158,6 +158,62 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-bootstrap → binlog-tail handoff as a differential query —
+    the pure-DataFrame twin of lake/bootstrap.py's Debezium-mode initial
+    load (every snapshot row enters at ONE log position, the watermark,
+    because the snapshot read is consistent as of that position; the tail
+    then replays seq > watermark only). Unlike cdc_merge_upsert (whose
+    base re-enters at true per-row seqs), rows untouched after the
+    watermark surface last_seq = watermark — the oracle computes the same
+    handoff algebra independently in SQL, so the mode's exact semantics
+    are what's differentially checked."""
+    binlog = _derived_binlog(spark, sf_dir)
+    wm = int(binlog.agg(F.max("seq")).collect()[0][0]) // 2
+    snap_ev = (
+        _lww(binlog.filter(F.col("seq") <= wm))
+        .filter(F.col("op") != "delete")
+        .select(
+            "repo", "path", "commit", "lang", "content",
+            F.lit(wm).cast("long").alias("seq"),
+            F.lit("base").alias("op"),
+        )
+    )
+    tail = binlog.filter(F.col("seq") > wm).select(*snap_ev.columns)
+    merged = _lww(snap_ev.unionByName(tail)).filter(F.col("op") != "delete")
+    return merged.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.col("seq").alias("last_seq"),
+    )
+
+
+SQL_CDC_BOOTSTRAP_HANDOFF = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+wm AS (SELECT max(seq) // 2 AS w FROM binlog),
+snap AS (
+  SELECT repo, path, commit, lang, content,
+         (SELECT w FROM wm) AS seq, 'base' AS op
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+    FROM binlog WHERE seq <= (SELECT w FROM wm)
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+allev AS (
+  SELECT * FROM snap
+  UNION ALL
+  SELECT repo, path, commit, lang, content, seq, op
+  FROM binlog WHERE seq > (SELECT w FROM wm)
+),
+w2 AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM allev
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha256, seq AS last_seq
+FROM w2 WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def q_cdc_epoch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per-epoch metrics — event counts per op, distinct keys, valid
     rate (the engine's metrics-table semantics over a derived epoch)."""
@@ -1023,6 +1079,7 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "session_window_counts": (q_session_window_counts, SQL_SESSION_WINDOW_COUNTS),
     "cdc_lww_state": (q_cdc_lww_state, SQL_CDC_LWW_STATE),
     "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_LWW_STATE),  # MERGE ≡ LWW (see docstring)
+    "cdc_bootstrap_handoff": (q_cdc_bootstrap_handoff, SQL_CDC_BOOTSTRAP_HANDOFF),
     "cdc_epoch_metrics": (q_cdc_epoch_metrics, SQL_CDC_EPOCH_METRICS),
     "cdc_incremental_gold": (q_cdc_incremental_gold, SQL_CDC_INCREMENTAL_GOLD),
     "silver_events_cleaned": (q_silver_events_cleaned, SQL_SILVER_EVENTS_CLEANED),
