@@ -105,6 +105,7 @@ def bootstrap_snapshot(
         epoch_id=None,
         metrics={"bootstrap_watermark": int(watermark_seq), "source": source},
         mode=mode,
+        source=source,
     )
     checkpoint.set_bootstrap_watermark(source, int(watermark_seq))
     return sid

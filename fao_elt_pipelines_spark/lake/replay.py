@@ -130,7 +130,7 @@ def replay(
     ).collect()[0]
     if bounds["lo"] is None:
         return rep
-    committed = table.committed_epochs()
+    committed = table.committed_epochs(source=source)
     start = checkpoint.last_epoch(source)
     lo = bounds["lo"] if start is None else max(bounds["lo"], start + 1)
     applied = 0
@@ -219,7 +219,7 @@ def replay(
                 batch,
                 epoch_id=group[0] if len(group) == 1 else group,
                 metrics=merge_metrics,
-                mode=mode, strategy=merge_strategy,
+                mode=mode, strategy=merge_strategy, source=source,
             )
         if seq_hi is None:
             # seq bounds from the committed files' parquet column stats — no

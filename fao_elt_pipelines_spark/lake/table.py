@@ -335,15 +335,30 @@ class LakeTable:
             return None
         return next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
 
-    def committed_epochs(self, ref: str = "main") -> set[int]:
+    def committed_epochs(self, ref: str = "main", source: str | None = None) -> set[int]:
         """Epoch ids the exactly-once skip treats as done: those committed
         on ``ref``'s ancestry (NOT on other branches — a WAP-staged epoch
         whose branch was never published must be re-appliable) plus epochs
-        whose snapshots expiry dropped from main's history."""
+        whose snapshots expiry dropped from main's history.
+
+        ``source`` scopes the set to one upstream: epoch ids are only
+        unique PER SOURCE (two binlogs feeding one table both start at
+        epoch 0), so a multi-source replay must skip on (source, epoch),
+        not the bare id. ``None`` returns the union over all sources
+        (introspection); snapshots committed without a recorded source
+        (legacy, or source-less appends) match every query — conservative
+        in the no-double-apply direction."""
         meta = self._load_metadata()
-        out: set[int] = set(meta.get("expired_epochs", []))  # expiry may drop
-        # the snapshot, never the exactly-once guarantee
+        # expiry may drop the snapshot, never the exactly-once guarantee
+        out: set[int] = set(meta.get("expired_epochs", []))  # legacy: unscoped
+        by_src: dict[str, list[int]] = meta.get("expired_epochs_by_source", {})
+        for src, eids in by_src.items():
+            if source is None or src == "" or src == source:
+                out.update(eids)
         for s in self._ancestry(meta, self._head(meta, ref)):
+            s_src = s.get("source")
+            if source is not None and s_src is not None and s_src != source:
+                continue
             if s.get("epoch_id") is not None:
                 out.add(s["epoch_id"])
             out.update(s.get("epoch_ids") or [])  # batched-group commits
@@ -668,6 +683,7 @@ class LakeTable:
         base: tuple[dict[str, Any], int] | None = None,
         epoch_ids: list[int] | None = None,
         branch: str = "main",
+        source: str | None = None,
     ) -> int:
         # ``base`` = the (metadata, version) the caller's plan was built
         # FROM (its kept_entries / touched-bucket pruning). Committing
@@ -704,6 +720,8 @@ class LakeTable:
                 # snapshot, so committed_epochs() skips the whole group on
                 # resume (scalar epoch_id stays the last id for lineage)
                 **({"epoch_ids": epoch_ids} if epoch_ids and len(epoch_ids) > 1 else {}),
+                # first-class source: exactly-once is keyed (source, epoch)
+                **({"source": source} if source is not None else {}),
                 "manifest_file": mf_rel,
                 "manifest": manifest,  # in-memory convenience; never serialized
                 "n_files": len(manifest),
@@ -719,10 +737,16 @@ class LakeTable:
         self._write_metadata(meta, version=base_v + 1)
         return sid
 
-    def append(self, df: DataFrame, epoch_id: int | None = None, branch: str = "main") -> int:
+    def append(
+        self,
+        df: DataFrame,
+        epoch_id: int | None = None,
+        branch: str = "main",
+        source: str | None = None,
+    ) -> int:
         """Snapshot-append (reference S10 batch-append sink analogue,
         ``/root/reference/ingestion/load_to_database.py:32-68``)."""
-        if epoch_id is not None and epoch_id in self.committed_epochs(ref=branch):
+        if epoch_id is not None and epoch_id in self.committed_epochs(ref=branch, source=source):
             return self._load_metadata()["current_snapshot_id"]
         meta, base_v = self._load_versioned()
         new_schema = schema_evo.reconcile(meta["schema"], df.schema)
@@ -744,7 +768,7 @@ class LakeTable:
         return self._commit(
             "append", entries, kept, epoch_id,
             {"rows_appended": sum(e["rows"] for e in entries)},
-            base=(meta, base_v), branch=branch,
+            base=(meta, base_v), branch=branch, source=source,
         )
 
     def overwrite(self, df: DataFrame, epoch_id: int | None = None) -> int:
@@ -886,6 +910,7 @@ class LakeTable:
         mode: str = "cow",
         strategy: str | None = None,
         branch: str = "main",
+        source: str | None = None,
     ) -> int:
         """MERGE a change-event batch into the state table.
 
@@ -936,7 +961,7 @@ class LakeTable:
         eids = epoch_id if isinstance(epoch_id, list) else (
             [epoch_id] if epoch_id is not None else []
         )
-        if eids and set(eids) <= self.committed_epochs(ref=branch):
+        if eids and set(eids) <= self.committed_epochs(ref=branch, source=source):
             return self._load_metadata()["current_snapshot_id"]
         epoch_id = eids[-1] if eids else None  # scalar tag: lineage + summary
 
@@ -992,7 +1017,7 @@ class LakeTable:
                 summary.update(metrics)
             return self._commit(
                 "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v),
-                epoch_ids=eids, branch=branch,
+                epoch_ids=eids, branch=branch, source=source,
             )
 
         # --- copy-on-write ---
@@ -1023,7 +1048,7 @@ class LakeTable:
             summary.update(metrics)
         return self._commit(
             "merge", new_entries, kept, epoch_id, summary, base=(meta, base_v),
-            epoch_ids=eids, branch=branch,
+            epoch_ids=eids, branch=branch, source=source,
         )
 
     # ---------------------------------------------------- snapshot expiry
@@ -1075,23 +1100,22 @@ class LakeTable:
             if e["path"] not in kept_files
         ]
         # exactly-once survives expiry ONLY for published (main-reachable)
-        # epochs; an epoch staged on an abandoned branch must stay pending
-        expired_epochs = sorted(
-            {
-                s["epoch_id"]
-                for s in dropped
-                if s.get("epoch_id") is not None and s["snapshot_id"] in main_ids
-            }
-            | {
-                e
-                for s in dropped
-                if s["snapshot_id"] in main_ids
-                for e in (s.get("epoch_ids") or [])
-            }
-            | set(meta.get("expired_epochs", []))
-        )
+        # epochs; an epoch staged on an abandoned branch must stay pending.
+        # Ids are recorded PER SOURCE (key "" = committed without one),
+        # mirroring committed_epochs' (source, epoch) key.
+        by_src: dict[str, set[int]] = {
+            k: set(v) for k, v in meta.get("expired_epochs_by_source", {}).items()
+        }
+        for s in dropped:
+            if s["snapshot_id"] not in main_ids:
+                continue
+            eids = set(s.get("epoch_ids") or [])
+            if s.get("epoch_id") is not None:
+                eids.add(s["epoch_id"])
+            if eids:
+                by_src.setdefault(s.get("source") or "", set()).update(eids)
         meta["snapshots"] = keep
-        meta["expired_epochs"] = expired_epochs
+        meta["expired_epochs_by_source"] = {k: sorted(v) for k, v in by_src.items()}
         # Commit the pruned metadata FIRST, then delete the unreferenced
         # files (Iceberg's order). A crash after the commit leaves only
         # harmless orphan files; the reverse order would leave the snapshot

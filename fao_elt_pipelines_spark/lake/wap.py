@@ -163,7 +163,9 @@ def wap_merge(
         pre_main = table.current_snapshot()
         pre_id = pre_main["snapshot_id"] if pre_main else None
         table.create_branch(staging, reset=True)
-        sid = table.merge_changes(delta, epoch_id=epoch_id, branch=staging, **merge_kwargs)
+        sid = table.merge_changes(
+            delta, epoch_id=epoch_id, branch=staging, source=source, **merge_kwargs
+        )
         staged = table.current_snapshot(ref=staging)
         staged_id = staged["snapshot_id"] if staged else None
         if staged_id == pre_id:

@@ -58,7 +58,10 @@ def stream_replay(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        table.merge_changes(batch_df, epoch_id=epoch_base + batch_id)
+        # exactly-once is keyed (source, epoch): "stream" scoping means the
+        # epoch_base namespace no longer needs to be collision-proof
+        # against batch sources, though it stays as defense in depth
+        table.merge_changes(batch_df, epoch_id=epoch_base + batch_id, source="stream")
         if mv is not None:
             mv.refresh()
 
