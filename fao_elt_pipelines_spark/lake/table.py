@@ -1127,6 +1127,11 @@ class LakeTable:
         for p in sorted(set(dead)):
             if os.path.exists(p):
                 os.remove(p)
+                # local-FS checksum sibling dies with its file (hidden, so
+                # orphan GC never revisits it)
+                crc = os.path.join(os.path.dirname(p), f".{os.path.basename(p)}.crc")
+                if os.path.exists(crc):
+                    os.remove(crc)
                 deleted += 1
         # dropped snapshots' manifest files are now unreferenced too
         for s in dropped:

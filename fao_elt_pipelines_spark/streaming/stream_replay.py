@@ -35,6 +35,9 @@ def stream_replay(
     max_files_per_trigger: int = 1,
     epoch_base: int = 1_000_000,
     mv: "IncrementalGoldView | None" = None,
+    quarantine_dir: str | None = None,
+    wap_audit=None,
+    source: str = "stream",
 ) -> None:
     """Drain ``binlog_dir`` (parquet files) into the table and stop.
 
@@ -49,6 +52,14 @@ def stream_replay(
     not the table. Crash between merge and refresh is safe: the view's
     cursor lags and the next refresh (any later batch, or an operator
     `table_tool mv-refresh`) catches up over the widened interval.
+
+    ``quarantine_dir`` and ``wap_audit`` give the streaming driver the
+    same ingestion guards as the batch driver (lake.quarantine, lake.wap):
+    malformed events dead-letter per micro-batch (idempotent — the epoch
+    partition key is the namespaced batch epoch), and with WAP each
+    micro-batch stages + audits + publishes atomically; a failing batch
+    kills the query with main untouched, and Spark's offset log re-offers
+    the batch on restart.
     """
     schema = spark.read.parquet(binlog_dir).schema
     src = (
@@ -58,10 +69,32 @@ def stream_replay(
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # exactly-once is keyed (source, epoch): "stream" scoping means the
+        epoch = epoch_base + batch_id
+        n_bad = 0
+        if quarantine_dir is not None:
+            from ..lake.quarantine import split_malformed, write_dead_letters
+
+            batch_df, bad = split_malformed(batch_df)
+            n_bad = write_dead_letters(
+                bad.withColumn("epoch", F.lit(epoch)), quarantine_dir
+            )
+        metrics = (
+            {"rows_quarantined": n_bad, "source": source}
+            if quarantine_dir is not None
+            else {"source": source}
+        )
+        # exactly-once is keyed (source, epoch): source scoping means the
         # epoch_base namespace no longer needs to be collision-proof
         # against batch sources, though it stays as defense in depth
-        table.merge_changes(batch_df, epoch_id=epoch_base + batch_id, source="stream")
+        if wap_audit is not None:
+            from ..lake.wap import wap_merge
+
+            wap_merge(
+                table, batch_df, epoch, audit=wap_audit, source=source,
+                metrics=metrics,
+            )
+        else:
+            table.merge_changes(batch_df, epoch_id=epoch, source=source, metrics=metrics)
         if mv is not None:
             mv.refresh()
 

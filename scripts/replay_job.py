@@ -54,6 +54,12 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument("--max-epochs", type=int, default=None)
+    ap.add_argument(
+        "--source", default="binlog",
+        help="source name for checkpoint + exactly-once scoping: epoch ids "
+        "are unique PER SOURCE, so two upstreams (e.g. regional binlogs) "
+        "can feed one table with colliding epoch numbering",
+    )
     ap.add_argument("--mode", choices=["cow", "mor"], default="cow")
     ap.add_argument(
         "--strategy", choices=["auto", "late", "sorted"], default="auto",
@@ -159,7 +165,7 @@ def main() -> None:
         bootstrap_snapshot(
             spark.read.parquet(args.bootstrap_snapshot), table, ckpt,
             watermark_seq=args.bootstrap_watermark,
-            seq_col=args.bootstrap_seq_col, mode=args.mode,
+            seq_col=args.bootstrap_seq_col, mode=args.mode, source=args.source,
         )
 
     wap_audit = None
@@ -172,10 +178,10 @@ def main() -> None:
             max_shrink_ratio=args.wap_max_shrink_ratio,
         )
 
-    start_seq = ckpt.load()["sources"].get("binlog", {}).get("seq_hi", -1)
+    start_seq = ckpt.load()["sources"].get(args.source, {}).get("seq_hi", -1)
     t0 = time.time()
     rep = replay(
-        spark, events, table, ckpt, max_epochs=args.max_epochs,
+        spark, events, table, ckpt, source=args.source, max_epochs=args.max_epochs,
         mode=args.mode, compact_every=args.compact_every,
         compact_delta_ratio=args.compact_delta_ratio,
         epoch_batch=args.epoch_batch,
@@ -191,7 +197,7 @@ def main() -> None:
 
         mv_report = IncrementalGoldView(spark, table, args.mv_dir).refresh()
     if args.fast_stats and rep.epochs_applied:
-        end_seq = ckpt.load()["sources"].get("binlog", {}).get("seq_hi", start_seq)
+        end_seq = ckpt.load()["sources"].get(args.source, {}).get("seq_hi", start_seq)
         rep.events_in = end_seq - start_seq
     state = table.read()
     summary = state.agg(

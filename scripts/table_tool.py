@@ -55,6 +55,58 @@ def cmd_describe(table: LakeTable) -> dict:
     }
 
 
+def cmd_check(table: LakeTable) -> dict:
+    """Metadata integrity audit, pyarrow-footer-only (no Spark jobs):
+    every retained snapshot's manifest must reference existing files whose
+    parquet row counts match the manifest entries; bucket directory names
+    must agree with the manifest's bucket ids; the snapshot DAG must be
+    well-formed (unique ids, parents either retained or expired); every
+    ref must point at a retained snapshot. The cheap invariant sweep an
+    operator runs before trusting a table after an incident."""
+    import pyarrow.parquet as pq
+
+    meta = table._load_metadata()
+    issues: list[str] = []
+    ids = [s["snapshot_id"] for s in meta["snapshots"]]
+    if len(ids) != len(set(ids)):
+        issues.append("duplicate snapshot ids in log")
+    id_set = set(ids)
+    # missing parents are LEGAL (expiry cuts chains; tags can pin mid-log
+    # snapshots whose neighbors expired) — only dangling refs, files, and
+    # count mismatches are corruption
+    for name, r in table.refs().items():
+        if r["snapshot_id"] is not None and r["snapshot_id"] not in id_set:
+            issues.append(f"ref {name!r} points at missing snapshot {r['snapshot_id']}")
+    checked_files = 0
+    seen_paths: set[str] = set()
+    for s in meta["snapshots"]:
+        for e in s["manifest"]:
+            if e["path"] in seen_paths:
+                continue
+            seen_paths.add(e["path"])
+            if not os.path.exists(e["path"]):
+                issues.append(f"snapshot {s['snapshot_id']}: missing file {e['path']}")
+                continue
+            checked_files += 1
+            md = pq.ParquetFile(e["path"]).metadata
+            if md.num_rows != e["rows"]:
+                issues.append(
+                    f"{e['path']}: manifest rows {e['rows']} != parquet {md.num_rows}"
+                )
+            bdir = os.path.basename(os.path.dirname(e["path"]))
+            if bdir.startswith("_bucket=") and int(bdir.split("=")[1]) != e["bucket"]:
+                issues.append(f"{e['path']}: bucket dir {bdir} != manifest bucket {e['bucket']}")
+    cur = meta["current_snapshot_id"]
+    if cur is not None and cur not in id_set:
+        issues.append(f"current_snapshot_id {cur} not in log")
+    return {
+        "ok": not issues,
+        "snapshots": len(ids),
+        "files_checked": checked_files,
+        "issues": issues,
+    }
+
+
 def cmd_history(table: LakeTable) -> list[dict]:
     return [
         {
@@ -77,6 +129,7 @@ def main() -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
     sub.add_parser("describe")
     sub.add_parser("history")
+    sub.add_parser("check")
     p_compact = sub.add_parser("compact")
     p_compact.add_argument("--expire-below", type=int, default=None)
     p_read = sub.add_parser("read")
@@ -124,6 +177,8 @@ def main() -> None:
     table = LakeTable(spark, args.table)
     if args.cmd == "describe":
         print(json.dumps(cmd_describe(table)))
+    elif args.cmd == "check":
+        print(json.dumps(cmd_check(table)))
     elif args.cmd == "history":
         print(json.dumps(cmd_history(table)))
     elif args.cmd == "compact":

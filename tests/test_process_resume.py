@@ -138,6 +138,8 @@ def test_table_tool_cli(spark, tmp_path):
     gc = json.loads(tool("orphans", "--older-than-hours", "24")[-1])
     assert gc == {"data_files": 0, "manifest_files": 0}  # nothing uncommitted
     assert set(json.loads(tool("describe")[-1])["refs"]) == {"main"}
+    chk = json.loads(tool("check")[-1])
+    assert chk["ok"] and chk["files_checked"] > 0 and chk["issues"] == []
 
 
 @pytest.mark.slow

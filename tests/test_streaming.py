@@ -117,3 +117,48 @@ def test_repo_progress_stateful_stream(spark, binlog_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_replay_wap_and_quarantine(spark, binlog_dir, tmp_path):
+    """Streaming driver parity with the batch guards: malformed events
+    dead-letter per micro-batch, every batch publishes through WAP, and
+    the final state equals the plain streaming drain's (the injected bad
+    rows never reach the merge)."""
+    from fao_elt_pipelines_spark.lake.quarantine import read_dead_letters
+    from fao_elt_pipelines_spark.lake.wap import basic_audit
+
+    # dirty copy of the binlog: 3 malformed rows appended as an extra file
+    events = spark.read.parquet(binlog_dir)
+    dirty_dir = str(tmp_path / "dirty_binlog")
+    events.write.parquet(dirty_dir)
+    bad = spark.createDataFrame(
+        [
+            (None, "p", "c", "py", "x", "insert", 10_000_000),
+            ("r", "p", "c", "py", None, "insert", 10_000_001),
+            ("r", "p2", "c", "py", "x", "chaos", 10_000_002),
+        ],
+        "repo string, path string, commit string, lang string, content string, op string, seq long",
+    ).withColumn("ingest_ts", F.current_timestamp()).withColumn("epoch", F.lit(0).cast("long"))
+    bad.select(*events.columns).coalesce(1).write.mode("append").parquet(dirty_dir)
+
+    control = LakeTable.create(spark, str(tmp_path / "ctl"), STATE_SCHEMA, n_buckets=8)
+    stream_replay(spark, binlog_dir, control, str(tmp_path / "ckpt_ctl"), max_files_per_trigger=3)
+
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=8)
+    qdir = str(tmp_path / "dead")
+    stream_replay(
+        spark, dirty_dir, table, str(tmp_path / "ckpt"), max_files_per_trigger=3,
+        quarantine_dir=qdir,
+        wap_audit=basic_audit(min_rows_written=1, max_quarantine_ratio=0.9),
+    )
+    dead = read_dead_letters(spark, qdir)
+    reasons = {r["_dead_letter_reason"] for r in dead.collect()}
+    assert dead.count() == 3 and reasons == {"null_key", "null_content", "unknown_op"}
+
+    state = lambda t: {  # noqa: E731
+        (r["repo"], r["path"]): (r["content_sha256"], r["last_seq"])
+        for r in t.read().collect()
+    }
+    assert state(table) == state(control)
+    # published through WAP: no staging refs left behind
+    assert set(table.refs()) == {"main"}
