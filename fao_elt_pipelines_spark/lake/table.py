@@ -1052,7 +1052,12 @@ class LakeTable:
         )
 
     # ---------------------------------------------------- snapshot expiry
-    def expire_snapshots(self, keep_last: int = 1) -> dict[str, Any]:
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        older_than_ms: int | None = None,
+        _now_ms: int | None = None,
+    ) -> dict[str, Any]:
         """Iceberg-style ``expire_snapshots``: retain the newest
         ``keep_last`` snapshots (the current one always survives), drop the
         older snapshot entries from the log, and DELETE data files no
@@ -1076,6 +1081,17 @@ class LakeTable:
         main_chain = self._ancestry(meta, meta["current_snapshot_id"])
         main_ids = {s["snapshot_id"] for s in main_chain}
         keep_ids = {s["snapshot_id"] for s in main_chain[-keep_last:]}
+        if older_than_ms is not None:
+            # age-based retention (Iceberg's older_than): keep_last is the
+            # floor, but younger snapshots survive regardless of count —
+            # the policy an operator can reason about in wall-clock terms
+            # ("time travel works for 7 days")
+            now = _now_ms if _now_ms is not None else int(time.time() * 1000)
+            keep_ids.update(
+                s["snapshot_id"]
+                for s in main_chain
+                if s["timestamp_ms"] > now - older_than_ms
+            )
         if meta["current_snapshot_id"] is not None:
             keep_ids.add(meta["current_snapshot_id"])
         for name, r in self._refs(meta).items():

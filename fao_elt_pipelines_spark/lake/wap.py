@@ -81,7 +81,14 @@ def basic_audit(
             )
         if max_quarantine_ratio is not None:
             bad = summary.get("rows_quarantined")
+            # rows_in_delta is the exact batch size when the driver
+            # pre-scanned; otherwise fall back to rows_written (the LWW
+            # winner count — ≤ valid rows, so the ratio only overstates:
+            # conservative in the block-bad-batches direction). The
+            # streaming driver never pre-scans, so it always lands here.
             good = summary.get("rows_in_delta")
+            if good is None:
+                good = summary.get("rows_written")
             if bad is not None and (bad + (good or 0)) > 0:
                 ratio = bad / (bad + (good or 0))
                 if ratio > max_quarantine_ratio:

@@ -326,6 +326,92 @@ FROM toks
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition filters: fraction of words taken by
+    the single most frequent word, distinct-word ratio, and duplicate
+    word-3-gram fraction — the classic pretraining signals for boilerplate
+    and degenerate repetition.
+
+    Scale shape: one explode into two map-side-combined hash aggregates
+    keyed (doc_id, word) / per-doc lead-window trigrams (window partitioned
+    by doc_id — never a global sort), then per-doc rollups joined on
+    doc_id. All whole-stage codegen (explode + window lead, no interpreted
+    HOF on the hot path); cost is O(total words), partitioned by doc.
+    The oracle derives trigrams order-safely from list lambdas instead of
+    window functions — same result, independently computed."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wc = w.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        w.withColumn("w2", F.lead("w", 1).over(win))
+        .withColumn("w3", F.lead("w", 2).over(win))
+        .filter(F.col("w3").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w", "w2", "w3").alias("t"))
+    )
+    tri_doc = tri.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"), F.countDistinct("t").alias("n_tri_distinct")
+    )
+    top_frac = F.col("top_c").cast("double") / F.col("n_words")
+    dup_tri = F.when(
+        F.coalesce(F.col("n_tri"), F.lit(0)) > 0,
+        F.lit(1.0) - F.col("n_tri_distinct").cast("double") / F.col("n_tri"),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_doc.join(tri_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            (F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+                "distinct_word_ratio"
+            ),
+            top_frac.alias("top_word_frac"),
+            dup_tri.alias("dup_trigram_frac"),
+            ((top_frac > 0.125) | (dup_tri > 0.25)).alias("rep_flagged"),
+        )
+    )
+
+
+SQL_TEXT_REPETITION = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(l) AS w FROM d) GROUP BY doc_id, w
+),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct, max(c) AS top_c
+  FROM wc GROUP BY doc_id
+),
+tri AS (
+  SELECT doc_id,
+         CASE WHEN len(l) >= 3 THEN len(l) - 2 ELSE 0 END AS n_tri,
+         CASE WHEN len(l) >= 3 THEN len(list_distinct(list_transform(
+              range(1, len(l) - 1),
+              i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]))) ELSE 0 END AS n_tri_distinct
+  FROM d
+)
+SELECT p.doc_id,
+       CAST(p.n_words AS BIGINT) AS n_words,
+       CAST(p.n_distinct AS DOUBLE) / p.n_words AS distinct_word_ratio,
+       CAST(p.top_c AS DOUBLE) / p.n_words AS top_word_frac,
+       CASE WHEN t.n_tri > 0
+            THEN 1.0 - CAST(t.n_tri_distinct AS DOUBLE) / t.n_tri
+            ELSE 0.0 END AS dup_trigram_frac,
+       (CAST(p.top_c AS DOUBLE) / p.n_words > 0.125
+        OR (CASE WHEN t.n_tri > 0
+                 THEN 1.0 - CAST(t.n_tri_distinct AS DOUBLE) / t.n_tri
+                 ELSE 0.0 END) > 0.25) AS rep_flagged
+FROM per_doc p JOIN tri t USING (doc_id)
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 per query vector (vec_id < 10) — the exact
     baseline an IVF/LSH ANN approximates. Dot products are zip_with +
@@ -1025,6 +1111,7 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_ivf_topk_matmul": (q_ann_ivf_topk_matmul_ids, SQL_ANN_IVF_TOPK_IDS),

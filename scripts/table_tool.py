@@ -140,6 +140,9 @@ def main() -> None:
     p_read.add_argument("--limit", type=int, default=20)
     p_exp = sub.add_parser("expire")
     p_exp.add_argument("--keep-last", type=int, default=2)
+    p_exp.add_argument("--older-than-hours", type=float, default=None,
+                       help="age-based retention: snapshots younger than this "
+                       "survive regardless of --keep-last")
     p_lk = sub.add_parser("lookup")
     p_lk.add_argument("--repo", required=True)
     p_lk.add_argument("--path", required=True)
@@ -204,7 +207,11 @@ def main() -> None:
         sid = table.rebucket(args.n_buckets)
         print(json.dumps({"rebucket_snapshot_id": sid, "n_buckets": args.n_buckets}))
     elif args.cmd == "expire":
-        print(json.dumps(table.expire_snapshots(keep_last=args.keep_last)))
+        print(json.dumps(table.expire_snapshots(
+            keep_last=args.keep_last,
+            older_than_ms=None if args.older_than_hours is None
+            else int(args.older_than_hours * 3600 * 1000),
+        )))
     elif args.cmd == "changes":
         df = table.changes_between(args.from_snapshot, args.to_snapshot)
         for row in df.limit(args.limit).toJSON().collect():

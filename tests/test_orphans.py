@@ -64,3 +64,21 @@ def test_orphans_collected_referenced_kept(spark, tmp_path):
     # the table is untouched: current read and time travel bit-identical
     assert {tuple(r) for r in t.read().collect()} == before
     assert t.read(snapshot_id=sid1).count() > 0
+
+
+def test_expire_age_based_retention(spark, tmp_path):
+    """older_than_ms keeps young snapshots beyond keep_last; old ones go."""
+    t = _mk_with_commits(spark, tmp_path)  # 2 merge snapshots
+    ev = binlog.change_events(spark, 2000, n_repos=20, paths_per_repo=20, events_per_epoch=1000)
+    t.merge_changes(ev.filter(F.col("seq") < 1000), epoch_id=2)
+    snaps = t.history()
+    now = snaps[-1]["timestamp_ms"] + 1
+    # horizon straddles the log: snapshots 2 and 3 are "young", 1 is "old"
+    horizon = now - snaps[1]["timestamp_ms"] + 1
+    rep = t.expire_snapshots(keep_last=1, older_than_ms=horizon, _now_ms=now)
+    assert rep["expired"] == 1
+    kept_ids = [s["snapshot_id"] for s in t.snapshots()]
+    assert kept_ids == [snaps[1]["snapshot_id"], snaps[2]["snapshot_id"]]
+    # age floor never undercuts keep_last: everything-young → no-op
+    rep2 = t.expire_snapshots(keep_last=1, older_than_ms=10**12, _now_ms=now)
+    assert rep2["expired"] == 0

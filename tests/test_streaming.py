@@ -127,10 +127,11 @@ def test_stream_replay_wap_and_quarantine(spark, binlog_dir, tmp_path):
     from fao_elt_pipelines_spark.lake.quarantine import read_dead_letters
     from fao_elt_pipelines_spark.lake.wap import basic_audit
 
-    # dirty copy of the binlog: 3 malformed rows appended as an extra file
+    # dirty copy of the binlog: 3 malformed rows MIXED into shared files
+    # (an all-dead-letters micro-batch would rightly fail the min-rows
+    # audit — that refusal is itself WAP working, but not this test)
     events = spark.read.parquet(binlog_dir)
     dirty_dir = str(tmp_path / "dirty_binlog")
-    events.write.parquet(dirty_dir)
     bad = spark.createDataFrame(
         [
             (None, "p", "c", "py", "x", "insert", 10_000_000),
@@ -139,7 +140,7 @@ def test_stream_replay_wap_and_quarantine(spark, binlog_dir, tmp_path):
         ],
         "repo string, path string, commit string, lang string, content string, op string, seq long",
     ).withColumn("ingest_ts", F.current_timestamp()).withColumn("epoch", F.lit(0).cast("long"))
-    bad.select(*events.columns).coalesce(1).write.mode("append").parquet(dirty_dir)
+    events.unionByName(bad.select(*events.columns)).repartition(4).write.parquet(dirty_dir)
 
     control = LakeTable.create(spark, str(tmp_path / "ctl"), STATE_SCHEMA, n_buckets=8)
     stream_replay(spark, binlog_dir, control, str(tmp_path / "ckpt_ctl"), max_files_per_trigger=3)
