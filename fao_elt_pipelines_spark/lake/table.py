@@ -722,6 +722,10 @@ class LakeTable:
                 **({"epoch_ids": epoch_ids} if epoch_ids and len(epoch_ids) > 1 else {}),
                 # first-class source: exactly-once is keyed (source, epoch)
                 **({"source": source} if source is not None else {}),
+                # layout stamp: bucket ids in this manifest live in THIS
+                # n_buckets space (rebucket changes it; see merge_changes'
+                # layout guard)
+                "n_buckets": meta["n_buckets"],
                 "manifest_file": mf_rel,
                 "manifest": manifest,  # in-memory convenience; never serialized
                 "n_files": len(manifest),
@@ -1001,6 +1005,20 @@ class LakeTable:
             if sid is not None
             else None
         )
+        # Layout guard: bucket ids are only meaningful within one
+        # n_buckets space. A branch staged before a rebucket would
+        # otherwise mix old-space kept entries with new-space deltas in
+        # one manifest — numerically colliding ids make the per-bucket
+        # MOR read-merge classify files wrong and a key can surface
+        # twice. The publish CAS already blocks the stale branch from
+        # landing on main; this blocks the stale MERGE itself.
+        if snap is not None and snap.get("n_buckets", n_buckets) != n_buckets:
+            raise CommitConflictError(
+                f"branch {branch!r} is based on a {snap['n_buckets']}-bucket "
+                f"layout but the table is now bucket[{n_buckets}] (rebucket "
+                "happened since the branch forked); re-stage from the "
+                "current head"
+            )
 
         if mode == "mor":
             final = self._lww(delta_ev, keys, seq_col, op_col, payload_cols, n_buckets, strategy)

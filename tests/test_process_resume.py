@@ -20,13 +20,14 @@ EVENTS = 60_000
 EPOCHS = 12
 
 
-def _cmd(binlog, table, ckpt):
+def _cmd(binlog, table, ckpt, *extra):
     return [
         sys.executable, JOB,
         "--binlog", binlog, "--table", table, "--checkpoint", ckpt,
         "--generate", str(EVENTS),
         "--events-per-epoch", str(EVENTS // EPOCHS),
         "--n-repos", "100", "--n-buckets", "8", "--cores", "4",
+        *extra,
     ]
 
 
@@ -40,14 +41,22 @@ def _state_sha_set(spark, table_path):
 
 
 @pytest.mark.slow
-def test_kill9_resume_matches_uninterrupted(spark, tmp_path):
+@pytest.mark.parametrize(
+    "extra",
+    [[], ["--wap", "--wap-min-rows", "1", "--wap-max-quarantine-ratio", "0.5"]],
+    ids=["plain", "wap"],
+)
+def test_kill9_resume_matches_uninterrupted(spark, tmp_path, extra):
+    """kill -9 at an arbitrary commit point; with WAP, the kill can land
+    between a staging commit and its publish — resume must re-stage the
+    unpublished epoch and still converge bit-identically."""
     binlog = str(tmp_path / "binlog")
     ckpt_a, table_a = str(tmp_path / "a.json"), str(tmp_path / "a_state")
     ckpt_b, table_b = str(tmp_path / "b.json"), str(tmp_path / "b_state")
 
     # control: uninterrupted run
     out = subprocess.run(
-        _cmd(binlog, table_a, ckpt_a), capture_output=True, text=True, timeout=600
+        _cmd(binlog, table_a, ckpt_a, *extra), capture_output=True, text=True, timeout=600
     )
     assert out.returncode == 0, out.stderr[-2000:]
     control = json.loads(out.stdout.strip().splitlines()[-1])
@@ -55,18 +64,22 @@ def test_kill9_resume_matches_uninterrupted(spark, tmp_path):
 
     # victim: same binlog, kill -9 once >= 2 merge versions are committed
     proc = subprocess.Popen(
-        _cmd(binlog, table_b, ckpt_b),
+        _cmd(binlog, table_b, ckpt_b, *extra),
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     version_file = os.path.join(table_b, "metadata", "VERSION")
     deadline = time.time() + 300
     killed = False
+    # WAP spends 3 metadata versions per epoch (branch reset, staged
+    # merge, publish): v4 is the first point where >= 1 epoch is
+    # guaranteed PUBLISHED, so the survived-epoch assertion below holds
+    kill_at = 4 if extra else 2
     while time.time() < deadline:
         if proc.poll() is not None:
             break  # finished before we could kill — resume run must no-op
         try:
             with open(version_file) as f:
-                if int(f.read().strip()) >= 2:
+                if int(f.read().strip()) >= kill_at:
                     os.kill(proc.pid, signal.SIGKILL)
                     proc.wait(timeout=30)
                     killed = True
@@ -77,7 +90,7 @@ def test_kill9_resume_matches_uninterrupted(spark, tmp_path):
 
     # resume: identical command converges without duplicate/lost applies
     out2 = subprocess.run(
-        _cmd(binlog, table_b, ckpt_b), capture_output=True, text=True, timeout=600
+        _cmd(binlog, table_b, ckpt_b, *extra), capture_output=True, text=True, timeout=600
     )
     assert out2.returncode == 0, out2.stderr[-2000:]
     resumed = json.loads(out2.stdout.strip().splitlines()[-1])

@@ -209,3 +209,26 @@ def test_abandoned_branch_epochs_not_resurrected_by_expiry(spark, wap_events, tm
     # and the epoch can then actually be applied
     t.merge_changes(_epoch_slice(wap_events, 1), epoch_id=1)
     assert 1 in t.committed_epochs()
+
+
+def test_stale_branch_blocked_after_rebucket(spark, wap_events, tmp_path):
+    """A branch staged against the old bucket layout must not merge or
+    publish after a rebucket: bucket ids from two n_buckets spaces in one
+    manifest would collide numerically and break the per-bucket read
+    merge. The layout guard rejects the stale MERGE; the publish CAS
+    rejects the stale fast-forward."""
+    from fao_elt_pipelines_spark.lake.table import CommitConflictError
+
+    t = _mk(spark, tmp_path)
+    t.merge_changes(_epoch_slice(wap_events, 0), epoch_id=0)
+    t.create_branch("staging")
+    t.rebucket(16)  # layout evolution lands on main after the fork
+    with pytest.raises(CommitConflictError, match="bucket"):
+        t.merge_changes(_epoch_slice(wap_events, 1), epoch_id=1, branch="staging", mode="mor")
+    with pytest.raises(PublishConflictError):
+        t.publish("staging")
+    t.drop_ref("staging")
+    # a fresh WAP cycle against the new layout proceeds normally
+    wap.wap_merge(t, _epoch_slice(wap_events, 1), 1, audit=lambda *a: [])
+    assert 1 in t.committed_epochs()
+    assert t.n_buckets == 16
