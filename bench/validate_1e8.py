@@ -41,6 +41,12 @@ def main() -> None:
     ap.add_argument("--n-repos", type=int, default=10_000)
     ap.add_argument("--workdir", default="/tmp/validate_1e8")
     ap.add_argument("--keep", action="store_true", help="keep workdir after the run")
+    ap.add_argument(
+        "--wap", action="store_true",
+        help="route every epoch through write-audit-publish (staging "
+        "branch + summary audits + fast-forward publish) — validates the "
+        "gate at 10^8 scale; artifact goes to validate_1e8_wap.json",
+    )
     args = ap.parse_args()
 
     shutil.rmtree(args.workdir, ignore_errors=True)
@@ -64,6 +70,11 @@ def main() -> None:
             "--compact-delta-ratio", "0.25",  # round-3 size-based trigger
             "--profile", "bandwidth",
             "--mv-dir", os.path.join(args.workdir, "mv"),
+            *(
+                ["--wap", "--wap-min-rows", "1", "--wap-max-quarantine-ratio", "0.5"]
+                if args.wap
+                else []
+            ),
         ],
         capture_output=True, text=True, cwd=REPO,
     )
@@ -177,7 +188,8 @@ def main() -> None:
         "events": args.events,
         "epochs": args.epochs,
         "cores": args.cores,
-        "mode": "mor+sorted-default+delta-ratio-compaction",
+        "mode": "mor+sorted-default+delta-ratio-compaction"
+        + ("+wap" if args.wap else ""),
         "replay": replay,
         "end_to_end_wall_sec": round(wall, 1),
         "end_to_end_events_per_sec": round(args.events / wall, 1),
@@ -188,7 +200,8 @@ def main() -> None:
         "mv_match": mv_match,
         "pass": bool(repo_match and sample_match and mv_match),
     }
-    with open(os.path.join(REPO, "BENCH", "validate_1e8.json"), "w") as f:
+    name = "validate_1e8_wap.json" if args.wap else "validate_1e8.json"
+    with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
     if not args.keep:

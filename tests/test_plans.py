@@ -167,3 +167,15 @@ def test_sample_stratified_codegen_filter(spark, sf_dir):
     plan = _plan(q_sample_stratified(spark, sf_dir))
     assert "EvalPython" not in plan
     assert _n_nodes(plan, "Exchange") <= 1, plan  # only the orderBy range exchange
+
+
+def test_text_repetition_no_global_sort_no_python(spark, sf_dir):
+    """The repetition filters' trigram window is partitioned by doc_id —
+    never a single-partition global sort — and the whole plan stays
+    JVM-side (no interpreted HOF / EvalPython on the hot path)."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_text_repetition
+
+    plan = _plan(q_text_repetition(spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
