@@ -37,11 +37,17 @@ from .checkpoint import CheckpointStore
 from .table import LakeTable
 
 
-def table_bootstrap_watermark(table: LakeTable) -> int | None:
-    """The watermark of a committed bootstrap, if any (crash recovery)."""
+def table_bootstrap_watermark(table: LakeTable, source: str = "binlog") -> int | None:
+    """The watermark of THIS SOURCE's committed bootstrap, if any (crash
+    recovery). Watermarks are per source — healing source B's checkpoint
+    from source A's bootstrap would arm B's binlog filter at a position B
+    never loaded, silently dropping its covered prefix. Legacy bootstraps
+    committed without a recorded source match any query (single-source
+    tables predate the field)."""
     for s in table.snapshots():
         w = (s.get("summary") or {}).get("bootstrap_watermark")
-        if w is not None:
+        s_src = s.get("source") or (s.get("summary") or {}).get("source")
+        if w is not None and (s_src is None or s_src == source):
             return int(w)
     return None
 
@@ -69,16 +75,38 @@ def bootstrap_snapshot(
     bootstrapped (idempotent rerun; the checkpoint is healed if the prior
     run died between table commit and checkpoint write).
     """
-    prior = table_bootstrap_watermark(table)
+    prior = table_bootstrap_watermark(table, source)
     if prior is not None:
         if checkpoint.bootstrap_watermark(source) is None:
             checkpoint.set_bootstrap_watermark(source, prior)
         return None
-    if table.current_snapshot() is not None:
+    cur = table.current_snapshot()
+    if cur is not None:
+        # Multi-source tables may bootstrap each source in turn, but only
+        # when the existing state is attributably OTHER sources': commits
+        # from THIS source mean a replay already ran (bootstrap would
+        # rewind it), and source-less commits (legacy, or manual appends)
+        # are unattributable — refuse both rather than guess.
+        chain = table.history()
+        owned = [
+            s
+            for s in chain
+            if (s.get("source") or (s.get("summary") or {}).get("source"))
+            in (source, None)
+        ]
+        if owned:
+            raise ValueError(
+                f"bootstrap_snapshot for source {source!r} targets a table "
+                "with committed state from this source (or from commits with "
+                "no recorded source): resume the binlog replay instead, or "
+                "create a fresh table for the snapshot load"
+            )
+    reserved = {"seq", "op"} & set(snapshot_df.columns) - ({seq_col} if seq_col else set())
+    if reserved:
         raise ValueError(
-            "bootstrap_snapshot targets an EMPTY table: this one already has "
-            "committed state (resume the binlog replay instead, or create a "
-            "fresh table for the snapshot load)"
+            f"snapshot export carries reserved column(s) {sorted(reserved)}: "
+            "pass seq_col to use the export's own sequence, or rename/drop "
+            "them (they would collide with the synthesized event envelope)"
         )
     if seq_col is not None:
         seq = F.col(seq_col).cast("long")

@@ -123,8 +123,14 @@ def replay(
         # watermark drop out of the bounds agg and the epoch loop entirely
         # (they cost a stats-pruned scan, not an apply). Correctness never
         # depends on it: sub-watermark events would lose LWW to the
-        # snapshot rows anyway.
-        events = events.filter(F.col("seq") > int(wm_boot))
+        # snapshot rows anyway. Null-seq events pass THROUGH (a bare
+        # `seq > wm` is NULL for them, silently discarding exactly the
+        # malformed rows the quarantine split downstream exists to
+        # dead-letter — the drift signal must not vanish on bootstrapped
+        # tables only).
+        events = events.filter(
+            (F.col("seq") > int(wm_boot)) | F.col("seq").isNull()
+        )
     bounds = events.agg(
         F.min(epoch_col).alias("lo"), F.max(epoch_col).alias("hi")
     ).collect()[0]

@@ -421,6 +421,8 @@ class LakeTable:
         head = self._head(meta, branch)
         if refs.get(branch, {}).get("type") == "tag":
             raise ValueError(f"{branch!r} is a tag; only branches publish")
+        if refs.get(to, {}).get("type") == "tag":
+            raise ValueError(f"{to!r} is a tag; tags are immutable publish targets")
         to_head = self._head(meta, to)
         if head != to_head:
             ancestors = {s["snapshot_id"] for s in self._ancestry(meta, head)}
@@ -696,10 +698,20 @@ class LakeTable:
         if refs.get(branch, {}).get("type") == "tag":
             raise ValueError(f"{branch!r} is a tag; tags are immutable")
         parent = self._head(meta, branch)
-        # ids are allocated across ALL branches (max over the log), so a
+        # ids are allocated across ALL branches and never reused, so a
         # snapshot id names one commit globally and publish is a pure
-        # pointer move
-        sid = max((s["snapshot_id"] for s in meta["snapshots"]), default=0) + 1
+        # pointer move. The high-water mark survives expiry: max-over-log
+        # alone would regress when the newest ids (e.g. abandoned WAP
+        # staging commits) are expired, and a reused id would silently
+        # re-validate expired cursors/tags instead of raising.
+        sid = (
+            max(
+                max((s["snapshot_id"] for s in meta["snapshots"]), default=0),
+                meta.get("last_snapshot_id", 0),
+            )
+            + 1
+        )
+        meta["last_snapshot_id"] = sid
         manifest = kept_entries + new_entries
         # The manifest file is written ONCE, immutably, before the metadata
         # CAS (uuid-suffixed so racing writers targeting the same sid never

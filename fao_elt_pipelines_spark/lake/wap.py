@@ -29,7 +29,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .table import LakeTable, PublishConflictError
+from .table import CommitConflictError, LakeTable, PublishConflictError
 
 #: audit callable: (table, staging_branch, merge_summary) -> list of
 #: failure descriptions (empty == pass)
@@ -52,7 +52,6 @@ def basic_audit(
     min_rows_written: int = 0,
     max_quarantine_ratio: float | None = None,
     max_shrink_ratio: float | None = None,
-    keys: tuple[str, str] = ("repo", "path"),
 ) -> Audit:
     """The standard CDC publish gate.
 
@@ -166,26 +165,45 @@ def wap_merge(
     """
     staging = staging or f"wap-{source}"
     last_err: Exception | None = None
-    for _ in range(max(1, publish_retries + 1)):
-        pre_main = table.current_snapshot()
-        pre_id = pre_main["snapshot_id"] if pre_main else None
-        table.create_branch(staging, reset=True)
-        sid = table.merge_changes(
-            delta, epoch_id=epoch_id, branch=staging, source=source, **merge_kwargs
-        )
-        staged = table.current_snapshot(ref=staging)
-        staged_id = staged["snapshot_id"] if staged else None
-        if staged_id == pre_id:
-            # exactly-once skip: every epoch of the group is already
-            # published on main; nothing was staged
-            table.drop_ref(staging)
-            return sid
-        failures = audit(table, staging, (staged or {}).get("summary", {}))
-        if failures:
-            table.drop_ref(staging)
-            raise WapAuditError(epoch_id, failures)
+    try:
+        for _ in range(max(1, publish_retries + 1)):
+            pre_main = table.current_snapshot()
+            pre_id = pre_main["snapshot_id"] if pre_main else None
+            table.create_branch(staging, reset=True)
+            sid = table.merge_changes(
+                delta, epoch_id=epoch_id, branch=staging, source=source, **merge_kwargs
+            )
+            staged = table.current_snapshot(ref=staging)
+            staged_id = staged["snapshot_id"] if staged else None
+            if staged_id == pre_id:
+                # exactly-once skip: every epoch of the group is already
+                # published on main; nothing was staged
+                table.drop_ref(staging)
+                return sid
+            failures = audit(table, staging, (staged or {}).get("summary", {}))
+            if failures:
+                table.drop_ref(staging)
+                raise WapAuditError(epoch_id, failures)
+            try:
+                return table.publish(staging)
+            except PublishConflictError as e:
+                last_err = e  # main moved; re-stage against the new head
+            except CommitConflictError as e:
+                # the publish CAS itself lost (competitor committed between
+                # its metadata read and write) — same recovery: re-stage
+                last_err = e
+        raise last_err  # type: ignore[misc]
+    except WapAuditError:
+        raise  # staging already dropped above
+    except Exception:
+        # any other exit (exhausted retries, a CAS conflict from the
+        # branch reset or the staged merge, executor failure): drop the
+        # staging ref best-effort so abandoned staged snapshots become
+        # expiry garbage instead of being pinned forever by a live ref
         try:
-            return table.publish(staging)
-        except PublishConflictError as e:
-            last_err = e  # main moved; re-stage against the new head
-    raise last_err  # type: ignore[misc]
+            table.drop_ref(staging)
+        except Exception:
+            # ref already gone, or metadata contended; the next WAP cycle's
+            # create_branch(reset=True) retargets it anyway
+            pass
+        raise

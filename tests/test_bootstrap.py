@@ -111,11 +111,11 @@ def test_bootstrap_idempotent_and_heals_checkpoint(spark, boot_events, tmp_path)
     assert bootstrap_snapshot(snap, table, ckpt2, watermark_seq=wm) is None
     assert ckpt2.bootstrap_watermark("binlog") == wm
 
-    # a non-empty, non-bootstrapped table is refused
+    # a table this source already replayed into is refused
     t2 = LakeTable.create(spark, str(tmp_path / "t2"), STATE_SCHEMA, n_buckets=8)
     replay(spark, boot_events, t2, CheckpointStore(str(tmp_path / "c3.json")),
            max_epochs=1, mode="mor")
-    with pytest.raises(ValueError, match="EMPTY table"):
+    with pytest.raises(ValueError, match="committed state from this source"):
         bootstrap_snapshot(snap, t2, CheckpointStore(str(tmp_path / "c4.json")), watermark_seq=wm)
 
 
@@ -131,3 +131,79 @@ def test_bootstrap_rejects_future_seq(spark, boot_events, tmp_path):
             snap, table, CheckpointStore(str(tmp_path / "c.json")),
             watermark_seq=wm, seq_col="src_seq",
         )
+
+
+def test_bootstrap_is_source_scoped(spark, boot_events, tmp_path):
+    """Watermarks are per source: a second source bootstraps onto the SAME
+    (non-empty) table with its own watermark, the heal never crosses
+    sources, and each source's tail filter starts at its own position."""
+    wm_a, wm_b = 9_999, 4_999
+    west = boot_events.withColumn("repo", F.concat(F.lit("west_"), F.col("repo")))
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ckpt = CheckpointStore(str(tmp_path / "c.json"))
+    assert bootstrap_snapshot(
+        _snapshot_at(boot_events, wm_a), table, ckpt, watermark_seq=wm_a, source="east"
+    ) is not None
+    # second source: table is non-empty but only with east's state → allowed
+    assert bootstrap_snapshot(
+        _snapshot_at(west, wm_b), table, ckpt, watermark_seq=wm_b, source="west"
+    ) is not None
+    assert table_bootstrap_watermark(table, "east") == wm_a
+    assert table_bootstrap_watermark(table, "west") == wm_b
+    assert table_bootstrap_watermark(table, "north") is None
+    assert ckpt.bootstrap_watermark("east") == wm_a
+    assert ckpt.bootstrap_watermark("west") == wm_b
+
+    # the heal is source-matched: a fresh checkpoint for west gets WEST's
+    # watermark, not east's (the cross-source poison the guard exists for)
+    ckpt2 = CheckpointStore(str(tmp_path / "c2.json"))
+    assert bootstrap_snapshot(
+        _snapshot_at(west, wm_b), table, ckpt2, watermark_seq=wm_b, source="west"
+    ) is None
+    assert ckpt2.bootstrap_watermark("west") == wm_b
+    assert ckpt2.bootstrap_watermark("east") is None
+
+    # an ALREADY-bootstrapped source re-offering is the idempotent heal
+    # (returns None, tested above); a source whose replay committed
+    # WITHOUT a bootstrap is refused — bootstrapping now would rewind it
+    north = boot_events.withColumn("repo", F.concat(F.lit("north_"), F.col("repo")))
+    replay(spark, north, table, CheckpointStore(str(tmp_path / "cn.json")),
+           source="north", mode="mor", max_epochs=1)
+    with pytest.raises(ValueError, match="committed state from this source"):
+        bootstrap_snapshot(
+            _snapshot_at(north, wm_a), table,
+            CheckpointStore(str(tmp_path / "c3.json")), watermark_seq=wm_a, source="north",
+        )
+
+
+def test_bootstrap_rejects_reserved_columns(spark, boot_events, tmp_path):
+    snap = _snapshot_at(boot_events, 5_000).withColumn("op", F.lit("base"))
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    with pytest.raises(ValueError, match="reserved column"):
+        bootstrap_snapshot(
+            snap, table, CheckpointStore(str(tmp_path / "c.json")), watermark_seq=5_000
+        )
+
+
+def test_null_seq_quarantined_after_bootstrap(spark, boot_events, tmp_path):
+    """The bootstrap watermark filter must not swallow null-seq events
+    before the quarantine split — the drift signal survives bootstrap."""
+    wm = 9_999
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ckpt = CheckpointStore(str(tmp_path / "c.json"))
+    bootstrap_snapshot(_snapshot_at(boot_events, wm), table, ckpt, watermark_seq=wm)
+
+    bad = spark.createDataFrame(
+        [("r", "p", "c", "py", "x", "insert", None, 3)],
+        "repo string, path string, commit string, lang string, content string, "
+        "op string, seq long, epoch long",
+    )
+    tail = boot_events.select(*bad.columns).unionByName(bad)
+    qdir = str(tmp_path / "dead")
+    replay(spark, tail, table, ckpt, mode="mor", quarantine_dir=qdir)
+    from fao_elt_pipelines_spark.lake.quarantine import read_dead_letters
+
+    dead = read_dead_letters(spark, qdir)
+    assert dead is not None
+    assert [r["_dead_letter_reason"] for r in dead.collect()] == ["null_seq"]

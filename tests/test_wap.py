@@ -232,3 +232,32 @@ def test_stale_branch_blocked_after_rebucket(spark, wap_events, tmp_path):
     wap.wap_merge(t, _epoch_slice(wap_events, 1), 1, audit=lambda *a: [])
     assert 1 in t.committed_epochs()
     assert t.n_buckets == 16
+
+
+def test_snapshot_ids_never_reused_after_expiry(spark, wap_events, tmp_path):
+    """Expiring the newest (abandoned staged) snapshots must not let the
+    allocator hand their ids to later commits — an expired id must stay
+    expired (cursors, tags, and time travel referencing it must raise,
+    never silently resolve to a different commit)."""
+    t = _mk(spark, tmp_path)
+    t.merge_changes(_epoch_slice(wap_events, 0), epoch_id=0)
+    t.create_branch("staging")
+    staged_sid = t.merge_changes(_epoch_slice(wap_events, 1), epoch_id=1, branch="staging")
+    t.drop_ref("staging")
+    t.expire_snapshots(keep_last=1)  # collects the abandoned stage
+
+    new_sid = t.merge_changes(_epoch_slice(wap_events, 2), epoch_id=2)
+    assert new_sid > staged_sid
+    with pytest.raises(ValueError, match="expired"):
+        t.read(snapshot_id=staged_sid)
+
+
+def test_publish_to_tag_refused(spark, wap_events, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge_changes(_epoch_slice(wap_events, 0), epoch_id=0)
+    t.create_tag("cut", at_snapshot_id=t.current_snapshot()["snapshot_id"])
+    t.create_branch("staging")
+    t.merge_changes(_epoch_slice(wap_events, 1), epoch_id=1, branch="staging")
+    with pytest.raises(ValueError, match="immutable publish target"):
+        t.publish("staging", to="cut")
+    assert t.refs()["cut"]["type"] == "tag"  # untouched
