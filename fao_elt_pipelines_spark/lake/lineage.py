@@ -27,9 +27,11 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
-def lineage_df(spark: SparkSession, table: LakeTable) -> DataFrame:
+def lineage_df(spark: SparkSession, table: LakeTable, ref: str = "main") -> DataFrame:
     rows = []
-    for s in table.snapshots():
+    # published history only: snapshots staged on other branches (WAP)
+    # are not part of this lineage until published
+    for s in table.history(ref):
         for e in s["manifest"]:
             rows.append(
                 (

@@ -28,9 +28,10 @@ METRICS_SCHEMA = T.StructType(
 )
 
 
-def metrics_df(spark: SparkSession, table: LakeTable) -> DataFrame:
+def metrics_df(spark: SparkSession, table: LakeTable, ref: str = "main") -> DataFrame:
     rows = []
-    for s in table.snapshots():
+    # published history only (same contract as ReplayReport.metrics)
+    for s in table.history(ref):
         if s["operation"] != "merge":
             continue
         m = s["summary"]

@@ -261,3 +261,25 @@ def test_publish_to_tag_refused(spark, wap_events, tmp_path):
     with pytest.raises(ValueError, match="immutable publish target"):
         t.publish("staging", to="cut")
     assert t.refs()["cut"]["type"] == "tag"  # untouched
+
+
+def test_schema_evolution_on_abandoned_branch_is_additive_only(spark, wap_events, tmp_path):
+    """Schema evolution is table-scoped (Iceberg semantics): a staged merge
+    that adds a column registers it even if the branch is later abandoned.
+    That must stay harmless — main reads serve the new column as NULL for
+    old files, and a later main merge fills it."""
+    t = _mk(spark, tmp_path)
+    t.merge_changes(_epoch_slice(wap_events, 0), epoch_id=0)
+
+    evolved = _epoch_slice(wap_events, 1).withColumn("stars", F.lit(7).cast("int"))
+    gate = wap.basic_audit(min_rows_written=10**9)  # unsatisfiable: force abandon
+    with pytest.raises(wap.WapAuditError):
+        wap.wap_merge(t, evolved, 1, audit=gate)
+
+    got = t.read()
+    assert "stars" in got.columns  # registered, additive
+    assert got.filter(F.col("stars").isNotNull()).count() == 0  # no staged data leaked
+
+    t.merge_changes(evolved, epoch_id=1)  # publish-path merge fills it
+    assert t.read().filter(F.col("stars") == 7).count() > 0
+    assert 1 in t.committed_epochs()
