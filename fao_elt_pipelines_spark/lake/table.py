@@ -14,8 +14,19 @@ small interface so a real catalog's ``MERGE INTO`` can be swapped in:
   prunes manifests and old metadata versions alongside data files
 - atomic commit via write-temp-then-``os.replace`` of a VERSION pointer —
   the local-FS stand-in for a catalog's compare-and-swap
-- time travel: read any snapshot id
+- refs: named branches and tags over the snapshot log (Iceberg's refs
+  model) — write-audit-publish staging (lake.wap), tags that pin
+  snapshots across expiry, publish = fast-forward pointer CAS; epoch
+  exactly-once, the change stream, lineage, and expiry bookkeeping all
+  follow a ref's ANCESTRY, so unpublished branch work never counts
+- time travel: read any snapshot id, ref, or FOR TIMESTAMP AS OF
+  (``as_of_ms``); snapshot ids are never reused (high-water mark
+  survives expiry)
 - additive schema evolution by field-ID union (lake.schema_evo)
+- maintenance: count- and age-based snapshot expiry, orphan-file GC
+  behind a safety horizon, size- or count-triggered compaction, online
+  bucket-count evolution (rebucket) with a layout guard that refuses
+  merges planned against a superseded bucket space
 - exactly-once: the epoch id committed inside the snapshot summary; replay
   consults ``committed_epochs()`` and skips — idempotency by replay-skip,
   not by the reference's truncate+reload
@@ -41,7 +52,6 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass, field
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -104,17 +114,6 @@ def _stats_overlap(entry: dict[str, Any], col: str, lo: Any, hi: Any) -> bool:
 
 def _stats_may_contain(entry: dict[str, Any], col: str, value: Any) -> bool:
     return _stats_overlap(entry, col, value, value)
-
-
-@dataclass
-class Snapshot:
-    snapshot_id: int
-    parent_id: int | None
-    timestamp_ms: int
-    operation: str  # append | merge | overwrite
-    epoch_id: int | None
-    manifest: list[dict[str, Any]]  # [{path, bucket, rows, source_epoch}]
-    summary: dict[str, Any] = field(default_factory=dict)
 
 
 class _LazySnapshot(dict):
