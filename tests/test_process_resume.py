@@ -156,19 +156,23 @@ def test_table_tool_cli(spark, tmp_path):
 
 
 @pytest.mark.slow
-def test_dual_writer_convergence(spark, tmp_path):
+@pytest.mark.parametrize("extra", [[], ["--wap"]], ids=["plain", "wap"])
+def test_dual_writer_convergence(spark, tmp_path, extra):
     """Two concurrent replay PROCESSES on the SAME table (a zombie/dual
     applier — the failure mode optimistic CAS commits exist for): each
-    loser of a version race dies with CommitConflictError and is simply
+    loser of a version race dies with a ConflictError and is simply
     rerun (the documented recovery), and the table must converge to the
     exact single-writer state — every epoch applied once, none lost,
-    none doubled (committed-epoch skip + version pinning at commit)."""
+    none doubled (committed-epoch skip + version pinning at commit).
+    The WAP arm adds branch resets and publish fast-forwards to the
+    contended CAS stream; wap_merge's retry loop absorbs what it can and
+    the rerun covers the rest."""
     binlog = str(tmp_path / "binlog")
     ckpt_s, table_s = str(tmp_path / "s.json"), str(tmp_path / "s_state")
 
     # single-writer control (also generates the shared binlog)
     out = subprocess.run(
-        _cmd(binlog, table_s, ckpt_s), capture_output=True, text=True, timeout=600
+        _cmd(binlog, table_s, ckpt_s, *extra), capture_output=True, text=True, timeout=600
     )
     assert out.returncode == 0, out.stderr[-2000:]
     control = json.loads(out.stdout.strip().splitlines()[-1])
@@ -176,7 +180,7 @@ def test_dual_writer_convergence(spark, tmp_path):
     # dual writers: same table dir, independent checkpoints
     table_d = str(tmp_path / "d_state")
     cmds = [
-        _cmd(binlog, table_d, str(tmp_path / f"w{i}.json")) for i in (1, 2)
+        _cmd(binlog, table_d, str(tmp_path / f"w{i}.json"), *extra) for i in (1, 2)
     ]
     procs = [
         subprocess.Popen(c, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
@@ -190,7 +194,9 @@ def test_dual_writer_convergence(spark, tmp_path):
     for i in (0, 1):
         tries = 0
         while rcs[i] != 0 and tries < 6:
-            assert "CommitConflictError" in results[i][1], results[i][1][-2000:]
+            # plain: CommitConflictError; WAP adds PublishConflictError
+            # (subclass, name matches) from the contended fast-forward
+            assert "ConflictError" in results[i][1], results[i][1][-2000:]
             out_i = subprocess.run(cmds[i], capture_output=True, text=True, timeout=600)
             rcs[i], results[i] = out_i.returncode, (out_i.stdout, out_i.stderr)
             tries += 1
