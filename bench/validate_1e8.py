@@ -47,6 +47,15 @@ def main() -> None:
         "branch + summary audits + fast-forward publish) — validates the "
         "gate at 10^8 scale; artifact goes to validate_1e8_wap.json",
     )
+    ap.add_argument(
+        "--bootstrap", action="store_true",
+        help="two-phase start at 10^8 scale: DuckDB computes the "
+        "consistent source snapshot at the mid-stream watermark "
+        "(events/2 - 1), the table bootstraps from it, and replay tails "
+        "only the binlog above it; the oracle checks are unchanged — the "
+        "handoff must converge to the same final state. Artifact goes to "
+        "validate_1e8_bootstrap.json",
+    )
     args = ap.parse_args()
 
     shutil.rmtree(args.workdir, ignore_errors=True)
@@ -55,28 +64,67 @@ def main() -> None:
     table = os.path.join(args.workdir, "state")
 
     t0 = time.time()
+    base_cmd = [
+        sys.executable, os.path.join(REPO, "scripts", "replay_job.py"),
+        "--binlog", binlog,
+        "--table", table,
+        "--checkpoint", os.path.join(args.workdir, "ckpt.json"),
+        "--generate", str(args.events),
+        "--events-per-epoch", str(args.events // args.epochs),
+        "--n-repos", str(args.n_repos),
+        "--n-buckets", "64",
+        "--cores", str(args.cores),
+        "--mode", "mor",
+        "--compact-delta-ratio", "0.25",  # round-3 size-based trigger
+        "--profile", "bandwidth",
+        "--mv-dir", os.path.join(args.workdir, "mv"),
+        *(
+            ["--wap", "--wap-min-rows", "1", "--wap-max-quarantine-ratio", "0.5"]
+            if args.wap
+            else []
+        ),
+    ]
+    boot_extra: list[str] = []
+    if args.bootstrap:
+        # Phase 0: generate the binlog only (no epochs applied), then let
+        # DuckDB — the independent engine — build the consistent snapshot
+        # at the mid-stream watermark, exactly what a production export
+        # at a known log position provides.
+        gen = subprocess.run(
+            base_cmd[:base_cmd.index("--mode")] + ["--max-epochs", "0"],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        if gen.returncode != 0:
+            sys.stderr.write(gen.stderr[-4000:])
+            raise SystemExit(f"binlog generation failed rc={gen.returncode}")
+        wm = args.events // 2 - 1
+        snap_path = os.path.join(args.workdir, "snapshot.parquet")
+        import duckdb as _duck
+
+        c = _duck.connect()
+        c.execute(f"SET threads={args.cores}")
+        c.execute(
+            f"""
+            COPY (
+              SELECT repo, path, commit, lang, content, seq AS src_seq
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY seq DESC) AS rn
+                FROM read_parquet('{binlog}/epoch=*/*.parquet', hive_partitioning=1)
+                WHERE seq <= {wm}
+              ) WHERE rn = 1 AND op <> 'delete'
+            ) TO '{snap_path}' (FORMAT PARQUET)
+            """
+        )
+        c.close()
+        boot_extra = [
+            "--bootstrap-snapshot", snap_path,
+            "--bootstrap-watermark", str(wm),
+            "--bootstrap-seq-col", "src_seq",
+        ]
+        t0 = time.time()  # the validated phase is bootstrap + tail
     proc = subprocess.run(
-        [
-            sys.executable, os.path.join(REPO, "scripts", "replay_job.py"),
-            "--binlog", binlog,
-            "--table", table,
-            "--checkpoint", os.path.join(args.workdir, "ckpt.json"),
-            "--generate", str(args.events),
-            "--events-per-epoch", str(args.events // args.epochs),
-            "--n-repos", str(args.n_repos),
-            "--n-buckets", "64",
-            "--cores", str(args.cores),
-            "--mode", "mor",
-            "--compact-delta-ratio", "0.25",  # round-3 size-based trigger
-            "--profile", "bandwidth",
-            "--mv-dir", os.path.join(args.workdir, "mv"),
-            *(
-                ["--wap", "--wap-min-rows", "1", "--wap-max-quarantine-ratio", "0.5"]
-                if args.wap
-                else []
-            ),
-        ],
-        capture_output=True, text=True, cwd=REPO,
+        base_cmd + boot_extra, capture_output=True, text=True, cwd=REPO
     )
     wall = time.time() - t0
     if proc.returncode != 0:
@@ -189,7 +237,8 @@ def main() -> None:
         "epochs": args.epochs,
         "cores": args.cores,
         "mode": "mor+sorted-default+delta-ratio-compaction"
-        + ("+wap" if args.wap else ""),
+        + ("+wap" if args.wap else "")
+        + ("+bootstrap" if args.bootstrap else ""),
         "replay": replay,
         "end_to_end_wall_sec": round(wall, 1),
         "end_to_end_events_per_sec": round(args.events / wall, 1),
@@ -200,7 +249,12 @@ def main() -> None:
         "mv_match": mv_match,
         "pass": bool(repo_match and sample_match and mv_match),
     }
-    name = "validate_1e8_wap.json" if args.wap else "validate_1e8.json"
+    name = "validate_1e8"
+    if args.wap:
+        name += "_wap"
+    if args.bootstrap:
+        name += "_bootstrap"
+    name += ".json"
     with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
