@@ -214,6 +214,79 @@ FROM w2 WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def q_cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level changelog between two log positions (CDC *emission* —
+    Iceberg ``changes`` / Delta CDF semantics): diff the LWW state at the
+    mid-stream watermark against the final state, classifying each
+    changed key as insert / delete / update_preimage / update_postimage.
+    Runs the production diff operator (lake/changelog._diff — one
+    full-outer join, one struct equality, one explode); the oracle
+    re-derives the same stream as four set operations in SQL."""
+    from ..lake.changelog import _diff
+
+    b = _derived_binlog(spark, sf_dir)
+    wm = int(b.agg(F.max("seq")).collect()[0][0]) // 2
+
+    def state(df: DataFrame) -> DataFrame:
+        return (
+            _lww(df)
+            .filter(F.col("op") != "delete")
+            .select(
+                "repo", "path", "commit", "lang",
+                F.sha2(F.col("content"), 256).alias("content_sha256"),
+                F.col("seq").alias("last_seq"),
+            )
+        )
+
+    ch = _diff(state(b.filter(F.col("seq") <= wm)), state(b), 0, 1)
+    return ch.select(
+        "repo", "path", "commit", "lang", "content_sha256", "last_seq",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+SQL_CDC_CHANGELOG = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+wm AS (SELECT max(seq) // 2 AS w FROM binlog),
+b AS (
+  SELECT repo, path, commit, lang, sha256(content) AS content_sha256, seq AS last_seq
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+    FROM binlog WHERE seq <= (SELECT w FROM wm)
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+a AS (
+  SELECT repo, path, commit, lang, sha256(content) AS content_sha256, seq AS last_seq
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+    FROM binlog
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+upd AS (
+  SELECT b.repo, b.path, b.commit AS b_commit, b.lang AS b_lang,
+         b.content_sha256 AS b_sha, b.last_seq AS b_seq,
+         a.commit AS a_commit, a.lang AS a_lang,
+         a.content_sha256 AS a_sha, a.last_seq AS a_seq
+  FROM b JOIN a ON b.repo = a.repo AND b.path = a.path
+  WHERE b.last_seq <> a.last_seq OR b.content_sha256 <> a.content_sha256
+     OR b.commit <> a.commit OR b.lang <> a.lang
+)
+SELECT a.repo, a.path, a.commit, a.lang, a.content_sha256, a.last_seq,
+       'insert' AS change_type
+FROM a LEFT JOIN b ON a.repo = b.repo AND a.path = b.path
+WHERE b.last_seq IS NULL
+UNION ALL
+SELECT b.repo, b.path, b.commit, b.lang, b.content_sha256, b.last_seq,
+       'delete' AS change_type
+FROM b LEFT JOIN a ON b.repo = a.repo AND b.path = a.path
+WHERE a.last_seq IS NULL
+UNION ALL
+SELECT repo, path, b_commit, b_lang, b_sha, b_seq, 'update_preimage' FROM upd
+UNION ALL
+SELECT repo, path, a_commit, a_lang, a_sha, a_seq, 'update_postimage' FROM upd
+"""
+
+
 def q_cdc_epoch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8: per-epoch metrics — event counts per op, distinct keys, valid
     rate (the engine's metrics-table semantics over a derived epoch)."""
@@ -1080,6 +1153,7 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_lww_state": (q_cdc_lww_state, SQL_CDC_LWW_STATE),
     "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_LWW_STATE),  # MERGE ≡ LWW (see docstring)
     "cdc_bootstrap_handoff": (q_cdc_bootstrap_handoff, SQL_CDC_BOOTSTRAP_HANDOFF),
+    "cdc_changelog": (q_cdc_changelog, SQL_CDC_CHANGELOG),
     "cdc_epoch_metrics": (q_cdc_epoch_metrics, SQL_CDC_EPOCH_METRICS),
     "cdc_incremental_gold": (q_cdc_incremental_gold, SQL_CDC_INCREMENTAL_GOLD),
     "silver_events_cleaned": (q_silver_events_cleaned, SQL_SILVER_EVENTS_CLEANED),
