@@ -194,6 +194,87 @@ def apply_row_changes(state: DataFrame, changes: DataFrame) -> DataFrame:
     return state.join(out_keys, list(KEYS), "left_anti").unionByName(arrivals)
 
 
+def replicate(
+    source: LakeTable,
+    target: LakeTable,
+    ckpt,
+    source_name: str = "changelog-mirror",
+    mode: str = "mor",
+) -> dict[str, Any]:
+    """CDC fan-out: advance ``target`` to ``source``'s current state by
+    consuming the changelog interval since the persisted cursor — the
+    downstream half of the loop (a second lake, a region replica, a
+    serving copy), built entirely from the engine's own primitives.
+
+    Exactly-once composes from the same two layers replay uses:
+
+    - the whole interval merges as ONE epoch tagged with the source's
+      head snapshot id under ``source_name`` — a crashed/raced retry is
+      skipped by the target's committed-epoch check, never re-applied;
+    - the cursor in ``ckpt`` is advanced only after the target commit
+      (a crash between the two re-offers the interval, the skip eats it,
+      the cursor heals — the identical dance scripts/replay_job.py does
+      for binlog epochs).
+
+    Changelog rows fold to MERGE events: inserts/post-images upsert at
+    their ``last_seq``; deletes emit at ``pre.last_seq + 1``, which beats
+    the mirrored row it retracts and loses to any later change of the key
+    (whose log position is strictly greater — seqs are global). Pre-images
+    are dropped. The target recomputes ``content_sha256`` in the merge, so
+    the sha-equality invariant holds per-row by construction.
+
+    An expired source cursor (``expire_snapshots`` outran the mirror
+    cadence) cannot be bridged incrementally: falls back to an exact
+    ``overwrite`` resync at the pinned head — reported in the returned
+    metrics, never silent.
+    """
+    meta = source._load_metadata()
+    to_sid = meta["current_snapshot_id"]
+    if to_sid is None:
+        return {"mode": "noop", "reason": "empty source"}
+    from_sid = ckpt.last_epoch(source_name)
+    if from_sid == to_sid:
+        return {"mode": "noop", "from": from_sid, "to": to_sid}
+
+    resync = False
+    try:
+        ch = row_changes(source, from_sid, to_sid)
+    except ValueError:
+        resync = True
+    if resync:
+        target.overwrite(source.read(snapshot_id=to_sid), epoch_id=int(to_sid))
+        ckpt.commit(source_name, epoch=int(to_sid), seq_hi=int(to_sid))
+        return {"mode": "resync", "reason": "cursor expired", "to": to_sid}
+
+    payload = [
+        f.name
+        for f in source.schema().fields
+        if f.name not in ("content_sha256", "last_seq")
+    ]
+    non_key = [c for c in payload if c not in KEYS]
+    schema = source.schema()
+    null_of = {
+        c: F.lit(None).cast(next(f.dataType for f in schema.fields if f.name == c))
+        for c in non_key
+    }
+    ups = ch.filter(F.col("_change_type").isin(INSERT, UPDATE_POST)).select(
+        *payload,
+        F.lit("upsert").alias("op"),
+        F.col("last_seq").alias("seq"),
+    )
+    dels = ch.filter(F.col("_change_type") == DELETE).select(
+        *KEYS,
+        *[null_of[c].alias(c) for c in non_key],
+        F.lit("delete").alias("op"),
+        (F.col("last_seq") + 1).alias("seq"),
+    )
+    target.merge_changes(
+        ups.unionByName(dels), epoch_id=int(to_sid), mode=mode, source=source_name
+    )
+    ckpt.commit(source_name, epoch=int(to_sid), seq_hi=int(to_sid))
+    return {"mode": "incremental", "from": from_sid, "to": to_sid}
+
+
 def _find(meta: dict[str, Any], sid: int) -> dict[str, Any]:
     snap = next((s for s in meta["snapshots"] if s["snapshot_id"] == sid), None)
     if snap is None:

@@ -159,6 +159,19 @@ def main() -> None:
     p_chg.add_argument("--from-snapshot", type=int, default=None)
     p_chg.add_argument("--to-snapshot", type=int, default=None)
     p_chg.add_argument("--limit", type=int, default=20)
+    p_rc = sub.add_parser("row-changes", help="row-level changelog (CDC emit): "
+                          "insert/delete/update pre+post images per changed key")
+    p_rc.add_argument("--from-snapshot", type=int, default=None)
+    p_rc.add_argument("--to-snapshot", type=int, default=None)
+    p_rc.add_argument("--limit", type=int, default=20)
+    p_mir = sub.add_parser("mirror", help="advance a target table to this "
+                           "table's state by consuming its changelog; "
+                           "exactly-once via the cursor checkpoint + the "
+                           "target's committed-epoch skip")
+    p_mir.add_argument("--target", required=True)
+    p_mir.add_argument("--cursor", required=True, help="checkpoint JSON path "
+                       "holding the mirror's consumed-snapshot cursor")
+    p_mir.add_argument("--mode", default="mor", choices=["cow", "mor"])
     p_br = sub.add_parser("branch")
     p_br.add_argument("name")
     p_br.add_argument("--at-snapshot", type=int, default=None)
@@ -216,6 +229,25 @@ def main() -> None:
         df = table.changes_between(args.from_snapshot, args.to_snapshot)
         for row in df.limit(args.limit).toJSON().collect():
             print(row)
+    elif args.cmd == "row-changes":
+        from fao_elt_pipelines_spark.lake.changelog import row_changes
+
+        df = row_changes(table, args.from_snapshot, args.to_snapshot)
+        for row in df.limit(args.limit).toJSON().collect():
+            print(row)
+    elif args.cmd == "mirror":
+        from fao_elt_pipelines_spark.lake.changelog import replicate
+        from fao_elt_pipelines_spark.lake.checkpoint import CheckpointStore
+
+        if not LakeTable.exists(args.target):
+            tgt = LakeTable.create(
+                spark, args.target, table.schema(),
+                n_buckets=table._load_metadata()["n_buckets"],
+            )
+        else:
+            tgt = LakeTable(spark, args.target)
+        print(json.dumps(replicate(table, tgt, CheckpointStore(args.cursor),
+                                   mode=args.mode)))
     elif args.cmd == "branch":
         table.create_branch(args.name, at_snapshot_id=args.at_snapshot, reset=args.reset)
         print(json.dumps({"ref": args.name, **table.refs()[args.name]}))

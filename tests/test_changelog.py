@@ -176,6 +176,56 @@ def test_overwrite_interval_falls_back_to_full_diff(spark, cl_events, tmp_path):
     assert _changelog_rows(row_changes(table, sid1, sid2)) == _brute_diff(before, after)
 
 
+def test_replicate_mirrors_source_exactly_once(spark, cl_events, tmp_path):
+    src = LakeTable.create(spark, str(tmp_path / "src"), STATE_SCHEMA, n_buckets=8)
+    tgt = LakeTable.create(spark, str(tmp_path / "tgt"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    mck = CheckpointStore(str(tmp_path / "mirror.json"))
+    from fao_elt_pipelines_spark.lake.changelog import replicate
+
+    # initial load: no cursor → whole state arrives as inserts
+    replay(spark, cl_events, src, ck, mode="mor", max_epochs=2)
+    rep = replicate(src, tgt, mck)
+    assert rep["mode"] == "incremental" and rep["from"] is None
+    assert _state_rows(tgt.read()) == _state_rows(src.read())
+
+    # incremental interval, including deletes that must retract in target
+    replay(spark, cl_events, src, ck, mode="mor")
+    rep = replicate(src, tgt, mck)
+    assert rep["mode"] == "incremental"
+    assert _state_rows(tgt.read()) == _state_rows(src.read())
+
+    # caught up → noop; stale cursor (crash before cursor write) → the
+    # target's committed-epoch skip eats the re-offered interval and the
+    # cursor heals, state unchanged — exactly-once at mirror granularity
+    assert replicate(src, tgt, mck)["mode"] == "noop"
+    healthy = _state_rows(tgt.read())
+    doc = mck.load()
+    stale_from = src._load_metadata()["snapshots"][1]["snapshot_id"]
+    doc["sources"]["changelog-mirror"]["epoch"] = stale_from
+    mck._write(doc)
+    rep = replicate(src, tgt, mck)
+    assert rep["mode"] == "incremental" and rep["from"] == stale_from
+    assert _state_rows(tgt.read()) == healthy
+    assert mck.last_epoch("changelog-mirror") == src.current_snapshot()["snapshot_id"]
+
+
+def test_replicate_resyncs_past_expired_cursor(spark, cl_events, tmp_path):
+    src = LakeTable.create(spark, str(tmp_path / "src"), STATE_SCHEMA, n_buckets=8)
+    tgt = LakeTable.create(spark, str(tmp_path / "tgt"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    mck = CheckpointStore(str(tmp_path / "mirror.json"))
+    from fao_elt_pipelines_spark.lake.changelog import replicate
+
+    replay(spark, cl_events, src, ck, mode="mor", max_epochs=2)
+    replicate(src, tgt, mck)
+    replay(spark, cl_events, src, ck, mode="mor")
+    src.expire_snapshots(keep_last=1)  # mirror cadence fell behind retention
+    rep = replicate(src, tgt, mck)
+    assert rep["mode"] == "resync" and rep["reason"] == "cursor expired"
+    assert _state_rows(tgt.read()) == _state_rows(src.read())
+
+
 def test_expired_from_snapshot_raises(spark, cl_events, tmp_path):
     table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
     ck = CheckpointStore(str(tmp_path / "ckpt.json"))
