@@ -257,20 +257,27 @@ def replicate(
         c: F.lit(None).cast(next(f.dataType for f in schema.fields if f.name == c))
         for c in non_key
     }
-    ups = ch.filter(F.col("_change_type").isin(INSERT, UPDATE_POST)).select(
-        *payload,
-        F.lit("upsert").alias("op"),
-        F.col("last_seq").alias("seq"),
-    )
-    dels = ch.filter(F.col("_change_type") == DELETE).select(
-        *KEYS,
-        *[null_of[c].alias(c) for c in non_key],
-        F.lit("delete").alias("op"),
-        (F.col("last_seq") + 1).alias("seq"),
-    )
-    target.merge_changes(
-        ups.unionByName(dels), epoch_id=int(to_sid), mode=mode, source=source_name
-    )
+    # the upsert and delete branches both hang off the diff — persist it
+    # for the merge so the two image reads + diff join run once, not twice
+    # (the merge materializes inside this call, so no cache escapes)
+    ch = ch.persist()
+    try:
+        ups = ch.filter(F.col("_change_type").isin(INSERT, UPDATE_POST)).select(
+            *payload,
+            F.lit("upsert").alias("op"),
+            F.col("last_seq").alias("seq"),
+        )
+        dels = ch.filter(F.col("_change_type") == DELETE).select(
+            *KEYS,
+            *[null_of[c].alias(c) for c in non_key],
+            F.lit("delete").alias("op"),
+            (F.col("last_seq") + 1).alias("seq"),
+        )
+        target.merge_changes(
+            ups.unionByName(dels), epoch_id=int(to_sid), mode=mode, source=source_name
+        )
+    finally:
+        ch.unpersist()
     ckpt.commit(source_name, epoch=int(to_sid), seq_hi=int(to_sid))
     return {"mode": "incremental", "from": from_sid, "to": to_sid}
 

@@ -210,6 +210,38 @@ def test_replicate_mirrors_source_exactly_once(spark, cl_events, tmp_path):
     assert mck.last_epoch("changelog-mirror") == src.current_snapshot()["snapshot_id"]
 
 
+def test_replicate_carries_schema_evolution(spark, cl_events, tmp_path):
+    """An additive column arriving upstream must flow through the
+    changelog into the mirror: the interval's post-images carry the new
+    field, the target's merge reconciles its registry, and both tables
+    agree on the full evolved row set."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), STATE_SCHEMA, n_buckets=8)
+    tgt = LakeTable.create(spark, str(tmp_path / "tgt"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    mck = CheckpointStore(str(tmp_path / "mirror.json"))
+    from fao_elt_pipelines_spark.lake.changelog import replicate
+
+    replay(spark, cl_events, src, ck, mode="mor", max_epochs=2)
+    replicate(src, tgt, mck)
+
+    evolved = (
+        src.read().orderBy("repo", "path").limit(5)
+        .select("repo", "path", "commit", "lang",
+                F.lit("evolved-content").alias("content"),
+                F.lit(7).cast("int").alias("stars"),
+                F.lit("update").alias("op"),
+                (F.col("last_seq") + 10_000_000).alias("seq"))
+    )
+    src.merge_changes(evolved, epoch_id=777, mode="mor")
+    assert replicate(src, tgt, mck)["mode"] == "incremental"
+
+    cols = sorted(c for c in tgt.read().columns)
+    assert "stars" in cols
+    full = lambda t: {tuple(r) for r in t.read().select(*cols).collect()}
+    assert full(tgt) == full(src)
+    assert tgt.read().filter(F.col("stars") == 7).count() == 5
+
+
 def test_replicate_resyncs_past_expired_cursor(spark, cl_events, tmp_path):
     src = LakeTable.create(spark, str(tmp_path / "src"), STATE_SCHEMA, n_buckets=8)
     tgt = LakeTable.create(spark, str(tmp_path / "tgt"), STATE_SCHEMA, n_buckets=8)
