@@ -38,6 +38,7 @@ def stream_replay(
     quarantine_dir: str | None = None,
     wap_audit=None,
     source: str = "stream",
+    mirror: "tuple[LakeTable, object] | None" = None,
 ) -> None:
     """Drain ``binlog_dir`` (parquet files) into the table and stop.
 
@@ -52,6 +53,15 @@ def stream_replay(
     not the table. Crash between merge and refresh is safe: the view's
     cursor lags and the next refresh (any later batch, or an operator
     `table_tool mv-refresh`) catches up over the widened interval.
+
+    With ``mirror`` — a ``(target_table, cursor_checkpoint)`` pair — each
+    micro-batch also advances a downstream mirror by consuming this
+    table's row-level changelog (lake.changelog.replicate): streaming CDC
+    fan-out, cost tracking the batch's touched buckets. Same crash
+    contract as ``mv``: the mirror cursor lags on a crash between merge
+    and replicate, and the next batch (or an operator ``table_tool
+    mirror``) catches up over the widened interval, exactly-once held by
+    the target's committed-epoch skip.
 
     ``quarantine_dir`` and ``wap_audit`` give the streaming driver the
     same ingestion guards as the batch driver (lake.quarantine, lake.wap):
@@ -97,6 +107,10 @@ def stream_replay(
             table.merge_changes(batch_df, epoch_id=epoch, source=source, metrics=metrics)
         if mv is not None:
             mv.refresh()
+        if mirror is not None:
+            from ..lake.changelog import replicate
+
+            replicate(table, mirror[0], mirror[1])
 
     q = (
         src.writeStream.foreachBatch(apply_batch)

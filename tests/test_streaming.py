@@ -74,6 +74,47 @@ def test_stream_replay_maintains_mv(spark, binlog_dir, tmp_path):
     assert view.cursor()["snapshot_id"] == table.current_snapshot()["snapshot_id"]
 
 
+def test_stream_replay_feeds_mirror(spark, binlog_dir, tmp_path):
+    """Streaming CDC fan-out: each micro-batch advances a downstream
+    mirror via the changelog, so at drain end the mirror's live state
+    equals the source's, the mirror cursor sits on the source head, and
+    a re-drain advances nothing (exactly-once on both hops)."""
+    from fao_elt_pipelines_spark.lake.checkpoint import CheckpointStore
+
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=8)
+    tgt = LakeTable.create(spark, str(tmp_path / "mirror"), STATE_SCHEMA, n_buckets=8)
+    mck = CheckpointStore(str(tmp_path / "mirror_cursor.json"))
+    stream_replay(
+        spark,
+        binlog_dir,
+        table,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        mirror=(tgt, mck),
+    )
+    key = lambda t: {
+        (r["repo"], r["path"]): (r["content_sha256"], r["last_seq"])
+        for r in t.read().collect()
+    }
+    assert key(tgt) == key(table)
+    head = table.current_snapshot()["snapshot_id"]
+    assert mck.last_epoch("changelog-mirror") == head
+    # mirror advanced per micro-batch, not once at the end
+    assert len(tgt.snapshots()) >= 2
+
+    n_tgt = len(tgt.snapshots())
+    stream_replay(
+        spark,
+        binlog_dir,
+        table,
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        mirror=(tgt, mck),
+    )
+    assert len(tgt.snapshots()) == n_tgt
+    assert mck.last_epoch("changelog-mirror") == head
+
+
 def test_repo_progress_stateful_stream(spark, binlog_dir, tmp_path):
     """applyInPandasWithState progress counters must survive across
     micro-batches: final per-repo (events, max_seq, deletes) equals the
