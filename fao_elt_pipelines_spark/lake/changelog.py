@@ -54,10 +54,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .mv import INCREMENTAL_SAFE_OPS
+from .mv import INCREMENTAL_SAFE_OPS, KEYS
 from .table import LakeTable
-
-KEYS = ("repo", "path")
 
 #: change_type values, in emission order for updates (pre before post).
 INSERT = "insert"
@@ -227,36 +225,65 @@ def replicate(
     cadence) cannot be bridged incrementally: falls back to an exact
     ``overwrite`` resync at the pinned head — reported in the returned
     metrics, never silent.
+
+    Cursor recovery: the effective ``from`` is the LATER of the ckpt
+    cursor and the highest ``source_name`` epoch committed on the
+    target (epoch ids here are source snapshot ids, so they are
+    mutually ordered). The ckpt cursor alone is not enough — a crash
+    between the target commit and the cursor advance, followed by the
+    source moving its head, would re-diff a WIDER interval under a NEW
+    epoch id: the committed-epoch skip no longer fires, and a key both
+    inserted and deleted inside the widened interval diffs to nothing,
+    leaving its already-mirrored insert stranded in the target forever.
     """
     meta = source._load_metadata()
     to_sid = meta["current_snapshot_id"]
     if to_sid is None:
         return {"mode": "noop", "reason": "empty source"}
     from_sid = ckpt.last_epoch(source_name)
+    applied = _applied_head(target, source_name)
+    if applied is not None and (from_sid is None or applied > from_sid):
+        from_sid = applied
     if from_sid == to_sid:
+        if ckpt.last_epoch(source_name) != from_sid:  # heal a lagging cursor
+            ckpt.commit(source_name, epoch=int(to_sid), seq_hi=_seq_hi(meta, to_sid))
         return {"mode": "noop", "from": from_sid, "to": to_sid}
 
     resync = False
-    try:
-        ch = row_changes(source, from_sid, to_sid)
-    except ValueError:
-        resync = True
+    if from_sid is not None:
+        try:
+            # validates the cursor (raises on expired) and names the
+            # interval's touched entries without any data IO — a compact/
+            # rebucket-only interval (no logical change) advances the
+            # cursor and commits nothing on the target instead of merging
+            # an empty changelog
+            entries = source._changes_entries(from_sid, to_sid, meta=meta)
+            interval_ops = _interval_ops(source, meta, from_sid, to_sid)
+        except ValueError:
+            resync = True
     if resync:
-        target.overwrite(source.read(snapshot_id=to_sid), epoch_id=int(to_sid))
-        ckpt.commit(source_name, epoch=int(to_sid), seq_hi=int(to_sid))
+        target.overwrite(
+            source.read(snapshot_id=to_sid), epoch_id=int(to_sid), source=source_name
+        )
+        ckpt.commit(source_name, epoch=int(to_sid), seq_hi=_seq_hi(meta, to_sid))
         return {"mode": "resync", "reason": "cursor expired", "to": to_sid}
+    if from_sid is not None and not entries and "overwrite" not in interval_ops:
+        ckpt.commit(source_name, epoch=int(to_sid), seq_hi=_seq_hi(meta, to_sid))
+        return {"mode": "noop", "reason": "no logical change", "from": from_sid, "to": to_sid}
 
+    ch = row_changes(source, from_sid, to_sid)
+    # payload/types come from the changelog plan itself (pinned at to_sid),
+    # never from a re-read of source.schema() that a concurrent schema
+    # evolution could advance past the columns `ch` actually carries
+    types = {f.name: f.dataType for f in ch.schema.fields}
     payload = [
-        f.name
-        for f in source.schema().fields
-        if f.name not in ("content_sha256", "last_seq")
+        c
+        for c in ch.columns
+        if c
+        not in ("content_sha256", "last_seq", "_change_type", "_from_snapshot_id", "_to_snapshot_id")
     ]
     non_key = [c for c in payload if c not in KEYS]
-    schema = source.schema()
-    null_of = {
-        c: F.lit(None).cast(next(f.dataType for f in schema.fields if f.name == c))
-        for c in non_key
-    }
+    null_of = {c: F.lit(None).cast(types[c]) for c in non_key}
     # the upsert and delete branches both hang off the diff — persist it
     # for the merge so the two image reads + diff join run once, not twice
     # (the merge materializes inside this call, so no cache escapes)
@@ -278,8 +305,38 @@ def replicate(
         )
     finally:
         ch.unpersist()
-    ckpt.commit(source_name, epoch=int(to_sid), seq_hi=int(to_sid))
+    ckpt.commit(source_name, epoch=int(to_sid), seq_hi=_seq_hi(meta, to_sid))
     return {"mode": "incremental", "from": from_sid, "to": to_sid}
+
+
+def _applied_head(target: LakeTable, source_name: str) -> int | None:
+    """Highest ``source_name`` epoch actually committed on the target's
+    main ancestry (expired ones included) — the recovery floor for the
+    mirror cursor. Scoped strictly to snapshots tagged with this source:
+    source-less epochs from other feeds must not fake progress."""
+    m = target._load_metadata()
+    eids = [
+        int(e) for e in m.get("expired_epochs_by_source", {}).get(source_name, [])
+    ]
+    eids += [
+        s["epoch_id"]
+        for s in target._ancestry(m, target._head(m, "main"))
+        if s.get("source") == source_name and s.get("epoch_id") is not None
+    ]
+    return max(eids) if eids else None
+
+
+def _seq_hi(meta: dict[str, Any], sid: int) -> int:
+    """The source's binlog high-water mark at snapshot ``sid``, from the
+    manifest's per-file ``last_seq`` stats (driver-side metadata walk, no
+    data IO) — the checkpoint contract stores a LOG position in seq_hi,
+    never a snapshot id."""
+    his = [
+        e["stats"]["last_seq"][1]
+        for e in _find(meta, sid)["manifest"]
+        if e.get("stats", {}).get("last_seq")
+    ]
+    return int(max(his)) if his else 0
 
 
 def _find(meta: dict[str, Any], sid: int) -> dict[str, Any]:

@@ -786,9 +786,18 @@ class LakeTable:
             base=(meta, base_v), branch=branch, source=source,
         )
 
-    def overwrite(self, df: DataFrame, epoch_id: int | None = None) -> int:
+    def overwrite(
+        self, df: DataFrame, epoch_id: int | None = None, source: str | None = None
+    ) -> int:
         """Full replace (reference S11 truncate-reload analogue,
-        ``/root/reference/orchestration/elt_pipeline.py:138-140``)."""
+        ``/root/reference/orchestration/elt_pipeline.py:138-140``).
+
+        ``source`` scopes the recorded epoch like ``merge_changes``: a
+        source-less epoch matches EVERY source in ``committed_epochs``
+        (conservative for skip, but a numeric collision with another
+        feed's pending epoch would wrongly suppress it), so callers with
+        a real upstream identity — e.g. a changelog-mirror resync —
+        must tag it."""
         meta, base_v = self._load_versioned()
         new_schema = schema_evo.reconcile(meta["schema"], df.schema)
         df = schema_evo.align(df, schema_evo.registry_to_schema(new_schema))
@@ -803,7 +812,7 @@ class LakeTable:
         return self._commit(
             "overwrite", entries, [], epoch_id,
             {"rows_written": sum(e["rows"] for e in entries)},
-            base=(meta, base_v),
+            base=(meta, base_v), source=source,
         )
 
     # -------------------------------------------------------------- MERGE

@@ -196,18 +196,88 @@ def test_replicate_mirrors_source_exactly_once(spark, cl_events, tmp_path):
     assert _state_rows(tgt.read()) == _state_rows(src.read())
 
     # caught up → noop; stale cursor (crash before cursor write) → the
-    # target's committed-epoch skip eats the re-offered interval and the
-    # cursor heals, state unchanged — exactly-once at mirror granularity
+    # target's own committed-epoch record recovers the true position, so
+    # the re-offered interval is never even diffed: the call resolves to
+    # a noop and the cursor heals, state unchanged — exactly-once at
+    # mirror granularity
     assert replicate(src, tgt, mck)["mode"] == "noop"
     healthy = _state_rows(tgt.read())
+    n_tgt = len(tgt.snapshots())
     doc = mck.load()
     stale_from = src._load_metadata()["snapshots"][1]["snapshot_id"]
     doc["sources"]["changelog-mirror"]["epoch"] = stale_from
     mck._write(doc)
     rep = replicate(src, tgt, mck)
-    assert rep["mode"] == "incremental" and rep["from"] == stale_from
+    assert rep["mode"] == "noop"
     assert _state_rows(tgt.read()) == healthy
+    assert len(tgt.snapshots()) == n_tgt  # no junk re-merge commit
     assert mck.last_epoch("changelog-mirror") == src.current_snapshot()["snapshot_id"]
+    # seq_hi holds a LOG position (the source's binlog high-water mark),
+    # never a snapshot id — consumers derive watermarks from it
+    max_seq = src.read().agg(F.max("last_seq")).collect()[0][0]
+    assert mck.load()["sources"]["changelog-mirror"]["seq_hi"] == max_seq
+
+
+def test_replicate_recovers_cursor_past_advanced_head(spark, cl_events, tmp_path):
+    """Crash between target commit and cursor advance, THEN the source
+    head moves: the widened interval diffs under a NEW epoch id, so the
+    committed-epoch skip alone cannot save us. A key inserted in the
+    applied-but-uncursored interval and deleted in the next one diffs to
+    nothing endpoint-to-endpoint — without cursor recovery from the
+    target's committed epochs, its insert would strand in the mirror."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), STATE_SCHEMA, n_buckets=8)
+    tgt = LakeTable.create(spark, str(tmp_path / "tgt"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    mck = CheckpointStore(str(tmp_path / "mirror.json"))
+    from fao_elt_pipelines_spark.lake.changelog import replicate
+
+    replay(spark, cl_events, src, ck, mode="mor", max_epochs=2)
+    replicate(src, tgt, mck)
+    synced_from = mck.last_epoch("changelog-mirror")
+
+    row = lambda op, seq: (
+        spark.createDataFrame(
+            [("zz_repo", "zz_path", "c1", "python", "transient")],
+            "repo string, path string, commit string, lang string, content string",
+        ).select("*", F.lit(op).alias("op"), F.lit(seq).cast("long").alias("seq"))
+    )
+    # interval I1: brand-new key K arrives and IS mirrored...
+    src.merge_changes(row("insert", 50_000_000), epoch_id=800, mode="mor")
+    assert replicate(src, tgt, mck)["mode"] == "incremental"
+    assert tgt.read().filter(F.col("repo") == "zz_repo").count() == 1
+    # ...but the cursor write crashed
+    doc = mck.load()
+    doc["sources"]["changelog-mirror"]["epoch"] = synced_from
+    mck._write(doc)
+    # interval I2: K is deleted upstream; K is absent at BOTH endpoints
+    # of the widened (synced_from, head] interval
+    src.merge_changes(row("delete", 50_000_001), epoch_id=801, mode="mor")
+    rep = replicate(src, tgt, mck)
+    assert rep["mode"] == "incremental"
+    assert tgt.read().filter(F.col("repo") == "zz_repo").count() == 0
+    assert _state_rows(tgt.read()) == _state_rows(src.read())
+
+
+def test_replicate_skips_compact_only_interval(spark, cl_events, tmp_path):
+    """A compaction on the source moves bytes, not logic: the mirror
+    must advance its cursor without committing anything on the target
+    (no empty merge snapshot, no Spark job over an empty changelog)."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), STATE_SCHEMA, n_buckets=8)
+    tgt = LakeTable.create(spark, str(tmp_path / "tgt"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    mck = CheckpointStore(str(tmp_path / "mirror.json"))
+    from fao_elt_pipelines_spark.lake.changelog import replicate
+
+    replay(spark, cl_events, src, ck, mode="mor")
+    replicate(src, tgt, mck)
+    n_tgt = len(tgt.snapshots())
+
+    src.compact()
+    rep = replicate(src, tgt, mck)
+    assert rep["mode"] == "noop" and rep["reason"] == "no logical change"
+    assert len(tgt.snapshots()) == n_tgt
+    assert mck.last_epoch("changelog-mirror") == src.current_snapshot()["snapshot_id"]
+    assert _state_rows(tgt.read()) == _state_rows(src.read())
 
 
 def test_replicate_carries_schema_evolution(spark, cl_events, tmp_path):
