@@ -37,17 +37,24 @@ from .checkpoint import CheckpointStore
 from .table import LakeTable
 
 
-def table_bootstrap_watermark(table: LakeTable, source: str = "binlog") -> int | None:
+def table_bootstrap_watermark(
+    table: LakeTable, source: str = "binlog", include_sourceless: bool = True
+) -> int | None:
     """The watermark of THIS SOURCE's committed bootstrap, if any (crash
     recovery). Watermarks are per source — healing source B's checkpoint
     from source A's bootstrap would arm B's binlog filter at a position B
     never loaded, silently dropping its covered prefix. Legacy bootstraps
-    committed without a recorded source match any query (single-source
-    tables predate the field)."""
+    committed without a recorded source match any query by default
+    (single-source tables predate the field); pass
+    ``include_sourceless=False`` when a match will ARM a filter rather
+    than merely report — an unattributable bootstrap must then be refused
+    (by the caller), never assumed to be this source's."""
     for s in table.snapshots():
         w = (s.get("summary") or {}).get("bootstrap_watermark")
         s_src = s.get("source") or (s.get("summary") or {}).get("source")
-        if w is not None and (s_src is None or s_src == source):
+        if w is not None and (
+            s_src == source or (s_src is None and include_sourceless)
+        ):
             return int(w)
     return None
 
@@ -75,7 +82,12 @@ def bootstrap_snapshot(
     bootstrapped (idempotent rerun; the checkpoint is healed if the prior
     run died between table commit and checkpoint write).
     """
-    prior = table_bootstrap_watermark(table, source)
+    # Strictly attributed: a legacy source-less bootstrap must NOT
+    # early-return here — arming THIS source's binlog filter at a
+    # watermark some other source loaded would silently drop this
+    # source's covered prefix. Source-less history instead falls through
+    # to the refusal guard below (refuse rather than guess).
+    prior = table_bootstrap_watermark(table, source, include_sourceless=False)
     if prior is not None:
         if checkpoint.bootstrap_watermark(source) is None:
             checkpoint.set_bootstrap_watermark(source, prior)

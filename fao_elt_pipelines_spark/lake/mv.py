@@ -178,10 +178,20 @@ class IncrementalGoldView:
         # share a dir across versions). Unreferenced uuid dirs from
         # crashed writes are left alone — harmless orphans, and deleting
         # them would race an in-flight writer.
+        # Bounded scan: every commit GCs below the keep window, so live
+        # markers cluster at the top — stop after a run of misses below
+        # it instead of probing every version ever committed (a per-
+        # minute refresh for a year would otherwise pay ~500k stat calls
+        # per commit, O(table age), for nothing).
         keep, drop = set(), []
+        misses_below_window = 0
         for v in range(version, -1, -1):
             p = self._marker_path(v)
             if not os.path.exists(p):
+                if version - v >= self.KEEP_VERSIONS:
+                    misses_below_window += 1
+                    if misses_below_window > 8:
+                        break
                 continue
             with open(p) as f:
                 d = json.load(f)["dir"]
@@ -266,10 +276,6 @@ class IncrementalGoldView:
             # past it): the interval is unreconstructable, so fall back to
             # a full recompute instead of wedging the view forever
             return recompute("cursor expired")
-        if not entries:
-            self._advance_cursor(cur, to_sid)
-            return {"mode": "noop", "from": from_sid, "to": to_sid}
-
         interval_ops = {
             s["operation"]
             for s in meta["snapshots"]
@@ -277,8 +283,14 @@ class IncrementalGoldView:
         }
         if not interval_ops <= INCREMENTAL_SAFE_OPS:
             # e.g. overwrite: drops rows without tombstoned file-adds, so
-            # the delta algebra cannot see the retractions
+            # the delta algebra cannot see the retractions. Checked BEFORE
+            # the empty-entries noop: an overwrite can drop every row while
+            # adding zero files (truncate-to-empty), and advancing the
+            # cursor past it would leave the view stale forever.
             return recompute("non-incremental operation in interval")
+        if not entries:
+            self._advance_cursor(cur, to_sid)
+            return {"mode": "noop", "from": from_sid, "to": to_sid}
 
         # When the interval rewrote a large fraction of the table, the
         # delta algebra costs MORE than recomputing (it reads restricted

@@ -75,6 +75,11 @@ def replay(
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.
 
+    ``spark`` is accepted for driver-signature uniformity (scripts and the
+    streaming driver thread one session through every entry point) and for
+    forward compatibility; the body itself derives everything from
+    ``events`` and ``table``.
+
     ``fail_after_epochs`` injects a crash for resume testing.
     ``compact_every`` (count) and ``compact_delta_ratio`` (size: compact
     when accumulated MOR delta bytes reach this fraction of base bytes,
@@ -131,33 +136,73 @@ def replay(
         events = events.filter(
             (F.col("seq") > int(wm_boot)) | F.col("seq").isNull()
         )
-    bounds = events.agg(
-        F.min(epoch_col).alias("lo"), F.max(epoch_col).alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is None:
+    # the ACTUAL epoch domain, not a dense min..max range: a sparse id
+    # space (batch epochs 0..k mixed with a streaming driver's namespaced
+    # 1_000_000+ epochs feeding the same table) would otherwise iterate
+    # millions of empty driver-side slices. One partial-agg distinct over
+    # a single pruned column; epochs are few no matter how many events.
+    epoch_vals = [
+        r[0] for r in events.select(F.col(epoch_col).cast("long")).distinct().collect()
+    ]
+    if None in epoch_vals:
+        # null epoch = no slice can ever carry the row: neither applied
+        # nor re-offered, it would silently vanish (the one malformed
+        # shape the per-slice quarantine split can never see)
+        if quarantine_dir is None:
+            raise ValueError(
+                f"events carry null {epoch_col!r}: they can never be "
+                "assigned to an epoch slice; enable quarantine_dir to "
+                "dead-letter them or repair the source"
+            )
+        from .quarantine import REASON_COL
+
+        write_dead_letters(
+            events.filter(F.col(epoch_col).isNull()).withColumn(
+                REASON_COL, F.lit("null_epoch")
+            ),
+            quarantine_dir,
+            epoch_col,
+        )
+        events = events.filter(F.col(epoch_col).isNotNull())
+    present = sorted(e for e in epoch_vals if e is not None)
+    if not present:
         return rep
     committed = table.committed_epochs(source=source)
     start = checkpoint.last_epoch(source)
-    lo = bounds["lo"] if start is None else max(bounds["lo"], start + 1)
+    if start is not None:
+        present = [e for e in present if e > start]
     applied = 0
     # Highest seq expiry has assumed final. Seeded from the checkpoint (not
     # in-memory-only): a restarted replay must still reject epochs carrying
     # seq below a watermark a PREVIOUS run expired under, or deleted keys
     # silently resurrect across the crash-resume boundary.
     expiry_watermark: int | None = checkpoint.expiry_watermark(source)
-    # group CONSECUTIVE pending epochs into batches of <= epoch_batch; a
-    # committed epoch in the middle breaks the run so a group's between()
-    # slice never re-reads committed data
+    # group pending epochs into batches of <= epoch_batch. A committed
+    # epoch inside a group's id range would make its between() slice
+    # re-read committed data, so a group only extends across a gap that
+    # contains no committed id (bisect over the sorted committed ids —
+    # the gap itself carries no data: the distinct above proved it)
+    import bisect
+
+    committed_sorted = sorted(committed)
+
+    def _committed_in(lo_excl: int, hi_incl: int) -> bool:
+        i = bisect.bisect_right(committed_sorted, lo_excl)
+        return i < len(committed_sorted) and committed_sorted[i] <= hi_incl
+
     pending: list[int] = []
     groups: list[list[int]] = []
-    for epoch in range(int(lo), int(bounds["hi"]) + 1):
+    for epoch in present:
         if epoch in committed:
             rep.epochs_skipped.append(epoch)
             if pending:
                 groups.append(pending)
                 pending = []
             continue
-        if pending and len(pending) >= max(1, epoch_batch):
+        if pending and (
+            len(pending) >= max(1, epoch_batch)
+            or _committed_in(pending[-1], epoch)
+        ):
             groups.append(pending)
             pending = []
         pending.append(epoch)
@@ -241,9 +286,24 @@ def replay(
                 seq_hi = max(b[1] for b in stat_bounds)
             else:
                 seq_hi = checkpoint.load()["sources"].get(source, {}).get("seq_hi", -1)
-            n = sum(
-                e["rows"] for e in snap["manifest"] if e.get("source_epoch") == e_hi
-            )
+            delta_rows = [
+                e["rows"]
+                for e in snap["manifest"]
+                if e.get("source_epoch") == e_hi and e.get("kind") == "delta"
+            ]
+            if delta_rows:
+                # MOR: the group's delta files hold its LWW winners — a
+                # lower bound on raw events (within-group duplicates of a
+                # key collapse), free from the manifest; events_in is
+                # exact only with collect_delta_stats or under COW
+                n = sum(delta_rows)
+            else:
+                # COW rewrote whole buckets, so manifest rows for this
+                # epoch count base rows re-entered — orders of magnitude
+                # above the events actually applied. One column-pruned
+                # count of the slice is the honest number (only paid in
+                # the rare cow + no-stats combination).
+                n = batch.count()
         checkpoint.commit(source, e_hi, int(seq_hi))
         rep.epochs_applied.extend(group)
         rep.events_in += n

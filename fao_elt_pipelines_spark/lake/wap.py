@@ -96,7 +96,21 @@ def basic_audit(
                         f" ({bad} dead-lettered of {bad + (good or 0)})"
                     )
         if max_shrink_ratio is not None:
-            before = table.read().count()
+            # baseline = the snapshot the staged commit FORKED from (its
+            # parent), not main read at audit time: a concurrent writer
+            # publishing to main mid-cycle would otherwise inflate
+            # `before` with rows this branch never saw and fail a healthy
+            # batch as a mass-delete
+            staged = table.current_snapshot(ref=branch)
+            parent = staged.get("parent_id") if staged else None
+            before = 0
+            if parent is not None:
+                try:
+                    before = table.read(snapshot_id=parent).count()
+                except ValueError:
+                    # parent expired mid-cycle (aggressive retention):
+                    # fall back to the published head
+                    before = table.read().count()
             if before > 0:
                 after = table.read(ref=branch).count()
                 shrink = (before - after) / before
@@ -169,7 +183,12 @@ def wap_merge(
         for _ in range(max(1, publish_retries + 1)):
             pre_main = table.current_snapshot()
             pre_id = pre_main["snapshot_id"] if pre_main else None
-            table.create_branch(staging, reset=True)
+            # fork staging AT the head we just read, not at whatever head
+            # create_branch would re-read: a concurrent main commit in
+            # between would otherwise desync pre_id from the fork point,
+            # breaking the staged_id == pre_id skip check below and aiming
+            # the audit at a foreign commit's summary
+            table.create_branch(staging, at_snapshot_id=pre_id, reset=True)
             sid = table.merge_changes(
                 delta, epoch_id=epoch_id, branch=staging, source=source, **merge_kwargs
             )

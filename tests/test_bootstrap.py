@@ -207,3 +207,30 @@ def test_null_seq_quarantined_after_bootstrap(spark, boot_events, tmp_path):
     dead = read_dead_letters(spark, qdir)
     assert dead is not None
     assert [r["_dead_letter_reason"] for r in dead.collect()] == ["null_seq"]
+
+
+def test_bootstrap_refuses_sourceless_legacy_history(spark, boot_events, tmp_path):
+    """A legacy bootstrap committed WITHOUT a source tag is unattributable:
+    a new source's bootstrap must refuse (hard error) rather than silently
+    arm its binlog filter at a watermark some other source loaded —
+    that would drop this source's covered prefix with no signal."""
+    wm = 9_999
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    snap = _snapshot_at(boot_events, wm)
+    # simulate the legacy commit: same synthetic-event merge, no source tag
+    ev = snap.selectExpr("* EXCEPT (src_seq)", "src_seq AS seq").withColumn(
+        "op", F.lit("base")
+    )
+    table.merge_changes(ev, epoch_id=None, metrics={"bootstrap_watermark": wm})
+
+    ckpt = CheckpointStore(str(tmp_path / "c.json"))
+    with pytest.raises(ValueError, match="no recorded source"):
+        bootstrap_snapshot(
+            _snapshot_at(boot_events, 4_999), table, ckpt,
+            watermark_seq=4_999, source="west",
+        )
+    # nothing was armed: west's checkpoint watermark stays unset
+    assert ckpt.bootstrap_watermark("west") is None
+    # the lenient (reporting) lookup still sees the legacy watermark
+    assert table_bootstrap_watermark(table, "west") == wm
+    assert table_bootstrap_watermark(table, "west", include_sourceless=False) is None

@@ -5,6 +5,7 @@ dbt test suite (SURVEY.md §5) as hard pytest failures.
 """
 
 import hashlib
+import time
 
 import duckdb
 import pytest
@@ -1044,3 +1045,94 @@ def test_replay_without_quarantine_unchanged(spark, events, events_parquet, tmp_
     rep = replay(spark, events, table, CheckpointStore(str(tmp_path / "c.json")), mode="mor")
     assert rep.events_in == N_EVENTS
     assert all("rows_quarantined" not in m for m in rep.metrics)
+
+
+def test_replay_sparse_epoch_domain(spark, tmp_path):
+    """Batch epochs and a streaming driver's namespaced epochs (1e6+) can
+    feed one table: the epoch loop iterates the epochs PRESENT, never the
+    dense min..max range (which would mean a million empty driver
+    slices), and the final state equals plain LWW over everything."""
+    ev = binlog.change_events(spark, 4_000, n_repos=30, events_per_epoch=1_000)
+    sparse = ev.withColumn(
+        "epoch",
+        F.when(F.col("epoch") >= 2, F.col("epoch") + 1_000_000).otherwise(
+            F.col("epoch")
+        ),
+    )
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "c.json"))
+    t0 = time.time()
+    rep = replay(spark, sparse, table, ck, mode="mor")
+    assert time.time() - t0 < 120  # dense-range iteration would crawl
+    assert rep.epochs_applied == [0, 1, 1_000_002, 1_000_003]
+    got = {
+        (r["repo"], r["path"]): r["last_seq"] for r in table.read().collect()
+    }
+    want = {
+        (r["repo"], r["path"]): r["seq"]
+        for r in lww_dedup(ev).filter(F.col("op") != "delete").collect()
+    }
+    assert got == want
+
+    # a straggler epoch arriving later (inside the old gap) still applies
+    # on a checkpoint-loss resume: the absent epoch was never falsely
+    # recorded as committed, and the table-level skip protects the rest.
+    # (With the checkpoint intact, epochs below the cursor are skipped by
+    # the documented O(1) monotonic-resume contract.)
+    extra = binlog.change_events(spark, 5_000, n_repos=30, events_per_epoch=1_000)
+    straggler = extra.filter(F.col("epoch") == 4).withColumn("epoch", F.lit(500_000))
+    ck2 = CheckpointStore(str(tmp_path / "c2.json"))  # checkpoint lost
+    rep2 = replay(spark, sparse.unionByName(straggler), table, ck2, mode="mor")
+    assert rep2.epochs_applied == [500_000]
+    assert rep2.epochs_skipped == [0, 1, 1_000_002, 1_000_003]
+
+
+def test_replay_null_epoch_rejected_or_quarantined(spark, tmp_path):
+    """A null-epoch event can never be assigned to a slice — it must be
+    dead-lettered (quarantine on) or refuse the replay (quarantine off),
+    never silently vanish."""
+    ev = binlog.change_events(spark, 2_000, n_repos=10, events_per_epoch=1_000)
+    bad = spark.createDataFrame(
+        [("rX", "pX", "c", "py", "x", 9_000_000, "insert", None)],
+        "repo string, path string, commit string, lang string, content string, seq long, op string, epoch long",
+    )
+    dirty = ev.withColumn("epoch", F.col("epoch").cast("long")).unionByName(
+        bad, allowMissingColumns=True
+    )
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "c.json"))
+    with pytest.raises(ValueError, match="null 'epoch'"):
+        replay(spark, dirty, table, ck, mode="mor")
+
+    from fao_elt_pipelines_spark.lake.quarantine import read_dead_letters
+
+    qdir = str(tmp_path / "dead")
+    rep = replay(spark, dirty, table, ck, mode="mor", quarantine_dir=qdir)
+    assert rep.epochs_applied == [0, 1]
+    dl = read_dead_letters(spark, qdir)
+    assert dl.filter(
+        (F.col("repo") == "rX") & (F.col("_dead_letter_reason") == "null_epoch")
+    ).count() == 1
+    assert table.read().filter(F.col("repo") == "rX").count() == 0
+
+
+def test_replay_no_stats_cow_counts_true_events(spark, tmp_path):
+    """events_in under collect_delta_stats=False must never inflate: COW
+    rewrites whole (cumulative) buckets, and counting the rewritten-file
+    rows would report a multiple of the true event count. COW pays one
+    count of the slice (exact); MOR reads delta-file rows from the
+    manifest (the group's LWW winners — a documented lower bound)."""
+    ev = binlog.change_events(spark, 4_000, n_repos=30, events_per_epoch=1_000)
+    for mode in ("mor", "cow"):
+        table = LakeTable.create(
+            spark, str(tmp_path / f"t_{mode}"), STATE_SCHEMA, n_buckets=8
+        )
+        ck = CheckpointStore(str(tmp_path / f"c_{mode}.json"))
+        rep = replay(
+            spark, ev, table, ck, mode=mode, collect_delta_stats=False
+        )
+        assert rep.epochs_applied == [0, 1, 2, 3]
+        if mode == "cow":
+            assert rep.events_in == 4_000
+        else:
+            assert 0 < rep.events_in <= 4_000

@@ -265,3 +265,22 @@ def test_refresh_rebucket_forces_recompute(spark, mv_events, tmp_path):
     rep = view.refresh()
     assert rep["mode"] == "incremental"
     assert _rows(view.read()) == _rows(_contrib(table.read()))
+
+
+def test_refresh_sees_overwrite_to_empty(spark, mv_events, tmp_path):
+    """Truncate-to-empty commits an overwrite with ZERO manifest entries;
+    the empty change interval must not advance the cursor past it (the
+    non-incremental-op check runs first), or the view would report the
+    old rows forever."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=8)
+    ck = CheckpointStore(str(tmp_path / "ckpt.json"))
+    view = IncrementalGoldView(spark, table, str(tmp_path / "mv"))
+    replay(spark, mv_events, table, ck, mode="mor")
+    view.refresh()
+    assert view.read().count() > 0
+
+    table.overwrite(table.read().limit(0))
+    rep = view.refresh()
+    assert rep["mode"] == "full" and rep["reason"] == "non-incremental operation in interval"
+    assert view.read().count() == 0
+    assert view.cursor()["snapshot_id"] == table.current_snapshot()["snapshot_id"]
