@@ -126,6 +126,10 @@ def main() -> None:
     queries[f"cdc_replay_{REPLAY_EVENTS // 1_000_000}m_events"] = replay_sec
 
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf) if sf else None
+    except ValueError:  # non-"sf<number>" dir name: don't discard the run
+        sf_val = None
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
@@ -134,7 +138,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": queries,
-                "sf": float(sf) if sf else None,
+                "sf": sf_val,
                 "cdc_replay_events_per_sec": eps,
                 "cpus": CPUS,
             }

@@ -24,18 +24,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from fao_elt_pipelines_spark.functions import similarity as SIM  # noqa: E402
 from fao_elt_pipelines_spark.session import get_spark  # noqa: E402
 
+from bench._common import synth_embeddings  # noqa: E402
 
-def synth_embeddings(spark, n: int, dim: int):
-    """Deterministic pseudo-random unit-ish vectors: component i of vector v
-    derives from xxhash64(v, i) — pure codegen, reproducible anywhere."""
-    v = spark.range(0, n, 1, 64).withColumnRenamed("id", "vec_id")
-    comps = F.array(
-        *[
-            ((F.xxhash64(F.col("vec_id"), F.lit(i)) % 2001) / 1000.0).cast("float")
-            for i in range(dim)
-        ]
-    )
-    return v.select("vec_id", comps.alias("embedding"))
+
 
 
 def run(spark, emb, n_queries: int, scorer: str) -> float:

@@ -58,6 +58,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--cores", type=int, default=8)
     args = ap.parse_args()
+    # argparse-only validity check: fail BEFORE the five multi-minute
+    # replay runs, not after
+    if -(-args.epochs // args.batch) >= args.epochs:
+        raise SystemExit("--batch must be > 1 (batch 1 has no commit delta to measure)")
 
     spark = get_spark("epoch_overhead", cores=args.cores)
     workdir = tempfile.mkdtemp(prefix="epoch_ov_")
@@ -80,8 +84,6 @@ def main() -> None:
         assert len({r1a, rka, r1b, rkb}) == 1, "state diverged"
         t1, tk = min(t1a, t1b), min(tka, tkb)
         n_groups = -(-args.epochs // args.batch)
-        if n_groups >= args.epochs:
-            raise SystemExit("--batch must be > 1 (batch 1 has no commit delta to measure)")
         # T = events_work + fixed * n_commits  (events_work identical)
         fixed = (t1 - tk) / (args.epochs - n_groups)
         doc = {

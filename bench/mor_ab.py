@@ -27,20 +27,20 @@ import json
 import os
 import subprocess
 import sys
+import atexit
+import shutil
 import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench._common import n_core_jvm_env  # noqa: E402
 OUT = os.path.join(REPO, "BENCH", "mor_strategy_ab.json")
 
 
 def run_strategy(binlog: str, workdir: str, cores: int, strategy: str, tag: str, profile: str) -> dict:
-    env = dict(os.environ)
-    env["SPARK_DRIVER_JAVA_OPTS"] = (
-        "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions "
-        "-XX:GCLockerRetryAllocationCount=100 "
-        f"-XX:ActiveProcessorCount={cores}"
-    )
+    env = n_core_jvm_env(cores)
     out = subprocess.run(
         [
             sys.executable,
@@ -70,6 +70,8 @@ def main() -> None:
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="mor_ab_")
+    # multi-GB binlog + state tables: never strand them in /tmp
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     binlog = os.path.join(workdir, "binlog")
     subprocess.run(
         [

@@ -37,10 +37,15 @@ import json
 import os
 import subprocess
 import sys
+import atexit
+import shutil
 import tempfile
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench._common import n_core_jvm_env  # noqa: E402
 
 
 def run_level(binlog: str, workdir: str, cores: int, tag: str, profile: str, strategy: str) -> dict:
@@ -50,12 +55,7 @@ def run_level(binlog: str, workdir: str, cores: int, tag: str, profile: str, str
     # borrows a large share of the machine for GC of this allocation-heavy
     # workload, overstating T_N and understating T_4N/T_N. A real N-core
     # executor container pins the JVM to N processors; emulate exactly that.
-    env = dict(os.environ)
-    env["SPARK_DRIVER_JAVA_OPTS"] = (
-        "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions "
-        "-XX:GCLockerRetryAllocationCount=100 "
-        f"-XX:ActiveProcessorCount={cores}"
-    )
+    env = n_core_jvm_env(cores)
     out = subprocess.run(
         [
             sys.executable,
@@ -115,6 +115,8 @@ def main() -> None:
     args = ap.parse_args()
 
     workdir = tempfile.mkdtemp(prefix="scaling_")
+    # multi-GB binlog + state tables: never strand them in /tmp
+    atexit.register(shutil.rmtree, workdir, ignore_errors=True)
     binlog_path = os.path.join(workdir, "binlog")
     # generate once with the LARGE level so both runs read identical input
     gen = subprocess.run(
@@ -209,8 +211,10 @@ def main() -> None:
     # A series pools repeated measurements of ONE configuration; runs of a
     # different merge strategy are recorded in the same file (nothing is
     # dropped) but pooled separately per config. The headline pool is the
-    # series' declared config (late); every config's pool is published.
-    series_cfg = series.get("series_strategy", "late")
+    # series' DECLARED config — the constant "late", never read back from
+    # the artifact (a read-back would make whatever config a fallback once
+    # persisted permanently sticky); every config's pool is published.
+    series_cfg = "late"
     pools: dict[str, list[float]] = {}
     for r in series["runs"]:
         pools.setdefault(r.get("strategy", "late"), []).extend(r["efficiency_rounds"])

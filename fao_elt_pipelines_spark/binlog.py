@@ -96,7 +96,7 @@ def change_events(
     )
 
     commit = F.sha1(F.concat_ws(":", repo, seq.cast("string")))
-    # Deterministic 50–2000 char payload from (repo, path, seq): repeat a
+    # Deterministic 50–1500 char payload from (repo, path, seq): repeat a
     # short seed phrase a hash-chosen number of times. repeat+substr are
     # codegen'd JVM ops — no Python in the generator.
     base = F.concat_ws("@", repo, path, seq.cast("string"))

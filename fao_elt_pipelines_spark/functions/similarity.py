@@ -205,6 +205,12 @@ def lsh_bands(sig_df: DataFrame, doc_col: str, k: int = 8, rows_per_band: int = 
     Single-pass: bands come from one explode over an inline array of
     (band_id, band_val) structs — NOT a union of per-band branches, which
     would recompute the signature aggregation once per band."""
+    if k % rows_per_band != 0:
+        raise ValueError(
+            f"k={k} is not divisible by rows_per_band={rows_per_band}: "
+            "trailing signature hashes would be silently dropped from "
+            "banding, lowering recall below the configured (k, r)"
+        )
     n_bands = k // rows_per_band
     structs = []
     for b in range(n_bands):

@@ -25,22 +25,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Keyed on Spark simpleString() names ("int"/"bigint"), which is what
+# _type_name produces and what the registry stores. Symmetric lookup in
+# reconcile() means an incoming NARROWER batch (int into a bigint field)
+# also resolves to the wide type — align() casts it up at write time.
 _WIDEN: dict[tuple[str, str], str] = {
-    ("integer", "long"): "long",
+    ("int", "bigint"): "bigint",
     ("float", "double"): "double",
 }
 
 _ATOMIC = {
     "string": T.StringType(),
-    "long": T.LongType(),
-    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "int": T.IntegerType(),
     "double": T.DoubleType(),
     "float": T.FloatType(),
     "boolean": T.BooleanType(),
     "timestamp": T.TimestampType(),
     "date": T.DateType(),
     "binary": T.BinaryType(),
+    # legacy aliases: registries written before the simpleString
+    # normalization may carry these spellings
+    "long": T.LongType(),
+    "integer": T.IntegerType(),
 }
+
+# registries written by older versions spelled types with DataType names
+_CANON = {"integer": "int", "long": "bigint"}
 
 
 def _type_name(dt: T.DataType) -> str:
@@ -86,7 +97,7 @@ def reconcile(registry: list[dict[str, Any]], incoming: T.StructType) -> list[di
             out.append({"id": next_id, "name": f.name, "type": tname})
             next_id += 1
             continue
-        cur = by_name[f.name]["type"]
+        cur = _CANON.get(by_name[f.name]["type"], by_name[f.name]["type"])
         if cur == tname:
             continue
         widened = _WIDEN.get((cur, tname)) or _WIDEN.get((tname, cur))

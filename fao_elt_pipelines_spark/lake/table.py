@@ -48,10 +48,12 @@ the table and rewriting a few percent of it.
 from __future__ import annotations
 
 import json
+import operator
 import os
 import shutil
 import time
 import uuid
+from functools import reduce
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -477,7 +479,14 @@ class LakeTable:
         if merged and touched:
             mdf = raw(touched)
             payload = [c for c in mdf.columns if c not in keys]
-            packed = F.max_by(F.struct(*payload), F.col("last_seq")).alias("_win")
+            # NULL-safe ordering: append()-sourced rows carry last_seq NULL
+            # (schema_evo backfill). max_by skips NULL-ordered rows, so a
+            # group whose rows are ALL appended would collapse to a NULL
+            # struct — silent corruption. Rank them at -1: any real delta
+            # seq (>= 0) outranks an appended row, and an all-appended
+            # group still returns a real row.
+            seq_ord = F.coalesce(F.col("last_seq"), F.lit(-1).cast("long"))
+            packed = F.max_by(F.struct(*payload), seq_ord).alias("_win")
             mdf = mdf.groupBy(*keys).agg(packed).select(
                 *keys, *[F.col(f"_win.{c}").alias(c) for c in payload]
             )
@@ -562,14 +571,26 @@ class LakeTable:
         file-level stats pruning) — under the sorted-merge strategy files
         are key-sorted, so a lookup typically opens one file per snapshot
         generation, not the whole bucket. The one-row bucket-hash job is a
-        driver scalar, not a data-path collect."""
+        driver scalar, not a data-path collect.
+
+        Snapshot isolation: ONE metadata load supplies both the snapshot
+        and the bucket count, and the count comes from the snapshot's own
+        ``n_buckets`` stamp — a rebucket committing concurrently can't
+        make the hash land in a different bucket space than the manifest
+        being filtered."""
         meta = self._load_metadata()
+        sid = self._head(meta, "main")
+        snap = (
+            next((s for s in meta["snapshots"] if s["snapshot_id"] == sid), None)
+            if sid is not None
+            else None
+        )
+        n_buckets = (snap or {}).get("n_buckets") or meta["n_buckets"]
         b = int(
             self.spark.range(1)
-            .select(bucket_expr(meta["n_buckets"], (F.lit(repo), F.lit(path))).alias("b"))
+            .select(bucket_expr(n_buckets, (F.lit(repo), F.lit(path))).alias("b"))
             .first()["b"]
         )
-        snap = self.current_snapshot()
         entries = [
             e
             for e in (snap["manifest"] if snap else [])
@@ -838,10 +859,18 @@ class LakeTable:
         w = Window.partitionBy("_bucket").orderBy(
             *[F.col(k) for k in keys], F.col(seq_col).desc()
         )
-        key_str = F.concat_ws("\x00", *[F.col(k) for k in keys])
-        prev_key = F.lag(key_str).over(w)
+        # Per-column null-safe lag compare — NOT a concat_ws key string,
+        # whose encoding is ambiguous (embedded separator bytes or NULL
+        # components can make distinct keys collide and drop a winner).
+        # lag(lit(1)) is NULL exactly on each partition's first row, which
+        # disambiguates "no previous row" from "previous key column NULL".
+        first_row = F.lag(F.lit(1)).over(w).isNull()
+        key_changed = reduce(
+            operator.or_,
+            [~F.lag(F.col(k)).over(w).eqNullSafe(F.col(k)) for k in keys],
+        )
         winners = packed.withColumn(
-            "_is_winner", prev_key.isNull() | (prev_key != key_str)
+            "_is_winner", first_row | key_changed
         ).filter(F.col("_is_winner"))
         is_del = F.col(op_col) == "delete"
         return winners.select(
@@ -1118,7 +1147,12 @@ class LakeTable:
             return {"expired": 0, "files_deleted": 0}
         main_chain = self._ancestry(meta, meta["current_snapshot_id"])
         main_ids = {s["snapshot_id"] for s in main_chain}
-        keep_ids = {s["snapshot_id"] for s in main_chain[-keep_last:]}
+        # keep_last=0 must mean "count floor of zero" (current head still
+        # survives via the add below); [-0:] would slice the WHOLE chain
+        # and turn age-only retention into a silent no-op.
+        keep_ids = (
+            {s["snapshot_id"] for s in main_chain[-keep_last:]} if keep_last > 0 else set()
+        )
         if older_than_ms is not None:
             # age-based retention (Iceberg's older_than): keep_last is the
             # floor, but younger snapshots survive regardless of count —

@@ -61,7 +61,7 @@ def global_rank(
         for r in parted.groupBy("_pid").agg(F.count("*").alias("n")).collect()
     }
     if not counts:
-        return df.withColumn(out_col, F.lit(None).cast("int"))
+        return df.withColumn(out_col, F.lit(None).cast("long"))
     offsets: dict[int, int] = {}
     acc = 0
     for pid in sorted(counts):
@@ -76,7 +76,9 @@ def global_rank(
         parted.withColumn("_lr", F.rank().over(local_w))
         .withColumn(
             out_col,
-            (F.col("_lr") + F.element_at(off_map, F.col("_pid"))).cast("int"),
+            # long, not int: ranks past 2^31-1 are exactly the scale this
+            # operator exists for (global_cumsum next door already does)
+            (F.col("_lr") + F.element_at(off_map, F.col("_pid"))).cast("long"),
         )
         .drop("_pid", "_lr")
     )

@@ -27,6 +27,7 @@ tests/test_engine_core.py; these entries prove the *operator semantics*
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -943,19 +944,28 @@ def q_source_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     source. The 200-row driver collect is the workbook AUTHORING step
     (constant-bounded, like the reference's sample read), not a
     data-path collect; the fleet-scale read is read_excel_distributed."""
+    import hashlib
     import tempfile
 
     from ..sources.excel import read_excel_chunked, write_xlsx
 
-    src = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", "lang", F.length("text").alias("text_len"))
-        .orderBy("doc_id")
-        .limit(200)
+    # One workbook per (process, sf_dir), reused across invocations —
+    # write_xlsx is byte-deterministic, and bench/docs runs call this
+    # builder repeatedly; a fresh mkdtemp per call would strand a temp
+    # dir each time.
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"s6_xlsx_{os.getpid()}_{hashlib.sha256(sf_dir.encode()).hexdigest()[:12]}.xlsx",
     )
-    rows = [[r.doc_id, r.lang, r.text_len] for r in src.collect()]
-    path = tempfile.mkdtemp(prefix="s6_xlsx_") + "/docs.xlsx"
-    write_xlsx(path, ["doc_id", "lang", "text_len"], rows)
+    if not os.path.exists(path):
+        src = (
+            load(spark, sf_dir, "documents")
+            .select("doc_id", "lang", F.length("text").alias("text_len"))
+            .orderBy("doc_id")
+            .limit(200)
+        )
+        rows = [[r.doc_id, r.lang, r.text_len] for r in src.collect()]
+        write_xlsx(path, ["doc_id", "lang", "text_len"], rows)
     out = read_excel_chunked(spark, path, chunk_size=64)
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),

@@ -95,6 +95,24 @@ FROM documents GROUP BY 1
 """
 
 
+
+def _jaccard_verify(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, |∩| as c) + per-doc shingle counts → verified pairs
+    at jaccard >= JACCARD_TAU. ONE definition shared by the brute baseline
+    and the LSH path so the two can never silently compute a different
+    "jaccard" (|∩| / (|A|+|B|-|∩|), all-integer inputs, one double
+    division → engine-identical vs the DuckDB oracle)."""
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force n-gram Jaccard near-dup pairs (the small-N baseline the
     LSH path approximates). Jaccard = |∩| / (|A|+|B|-|∩|) — all-integer
@@ -109,15 +127,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    jac = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= JACCARD_TAU)
+    return _jaccard_verify(inter, sizes)
 
 
 SQL_DEDUP_NGRAM_JACCARD = f"""
@@ -158,15 +168,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    jac = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
-        )
-    )
-    return jac.filter(F.col("jaccard") >= JACCARD_TAU)
+    return _jaccard_verify(inter, sizes)
 
 
 # shared CTE body: shingles → minhash sigs → bands → verified near-dup

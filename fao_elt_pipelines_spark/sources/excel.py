@@ -85,6 +85,10 @@ def _cell_value(el: ET.Element, shared: list[str]):
         return v.text
     if t == "b":
         return v.text == "1"
+    if t == "e":
+        # formula error cell (#DIV/0!, #N/A, ...) — no usable value; one
+        # bad cell must not abort the whole distributed read
+        return None
     # numeric: int when exact so ids survive the round-trip
     num = float(v.text)
     return int(num) if num.is_integer() and abs(num) < 2**53 else num
@@ -115,34 +119,72 @@ def iter_xlsx_rows(path: str, sheet_xml: str = "xl/worksheets/sheet1.xml") -> It
                     el.clear()
 
 
-def _chunks(path: str, chunk_size: int, max_rows, header: bool):
-    """Yield (columns, list-of-rows) pandas-ready chunks."""
-    import pandas as pd
-
-    import itertools
-
-    it = iter_xlsx_rows(path)
-    first = next(it, None)
+def _header_cols(path: str, header: bool) -> list[str] | None:
+    first = next(iter_xlsx_rows(path), None)
     if first is None:
-        return
+        return None
     if header:
-        cols = [str(c) for c in first]
-    else:
-        cols = [f"c{i}" for i in range(len(first))]
-        it = itertools.chain([first], it)
-    n = 0
-    buf: list[list] = []
-    for r in it:
+        return [str(c) for c in first]
+    return [f"c{i}" for i in range(len(first))]
+
+
+def _data_rows(path: str, header: bool, max_rows) -> Iterator[list]:
+    it = iter_xlsx_rows(path)
+    if header:
+        next(it, None)
+    for n, r in enumerate(it):
         if max_rows is not None and n >= max_rows:
-            break
-        r = (r + [None] * len(cols))[: len(cols)]
-        buf.append(r)
-        n += 1
+            return
+        yield r
+
+
+def _chunks(path: str, n_cols: int, chunk_size: int, max_rows, header: bool):
+    """Yield lists of None-padded rows, ``chunk_size`` at a time."""
+    buf: list[list] = []
+    for r in _data_rows(path, header, max_rows):
+        buf.append((r + [None] * n_cols)[:n_cols])
         if len(buf) >= chunk_size:
-            yield pd.DataFrame(buf, columns=cols)
+            yield buf
             buf = []
     if buf:
-        yield pd.DataFrame(buf, columns=cols)
+        yield buf
+
+
+def _column_types(path: str, n_cols: int, max_rows, header: bool) -> list[str]:
+    """One streamed O(1)-memory pass → per-column Spark type names.
+    Lattice: all-None → string; any str (or bool mixed with numbers) →
+    string; any float → double; ints only → bigint; bools only → boolean."""
+    kinds: list[set] = [set() for _ in range(n_cols)]
+    for r in _data_rows(path, header, max_rows):
+        for i, v in enumerate(r[:n_cols]):
+            if v is None:
+                continue
+            kinds[i].add(
+                bool if isinstance(v, bool) else type(v) if isinstance(v, (int, float, str)) else str
+            )
+    out = []
+    for ks in kinds:
+        if ks == {bool}:
+            out.append("boolean")
+        elif not ks or str in ks or bool in ks:
+            out.append("string")
+        elif float in ks:
+            out.append("double")
+        else:
+            out.append("bigint")
+    return out
+
+
+def _coerce(v, t: str):
+    if v is None:
+        return None
+    if t == "string":
+        return v if isinstance(v, str) else str(v)
+    if t == "double":
+        return float(v)
+    if t == "bigint":
+        return int(v)
+    return v  # boolean
 
 
 def read_excel_chunked(
@@ -153,27 +195,51 @@ def read_excel_chunked(
     header: bool = True,
 ):
     """Single-workbook chunked read → Spark DataFrame (reference
-    load_file_chunked parity, file_client.py:259-285). The parse is one
-    streamed pass in ``chunk_size`` slices; each slice becomes an Arrow
-    batch via ``createDataFrame``. For fleets of files use
-    ``read_excel_distributed`` — this variant is the driver-side parity
-    API, bounded by one workbook."""
-    import pandas as pd
+    load_file_chunked parity, file_client.py:259-285), in true O(chunk)
+    driver memory: pass 1 streams the sheet once to settle a unified
+    per-column type, pass 2 spills each ``chunk_size`` slice as an Arrow
+    parquet part into a temp dir, and the returned DataFrame is a lazy
+    parquet scan over the spill — the workbook is never whole in memory
+    (a pd.concat of all chunks would be, defeating the chunking). The
+    spill lives in the system temp dir for the DataFrame's lifetime. For
+    fleets of files use ``read_excel_distributed`` — this variant is the
+    driver-side parity API, bounded by one workbook."""
+    import atexit
+    import shutil
+    import tempfile
 
-    parts = list(_chunks(path, chunk_size, max_rows, header))
-    if not parts:
-        # header-only workbook (a just-initialized export is valid): an
-        # empty frame with the header's columns, all-string typed
-        hdr = next(iter_xlsx_rows(path), None)
-        if hdr is None:
-            raise ValueError(f"empty workbook: {path}")
-        cols = [str(c) for c in hdr] if header else [f"c{i}" for i in range(len(hdr))]
-        return spark.createDataFrame([], ", ".join(f"`{c}` string" for c in cols))
-    pdf = pd.concat(parts, ignore_index=True)
-    # mixed int/None object columns → nullable float is pandas' default;
-    # let Spark infer from the concatenated frame (schema identical per
-    # chunk by construction since columns come from row 1)
-    return spark.createDataFrame(pdf)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = _header_cols(path, header)
+    if cols is None:
+        raise ValueError(f"empty workbook: {path}")
+    types = _column_types(path, len(cols), max_rows, header)
+    ddl = ", ".join(f"`{c}` {t}" for c, t in zip(cols, types))
+    pa_types = {
+        "string": pa.string(),
+        "bigint": pa.int64(),
+        "double": pa.float64(),
+        "boolean": pa.bool_(),
+    }
+    arrow_schema = pa.schema([(c, pa_types[t]) for c, t in zip(cols, types)])
+    tmpdir = tempfile.mkdtemp(prefix="xlsx_spill_")
+    atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
+    n_parts = 0
+    for i, buf in enumerate(_chunks(path, len(cols), chunk_size, max_rows, header)):
+        arrays = [
+            pa.array([_coerce(row[j], types[j]) for row in buf], type=pa_types[types[j]])
+            for j in range(len(cols))
+        ]
+        pq.write_table(
+            pa.Table.from_arrays(arrays, schema=arrow_schema),
+            os.path.join(tmpdir, f"part-{i:05d}.parquet"),
+        )
+        n_parts += 1
+    if n_parts == 0:
+        # header-only workbook (a just-initialized export is valid)
+        return spark.createDataFrame([], ddl)
+    return spark.read.schema(ddl).parquet(tmpdir)
 
 
 def read_excel_distributed(spark, paths: list[str], schema, header: bool = True):

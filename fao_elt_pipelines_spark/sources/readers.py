@@ -32,11 +32,15 @@ def sniff_delimiter(sample_lines: list[str]) -> str:
 
 
 def sniff_encoding(path: str, n_bytes: int = 65536) -> str:
-    """utf-8 with latin-1 fallback (reference file_client.py:93-103)."""
+    """utf-8 with latin-1 fallback (reference file_client.py:93-103).
+
+    The incremental decoder with ``final=False`` tolerates a multi-byte
+    sequence truncated at the sample boundary — a plain decode would
+    raise on it and misclassify a valid UTF-8 file as latin-1."""
     with open(path, "rb") as f:
         head = f.read(n_bytes)
     try:
-        codecs.decode(head, "utf-8")
+        codecs.getincrementaldecoder("utf-8")().decode(head, final=False)
         return "utf-8"
     except UnicodeDecodeError:
         return "latin-1"

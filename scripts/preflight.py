@@ -53,7 +53,8 @@ def check_java() -> tuple[bool, str]:
         out = subprocess.run(
             [java, "-version"], capture_output=True, text=True, timeout=30
         )
-        line = (out.stderr or out.stdout).splitlines()[0]
+        lines = (out.stderr or out.stdout).splitlines()
+        line = lines[0] if lines else "(no version output)"
         return out.returncode == 0, line
     except (OSError, subprocess.TimeoutExpired) as e:
         return False, f"java not runnable: {e}"

@@ -178,7 +178,13 @@ def main() -> None:
             max_shrink_ratio=args.wap_max_shrink_ratio,
         )
 
+    # fast-stats events_in baseline: the snapshot-covered prefix of a
+    # bootstrap is NOT replayed, so the watermark must seed the start —
+    # otherwise the seq-span math counts it and inflates events_per_sec.
     start_seq = ckpt.load()["sources"].get(args.source, {}).get("seq_hi", -1)
+    bw = ckpt.bootstrap_watermark(args.source)
+    if bw is not None:
+        start_seq = max(start_seq, bw)
     t0 = time.time()
     rep = replay(
         spark, events, table, ckpt, source=args.source, max_epochs=args.max_epochs,
