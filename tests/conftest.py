@@ -8,6 +8,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from fao_elt_pipelines_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+# Oracle differentials run at a larger fixture than the unit tests;
+# overridable for the same relocated-testdata case SF_DIR handles.
+SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_SF_ORACLE_DIR_TEST", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

@@ -27,7 +27,11 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def _norm(v):
     if isinstance(v, Decimal):
-        return float(v)
+        # Keep full precision — collapsing to float64 would mask divergence
+        # beyond ~16 significant digits, exactly what this differential
+        # exists to catch. normalize() canonicalizes scale (5.00 == 5.0) so
+        # the repr-keyed row sort orders both sides identically.
+        return v.normalize()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -73,7 +77,8 @@ def compare(spark_df, con, sql: str) -> list[str]:
         key=repr,
     )
     if s_rows != d_rows:
-        diff_s = [r for r in s_rows if r not in set(d_rows)][:3]
-        diff_d = [r for r in d_rows if r not in set(s_rows)][:3]
+        d_set, s_set = set(d_rows), set(s_rows)
+        diff_s = [r for r in s_rows if r not in d_set][:3]
+        diff_d = [r for r in d_rows if r not in s_set][:3]
         issues.append(f"values differ; spark-only={diff_s} duckdb-only={diff_d}")
     return issues

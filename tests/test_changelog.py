@@ -104,7 +104,8 @@ def test_initial_load_emits_state_as_inserts(spark, cl_events, tmp_path):
     ck = CheckpointStore(str(tmp_path / "ckpt.json"))
     replay(spark, cl_events, table, ck, mode="mor", max_epochs=2)
     ch = row_changes(table, None)
-    assert ch.select("_change_type").distinct().collect()[0][0] == INSERT
+    assert {r[0] for r in ch.select("_change_type").distinct().collect()} == {INSERT}
+    assert ch.count() == table.read().count()  # no spurious extra rows
     assert {r[1:] for r in _changelog_rows(ch)} == _state_rows(table.read())
 
 
@@ -213,8 +214,10 @@ def test_replicate_mirrors_source_exactly_once(spark, cl_events, tmp_path):
     assert len(tgt.snapshots()) == n_tgt  # no junk re-merge commit
     assert mck.last_epoch("changelog-mirror") == src.current_snapshot()["snapshot_id"]
     # seq_hi holds a LOG position (the source's binlog high-water mark),
-    # never a snapshot id — consumers derive watermarks from it
-    max_seq = src.read().agg(F.max("last_seq")).collect()[0][0]
+    # never a snapshot id — consumers derive watermarks from it. The oracle
+    # is the max seq over every replayed event (tombstones included), not
+    # the live-row max, which undercounts when the log's tail is a delete.
+    max_seq = cl_events.agg(F.max("seq")).collect()[0][0]
     assert mck.load()["sources"]["changelog-mirror"]["seq_hi"] == max_seq
 
 

@@ -350,14 +350,12 @@ def test_mor_read_merges_only_delta_buckets(spark, tmp_path):
     assert len(touched_buckets) == 1  # only p0's bucket engages the merge
     assert {e["bucket"] for e in clean} == set(range(16)) - touched_buckets
 
-    df = table.read()
-    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
-    assert "Union" in plan  # clean buckets bypass the aggregate
-    import re
+    from tests.plan_utils import n_nodes, plan_of
 
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    df = table.read()
+    plan = plan_of(df)
+    assert "Union" in plan  # clean buckets bypass the aggregate
+    assert n_nodes(plan, "Exchange") == 1, plan
 
     # result identical to full-table LWW
     got = {(r["repo"], r["path"]): (r["commit"], r["last_seq"]) for r in df.collect()}
@@ -483,9 +481,6 @@ def test_commit_cas_conflict_and_epoch_retry(spark, tmp_path):
     metadata version, exactly one wins; the loser raises
     CommitConflictError and an epoch-level retry (the engine's recovery
     contract) converges to the correct state."""
-    import json as _json
-    import os as _os
-
     from fao_elt_pipelines_spark.lake.table import CommitConflictError
 
     def mk(rows):

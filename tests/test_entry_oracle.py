@@ -9,9 +9,8 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from tests.conftest import SF_DIR_ORACLE as SF_DIR  # noqa: E402
 from tests.oracle_utils import compare, duck_connect  # noqa: E402
-
-SF_DIR = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="module")

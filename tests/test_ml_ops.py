@@ -140,11 +140,12 @@ def test_ann_numpy_scorer_matches_hof_topk(spark):
     """The numpy einsum scorer (the big-corpus path) must produce the
     identical top-k (ids AND ranks) as the oracle-exact HOF scorer on the
     test corpus — last-ulp float differences may not reorder neighbors."""
-    from fao_elt_pipelines_spark.plans.queries_ml import q_ann_ivf_topk
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        q_ann_ivf_topk,
+        q_ann_ivf_topk_matmul,
+    )
 
-    from fao_elt_pipelines_spark.plans.queries_ml import q_ann_ivf_topk_matmul
-
-    sf = "/root/testdata/sf0.01"
+    from tests.conftest import SF_DIR_ORACLE as sf
     hof = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk(spark, sf, scorer="hof").collect()}
     np_ = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk(spark, sf, scorer="numpy").collect()}
     mm = {(r.query_id, r.rnk): r.neighbor_id for r in q_ann_ivf_topk_matmul(spark, sf).collect()}
@@ -165,7 +166,7 @@ def test_embedding_neardup_lsh_matmul_pair_identity(spark):
     from fao_elt_pipelines_spark.plans.queries_ml import load as _load
     from pyspark.sql import functions as F
 
-    sf = "/root/testdata/sf0.01"
+    from tests.conftest import SF_DIR_ORACLE as sf
     hof = {(r.id_a, r.id_b): r.cosine_sim for r in q_embedding_neardup_lsh(spark, sf).collect()}
     mm = {(r.id_a, r.id_b): r.cosine_sim for r in q_embedding_neardup_lsh_np(spark, sf).collect()}
     assert set(hof) == set(mm) and len(hof) > 0

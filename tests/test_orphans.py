@@ -16,10 +16,19 @@ from tests.test_engine_core import STATE_SCHEMA
 HOUR_MS = 3600 * 1000
 
 
+def _next_ms():
+    """Spin until the millisecond clock ticks — commit timestamps in the
+    age-based tests must be strictly ordered, not same-ms coincident."""
+    t0 = int(time.time() * 1000)
+    while int(time.time() * 1000) <= t0:
+        time.sleep(0.0005)
+
+
 def _mk_with_commits(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), STATE_SCHEMA, n_buckets=4)
     ev = binlog.change_events(spark, 4000, n_repos=20, paths_per_repo=20, events_per_epoch=2000)
     for e in (0, 1):
+        _next_ms()
         t.merge_changes(ev.filter(F.col("epoch") == e), epoch_id=e)
     return t
 
@@ -70,6 +79,7 @@ def test_expire_age_based_retention(spark, tmp_path):
     """older_than_ms keeps young snapshots beyond keep_last; old ones go."""
     t = _mk_with_commits(spark, tmp_path)  # 2 merge snapshots
     ev = binlog.change_events(spark, 2000, n_repos=20, paths_per_repo=20, events_per_epoch=1000)
+    _next_ms()
     t.merge_changes(ev.filter(F.col("seq") < 1000), epoch_id=2)
     snaps = t.history()
     now = snaps[-1]["timestamp_ms"] + 1

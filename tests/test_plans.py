@@ -9,16 +9,8 @@ from pyspark.sql import functions as F
 from fao_elt_pipelines_spark.plans.queries import q_gold_region_rollup
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-        df._jdf.queryExecution(), "formatted"
-    )
-
-
-def _n_nodes(plan: str, op: str) -> int:
-    """Count physical operators via their detail headers '(k) Op' (the tree
-    rendering would double-count)."""
-    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+from tests.plan_utils import n_nodes as _n_nodes
+from tests.plan_utils import plan_of as _plan
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
@@ -43,7 +35,7 @@ def test_merge_plan_single_exchange(spark, tmp_path):
     repartition by bucket. The window's distribution requirement is
     satisfied by it (no second Exchange), as claimed in lake/table.py."""
     from fao_elt_pipelines_spark import binlog
-    from fao_elt_pipelines_spark.lake.table import LakeTable, bucket_expr, TOMBSTONE_COL
+    from fao_elt_pipelines_spark.lake.table import bucket_expr
     from pyspark.sql import Window
 
     ev = binlog.change_events(spark, 10_000, n_repos=20)
@@ -66,7 +58,7 @@ def test_late_lww_prunes_payload_from_winner_scan(spark, tmp_path):
     the aggregate branch, a partial/final aggregate pair (map-side
     combine), and a LEFT SEMI join fetching payloads."""
     from fao_elt_pipelines_spark import binlog
-    from fao_elt_pipelines_spark.lake.table import LakeTable, STATE_COLUMNS
+    from fao_elt_pipelines_spark.lake.table import LakeTable
 
     p = str(tmp_path / "ev.parquet")
     binlog.change_events(spark, 5_000, n_repos=20).write.parquet(p)

@@ -12,11 +12,13 @@ def test_detect_hot_keys_finds_zipf_head(spark):
     ev = binlog.change_events(spark, 50_000, n_repos=100)
     hot = detect_hot_keys(ev, "repo", sample_fraction=0.2, hot_share=0.05)
     assert hot, "Zipf-skewed binlog must surface hot repos"
-    # the detected keys really are the heavy hitters: each holds >= ~5% of rows
+    # the detected keys really are the heavy hitters: detection requires a
+    # >=5% share of the 20% sample, so the true share must clear 5% minus
+    # sampling tolerance (3-sigma on a 10k-row sample is ~0.7pp)
     total = ev.count()
     counts = {r["repo"]: r["cnt"] for r in ev.groupBy("repo").agg(F.count("*").alias("cnt")).collect()}
     for k in hot:
-        assert counts[k] / total > 0.02
+        assert counts[k] / total > 0.04
 
 
 def test_salted_repartition_spreads_hot_key(spark):

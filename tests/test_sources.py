@@ -67,10 +67,12 @@ def test_preflight_process_level(tmp_path):
     import subprocess
     import sys
 
+    from tests.conftest import SF_DIR
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = subprocess.run(
         [sys.executable, os.path.join(repo, "scripts", "preflight.py"),
-         "--sf-dir", "/root/testdata/sf0.001"],
+         "--sf-dir", SF_DIR],
         capture_output=True, text=True, timeout=300,
     )
     doc = json.loads(out.stdout.strip().splitlines()[-1])

@@ -163,11 +163,13 @@ def test_tags_pin_snapshots_across_expiry(spark, wap_events, tmp_path):
     pinned = _state(t, ref="training-cut-v1")
     assert pinned == _state(t, snapshot_id=sid_e1)
 
+    # a concrete untagged sibling, captured BEFORE expiry runs
+    sid_untagged = t.history()[0]["snapshot_id"]
     t.expire_snapshots(keep_last=1)
     # the tagged snapshot survived; its untagged siblings are gone
     assert _state(t, ref="training-cut-v1") == pinned
     with pytest.raises(ValueError, match="expired"):
-        t.read(snapshot_id=t.history()[0]["snapshot_id"] - 1 if sid_e1 != 1 else 99)
+        t.read(snapshot_id=sid_untagged)
     # tags are immutable: no writes, no republish
     with pytest.raises(ValueError, match="immutable"):
         t.merge_changes(_epoch_slice(wap_events, 0), epoch_id=99, branch="training-cut-v1")
