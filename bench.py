@@ -53,6 +53,13 @@ HEADLINE = sorted(REGISTRY.keys())
 
 
 QUERY_TRIALS = int(os.environ.get("BENCH_QUERY_TRIALS", "5"))
+# Optional JMH-style hygiene: force a JVM full GC before each query's
+# trials (outside the timed region) to decouple a query's timing from GC
+# debt left by earlier entries. A back-to-back A/B at sf0.1/local[32]
+# (BENCH/BASELINE.md) showed box weather swamps any effect (suite totals
+# 34.8s with vs 34.0s without; individual entries moved both directions),
+# so it stays opt-in and OFF by default.
+GC_BETWEEN = os.environ.get("BENCH_GC_BETWEEN", "0") == "1"
 
 
 def bench_query(spark, name: str) -> float:
@@ -61,6 +68,8 @@ def bench_query(spark, name: str) -> float:
     several is what round-over-round comparisons need (replay stays 1× —
     its 4M events are long enough to self-average)."""
     fn, _ = REGISTRY[name]
+    if GC_BETWEEN:
+        spark._jvm.System.gc()  # noqa: SLF001
     times = []
     for _ in range(QUERY_TRIALS):
         df = fn(spark, SF_DIR)
