@@ -16,7 +16,8 @@ artifact — round 3 re-runs it with the sorted-merge default,
 per-snapshot manifest files, and the size-based (delta-ratio)
 compaction trigger all active at scale.
 
-Artifact: BENCH/validate_1e8.json
+Artifact: BENCH/validate_1e8.json (plus _wap / _bootstrap / _mirror
+variants per arm flag).
 """
 
 from __future__ import annotations
@@ -48,6 +49,16 @@ def main() -> None:
         "gate at 10^8 scale; artifact goes to validate_1e8_wap.json",
     )
     ap.add_argument(
+        "--mirror", action="store_true",
+        help="exercise the changelog fan-out at 10^8 scale: replay in "
+        "three slices, advancing a second table after each via "
+        "table_tool mirror (one initial-load interval + two incremental "
+        "intervals spanning updates, deletes, and interleaved "
+        "compactions); the MIRROR is then held to the same per-repo and "
+        "sample-hash oracle checks as the source, and a final mirror "
+        "call must report noop. Artifact goes to validate_1e8_mirror.json",
+    )
+    ap.add_argument(
         "--bootstrap", action="store_true",
         help="two-phase start at 10^8 scale: DuckDB computes the "
         "consistent source snapshot at the mid-stream watermark "
@@ -57,6 +68,8 @@ def main() -> None:
         "validate_1e8_bootstrap.json",
     )
     args = ap.parse_args()
+    if args.mirror and (args.wap or args.bootstrap):
+        raise SystemExit("--mirror is its own arm; do not combine")
 
     shutil.rmtree(args.workdir, ignore_errors=True)
     os.makedirs(args.workdir, exist_ok=True)
@@ -123,14 +136,51 @@ def main() -> None:
             "--bootstrap-seq-col", "src_seq",
         ]
         t0 = time.time()  # the validated phase is bootstrap + tail
-    proc = subprocess.run(
-        base_cmd + boot_extra, capture_output=True, text=True, cwd=REPO
-    )
+
+    mirror_table = os.path.join(args.workdir, "mirror_state")
+    mirror_cursor = os.path.join(args.workdir, "mirror_cursor.json")
+
+    def mirror_step() -> dict:
+        mp = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "table_tool.py"),
+             "--table", table, "--cores", str(args.cores),
+             "mirror", "--target", mirror_table, "--cursor", mirror_cursor],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        if mp.returncode != 0:
+            sys.stderr.write(mp.stderr[-4000:])
+            raise SystemExit(f"mirror step failed rc={mp.returncode}")
+        return json.loads(mp.stdout.strip().splitlines()[-1])
+
+    mirror_runs: list[dict] = []
+    mirror_final_noop = None
+    if args.mirror:
+        # Three slices — the first mirror consumes an initial-load
+        # interval (from=None, insert-all), the next two consume true
+        # incremental intervals whose changelogs span inserts, updates,
+        # deletes, and any compaction snapshots the delta-ratio trigger
+        # interleaved. The checkpoint carries the replay across slices.
+        third = args.epochs // 3
+        for cap in (args.epochs - 2 * third, third, third):
+            proc = subprocess.run(
+                base_cmd + ["--max-epochs", str(cap)],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"replay slice failed rc={proc.returncode}")
+            replay = json.loads(proc.stdout.strip().splitlines()[-1])
+            mirror_runs.append({"replay": replay, "mirror": mirror_step()})
+        mirror_final_noop = mirror_step()  # exactly-once: nothing new
+    else:
+        proc = subprocess.run(
+            base_cmd + boot_extra, capture_output=True, text=True, cwd=REPO
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"replay failed rc={proc.returncode}")
+        replay = json.loads(proc.stdout.strip().splitlines()[-1])
     wall = time.time() - t0
-    if proc.returncode != 0:
-        sys.stderr.write(proc.stderr[-4000:])
-        raise SystemExit(f"replay failed rc={proc.returncode}")
-    replay = json.loads(proc.stdout.strip().splitlines()[-1])
 
     # ---- engine state → per-repo aggregates + sample hash (Spark read:
     # the only reader that understands MOR deltas/tombstones)
@@ -138,29 +188,34 @@ def main() -> None:
     from fao_elt_pipelines_spark.session import get_spark
 
     spark = get_spark(cores=args.cores)
-    state = LakeTable(spark, table).read()
     from pyspark.sql import functions as F
 
-    eng_repo = (
-        state.groupBy("repo")
-        .agg(F.count("*").alias("rows"), F.sum("last_seq").alias("sum_seq"))
-        .toPandas()
-        .sort_values("repo")
-        .reset_index(drop=True)
-    )
-    eng_sample = (
-        state.filter(F.col("last_seq") % 997 == 0)
-        .select(
-            F.sha2(
-                F.concat_ws("|", "repo", "path", "commit", "lang",
-                            "content_sha256", F.col("last_seq").cast("string")),
-                256,
-            ).alias("h")
+    def engine_frames(path: str):
+        state = LakeTable(spark, path).read()
+        per_repo = (
+            state.groupBy("repo")
+            .agg(F.count("*").alias("rows"), F.sum("last_seq").alias("sum_seq"))
+            .toPandas()
+            .sort_values("repo")
+            .reset_index(drop=True)
         )
-        .toPandas()["h"]
-        .sort_values()
-        .tolist()
-    )
+        sample = (
+            state.filter(F.col("last_seq") % 997 == 0)
+            .select(
+                F.sha2(
+                    F.concat_ws("|", "repo", "path", "commit", "lang",
+                                "content_sha256", F.col("last_seq").cast("string")),
+                    256,
+                ).alias("h")
+            )
+            .toPandas()["h"]
+            .sort_values()
+            .tolist()
+        )
+        return per_repo, sample
+
+    eng_repo, eng_sample = engine_frames(table)
+    mir_repo, mir_sample = engine_frames(mirror_table) if args.mirror else (None, None)
     spark.stop()
 
     # ---- independent oracle: DuckDB LWW straight from the binlog
@@ -201,8 +256,16 @@ def main() -> None:
 
     # ---- MV check: the gold view replay_job maintained must match the
     # oracle's per-repo (live paths, byte totals) exactly
+    # Seed the marker walk from the cursor hint, mirroring mv.cursor():
+    # GC keeps only the last KEEP_VERSIONS markers, so after 2+ refreshes
+    # (the mirror arm's sliced replay) v0 no longer exists and a walk
+    # from -1 would find nothing.
     mv_cur, v = None, -1
     mv_dir = os.path.join(args.workdir, "mv")
+    hint = os.path.join(mv_dir, "cursor.json")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = json.load(f)["version"]
     while os.path.exists(os.path.join(mv_dir, f"v{v + 1}.commit.json")):
         v += 1
     with open(os.path.join(mv_dir, f"v{v}.commit.json")) as f:
@@ -223,12 +286,15 @@ def main() -> None:
         ).fetchone()[0]
     )
 
-    repo_match = (
-        len(eng_repo) == len(ora_repo)
-        and (eng_repo["repo"].values == ora_repo["repo"].values).all()
-        and (eng_repo["rows"].astype(int).values == ora_repo["rows"].astype(int).values).all()
-        and (eng_repo["sum_seq"].astype(int).values == ora_repo["sum_seq"].astype(int).values).all()
-    )
+    def per_repo_matches(frame) -> bool:
+        return (
+            len(frame) == len(ora_repo)
+            and (frame["repo"].values == ora_repo["repo"].values).all()
+            and (frame["rows"].astype(int).values == ora_repo["rows"].astype(int).values).all()
+            and (frame["sum_seq"].astype(int).values == ora_repo["sum_seq"].astype(int).values).all()
+        )
+
+    repo_match = per_repo_matches(eng_repo)
     sample_match = eng_sample == ora_sample
 
     out = {
@@ -238,7 +304,8 @@ def main() -> None:
         "cores": args.cores,
         "mode": "mor+sorted-default+delta-ratio-compaction"
         + ("+wap" if args.wap else "")
-        + ("+bootstrap" if args.bootstrap else ""),
+        + ("+bootstrap" if args.bootstrap else "")
+        + ("+mirror" if args.mirror else ""),
         "replay": replay,
         "end_to_end_wall_sec": round(wall, 1),
         "end_to_end_events_per_sec": round(args.events / wall, 1),
@@ -249,11 +316,24 @@ def main() -> None:
         "mv_match": mv_match,
         "pass": bool(repo_match and sample_match and mv_match),
     }
+    if args.mirror:
+        mirror_repo_match = per_repo_matches(mir_repo)
+        mirror_sample_match = mir_sample == eng_sample == ora_sample
+        noop_ok = mirror_final_noop.get("mode") == "noop"
+        out["mirror_runs"] = mirror_runs
+        out["mirror_final_noop"] = mirror_final_noop
+        out["mirror_per_repo_match"] = bool(mirror_repo_match)
+        out["mirror_sample_hash_match"] = bool(mirror_sample_match)
+        out["pass"] = bool(
+            out["pass"] and mirror_repo_match and mirror_sample_match and noop_ok
+        )
     name = "validate_1e8"
     if args.wap:
         name += "_wap"
     if args.bootstrap:
         name += "_bootstrap"
+    if args.mirror:
+        name += "_mirror"
     name += ".json"
     with open(os.path.join(REPO, "BENCH", name), "w") as f:
         json.dump(out, f, indent=1)
