@@ -1155,6 +1155,190 @@ SELECT event_id, repo, op, reason FROM tagged WHERE reason IS NOT NULL
 """
 
 
+# --------------------------------------------------------------------------
+# Column-level merge engines (operators/partial_update.py): a patch-shaped
+# binlog where change events may carry only the columns that changed
+# --------------------------------------------------------------------------
+
+_PATCH_BINLOG_SQL = """
+  SELECT event_id AS seq,
+         'repo_' || CAST(user_id % 37 AS VARCHAR) AS repo,
+         'src/f_' || CAST(event_id % 211 AS VARCHAR) || '.py' AS path,
+         CASE WHEN event_id % 20 = 19 THEN 'delete'
+              WHEN event_id % 5 = 0 THEN 'insert'
+              ELSE 'patch' END AS op,
+         CASE WHEN event_id % 20 = 19 THEN NULL
+              WHEN event_id % 5 = 0 OR event_id % 4 IN (0, 3)
+                THEN md5('c' || CAST(event_id AS VARCHAR)) END AS commit,
+         CASE WHEN event_id % 20 = 19 THEN NULL
+              WHEN event_id % 5 = 0 AND event_id % 10 = 5 THEN NULL
+              WHEN event_id % 5 = 0 OR event_id % 4 = 1 THEN event_type END AS lang,
+         CASE WHEN event_id % 20 = 19 THEN NULL
+              WHEN event_id % 5 = 0 OR event_id % 4 IN (2, 3)
+                THEN md5('repo_' || CAST(user_id % 37 AS VARCHAR) || '/src/f_'
+                         || CAST(event_id % 211 AS VARCHAR) || '.py@'
+                         || CAST(event_id AS VARCHAR))
+                     || ':' || CAST(event_id % 97 AS VARCHAR) END AS content
+  FROM events
+"""
+
+
+def _derived_patch_binlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-shaped CDC stream derived from ``events`` (portable twin of
+    ``_PATCH_BINLOG_SQL``): inserts carry full rows (every 5th event; every
+    10th-ending-in-5 insert carries a NULL lang, exercising upsert-clears),
+    deletes carry nothing, and patches carry an event_id%4-chosen non-null
+    subset of {commit, lang, content} — the Mongo/Cassandra-style partial
+    change event row-level LWW cannot merge correctly."""
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    repo = F.concat(F.lit("repo_"), (F.col("user_id") % 37).cast("string"))
+    path = F.concat(F.lit("src/f_"), (eid % 211).cast("string"), F.lit(".py"))
+    is_del, is_ins = eid % 20 == 19, eid % 5 == 0
+    commit_full = F.md5(F.concat(F.lit("c"), eid.cast("string")))
+    content_full = F.concat(
+        F.md5(F.concat(repo, F.lit("/"), path, F.lit("@"), eid.cast("string"))),
+        F.lit(":"),
+        (eid % 97).cast("string"),
+    )
+    null_s = F.lit(None).cast("string")
+    return ev.select(
+        eid.alias("seq"),
+        repo.alias("repo"),
+        path.alias("path"),
+        F.when(is_del, F.lit("delete")).when(is_ins, F.lit("insert")).otherwise(F.lit("patch")).alias("op"),
+        F.when(is_del, null_s)
+        .when(is_ins | (eid % 4).isin(0, 3), commit_full)
+        .alias("commit"),
+        F.when(is_del | (is_ins & (eid % 10 == 5)), null_s)
+        .when(is_ins | (eid % 4 == 1), F.col("event_type"))
+        .alias("lang"),
+        F.when(is_del, null_s)
+        .when(is_ins | (eid % 4).isin(2, 3), content_full)
+        .alias("content"),
+    )
+
+
+def _partial_vis_cols():
+    return [
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        "last_seq",
+    ]
+
+
+def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update merge engine, one-shot fold (SURVEY §2.9 merge family;
+    Paimon's ``partial-update``): final per-key state where each column holds
+    its last-set value by seq, upserts/deletes reset, patches touch only
+    their non-null columns. Single hash aggregate — map-side combined, no
+    window — over the patch binlog; the oracle recomputes the same algebra
+    with per-column filtered arg_max in DuckDB."""
+    from ..operators.partial_update import partial_update_state
+
+    st = partial_update_state(_derived_patch_binlog(spark, sf_dir), reset_ops=("insert",))
+    return st.select(*_partial_vis_cols())
+
+
+def q_cdc_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine exercised as the MONOID it is: fold the stream's two
+    halves independently (epoch-shaped), merge the mergeable states with the
+    associative struct-max ``+``, then project visible rows. Equal by
+    construction to the one-shot fold — which is exactly what the shared
+    oracle checks differentially (the cross-batch analogue of
+    cdc_merge_upsert ≡ LWW)."""
+    from ..operators.partial_update import fold_partial, merge_partial_states, visible_partial
+
+    b = _derived_patch_binlog(spark, sf_dir)
+    mid = b.agg((F.max("seq") / 2).cast("long")).collect()[0][0]
+    s1 = fold_partial(b.filter(F.col("seq") <= mid), reset_ops=("insert",))
+    s2 = fold_partial(b.filter(F.col("seq") > mid), reset_ops=("insert",))
+    merged = merge_partial_states(s1, s2)
+    return visible_partial(merged).select(*_partial_vis_cols())
+
+
+SQL_CDC_PARTIAL_UPDATE = f"""
+WITH b AS ({_PATCH_BINLOG_SQL}),
+r AS (
+  SELECT repo, path, max(seq) AS rseq, arg_max(op, seq) = 'delete' AS rdel
+  FROM b WHERE op IN ('insert', 'delete') GROUP BY repo, path
+),
+s AS (
+  SELECT b.repo, b.path,
+         max(b.seq) AS last_seq,
+         arg_max(b.commit, b.seq) FILTER (WHERE b.op <> 'delete' AND b.commit IS NOT NULL
+           AND b.seq >= coalesce(r.rseq, -1)) AS commit,
+         arg_max(b.lang, b.seq) FILTER (WHERE b.op <> 'delete' AND b.lang IS NOT NULL
+           AND b.seq >= coalesce(r.rseq, -1)) AS lang,
+         arg_max(b.content, b.seq) FILTER (WHERE b.op <> 'delete' AND b.content IS NOT NULL
+           AND b.seq >= coalesce(r.rseq, -1)) AS content,
+         bool_or(b.op = 'patch' AND b.seq > coalesce(r.rseq, -1)) AS patch_after,
+         bool_or(r.rdel) AS rdel
+  FROM b LEFT JOIN r USING (repo, path)
+  GROUP BY b.repo, b.path
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha256, last_seq
+FROM s WHERE coalesce(NOT rdel, TRUE) OR patch_after
+"""
+
+
+def q_cdc_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation merge engine (Paimon's ``aggregation``): per-key columns
+    fold under declared per-column aggregates — exact decimal SUM, MAX, and
+    last-non-null-by-seq — exercised in its cross-batch form: two epoch
+    folds kept mergeable, merged with agg_merge_states, then unpacked.
+    Equals the one-shot fold because every spec is associative+commutative;
+    the oracle computes the one-shot form in SQL."""
+    from ..operators.partial_update import agg_merge, agg_merge_states, visible_agg
+
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    b = ev.select(
+        eid.alias("seq"),
+        F.concat(F.lit("repo_"), (F.col("user_id") % 37).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f_"), (eid % 211).cast("string"), F.lit(".py")).alias("path"),
+        dec("value").alias("metric_total"),
+        F.col("value").alias("metric_max"),
+        F.when(eid % 13 != 7, F.col("event_type")).alias("lang_last"),
+    )
+    specs = {"metric_total": "sum", "metric_max": "max", "lang_last": "last"}
+    mid = b.agg((F.max("seq") / 2).cast("long")).collect()[0][0]
+    s1 = agg_merge(b.filter(F.col("seq") <= mid), specs, mergeable=True)
+    s2 = agg_merge(b.filter(F.col("seq") > mid), specs, mergeable=True)
+    merged = agg_merge_states(s1, s2, specs)
+    out = visible_agg(merged, specs)
+    return out.select(
+        "repo",
+        "path",
+        F.col("metric_total").cast("double").alias("metric_total"),
+        "metric_max",
+        "lang_last",
+        "last_seq",
+    )
+
+
+SQL_CDC_AGG_MERGE = """
+WITH b AS (
+  SELECT event_id AS seq,
+         'repo_' || CAST(user_id % 37 AS VARCHAR) AS repo,
+         'src/f_' || CAST(event_id % 211 AS VARCHAR) || '.py' AS path,
+         CAST(value AS DECIMAL(18,2)) AS metric_d,
+         value,
+         CASE WHEN event_id % 13 <> 7 THEN event_type END AS lang
+  FROM events
+)
+SELECT repo, path,
+       CAST(sum(metric_d) AS DOUBLE) AS metric_total,
+       max(value) AS metric_max,
+       arg_max(lang, seq) FILTER (WHERE lang IS NOT NULL) AS lang_last,
+       max(seq) AS last_seq
+FROM b GROUP BY repo, path
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_quarantine": (q_cdc_quarantine, SQL_CDC_QUARANTINE),
     "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
@@ -1166,6 +1350,10 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_changelog": (q_cdc_changelog, SQL_CDC_CHANGELOG),
     "cdc_epoch_metrics": (q_cdc_epoch_metrics, SQL_CDC_EPOCH_METRICS),
     "cdc_incremental_gold": (q_cdc_incremental_gold, SQL_CDC_INCREMENTAL_GOLD),
+    "cdc_partial_update": (q_cdc_partial_update, SQL_CDC_PARTIAL_UPDATE),
+    # fold-halves + monoid-merge ≡ one-shot fold (see docstring) — shared oracle
+    "cdc_partial_update_merge": (q_cdc_partial_update_merge, SQL_CDC_PARTIAL_UPDATE),
+    "cdc_agg_merge": (q_cdc_agg_merge, SQL_CDC_AGG_MERGE),
     "silver_events_cleaned": (q_silver_events_cleaned, SQL_SILVER_EVENTS_CLEANED),
     "silver_standardize": (q_silver_standardize, SQL_SILVER_STANDARDIZE),
     "silver_surrogate_key": (q_silver_surrogate_key, SQL_SILVER_SURROGATE_KEY),
