@@ -147,35 +147,17 @@ def run_child(events: int, cores: int, out_dir: str | None) -> dict:
 def validate(events: int, cores: int, state_dir: str) -> dict:
     import duckdb
 
+    from fao_elt_pipelines_spark.plans.queries import partial_update_oracle_sql
+
     con = duckdb.connect()
     con.execute(f"SET threads={cores * 4}")
     stream = STREAM_SQL.format(n=events, nr=N_REPOS, np=N_PATHS)
-    con.execute(
-        f"""
-        CREATE TEMP TABLE s AS
-        WITH b AS ({stream}),
-        r AS (
-          SELECT repo, path, max(seq) AS rseq, arg_max(op, seq) = 'delete' AS rdel
-          FROM b WHERE op IN ('insert', 'delete') GROUP BY repo, path
-        ),
-        f AS (
-          SELECT b.repo, b.path,
-                 max(b.seq) AS last_seq,
-                 arg_max(b.commit, b.seq) FILTER (WHERE b.op <> 'delete'
-                   AND b.commit IS NOT NULL AND b.seq >= coalesce(r.rseq, -1)) AS commit,
-                 arg_max(b.lang, b.seq) FILTER (WHERE b.op <> 'delete'
-                   AND b.lang IS NOT NULL AND b.seq >= coalesce(r.rseq, -1)) AS lang,
-                 arg_max(b.content, b.seq) FILTER (WHERE b.op <> 'delete'
-                   AND b.content IS NOT NULL AND b.seq >= coalesce(r.rseq, -1)) AS content,
-                 bool_or(b.op = 'patch' AND b.seq > coalesce(r.rseq, -1)) AS patch_after,
-                 bool_or(r.rdel) AS rdel
-          FROM b LEFT JOIN r USING (repo, path)
-          GROUP BY b.repo, b.path
-        )
-        SELECT repo, path, commit, lang, content, last_seq
-        FROM f WHERE coalesce(NOT rdel, TRUE) OR patch_after
-        """
+    # the SAME oracle text the registry's cdc_partial_update runs — only
+    # the stream CTE and the projection differ, so the harnesses can't drift
+    oracle = partial_update_oracle_sql(
+        stream, "repo, path, commit, lang, content, last_seq"
     )
+    con.execute(f"CREATE TEMP TABLE s AS {oracle}")
     tup = (
         "repo || '|' || path || '|' || coalesce(commit, '~') || '|' "
         "|| coalesce(lang, '~') || '|' || coalesce(content, '~') || '|' "
@@ -225,6 +207,13 @@ def main() -> None:
     ap.add_argument("--validate-cores", type=int, default=8)
     ap.add_argument("--skip-scaling", action="store_true")
     ap.add_argument("--skip-validate", action="store_true")
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="artifact path; defaults to BENCH/partial_update_scale.json only "
+        "for full runs (both arms) — partial/smoke runs print without "
+        "overwriting the recorded full-scale artifact unless --out is given",
+    )
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--_out", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -249,7 +238,9 @@ def main() -> None:
             **validate(args.events, args.validate_cores, state_dir),
             "end_to_end_wall_sec": round(time.time() - t0, 1),
         }
-        out["pass"] = out["validate"]["per_repo_match"] and out["validate"]["sample_hash_match"]
+        out["validate"]["pass"] = (
+            out["validate"]["per_repo_match"] and out["validate"]["sample_hash_match"]
+        )
 
     if not args.skip_scaling:
         rounds = []
@@ -275,11 +266,19 @@ def main() -> None:
             "4N_cores": args.n * 4,
             "efficiency_rounds": [r["efficiency"] for r in rounds],
             "efficiency": statistics.median(effs),
+            "pass": statistics.median(effs) >= 0.8,
             "rounds": rounds,
         }
 
-    with open(OUT, "w") as f:
-        json.dump(out, f, indent=1)
+    # top-level pass = every arm that ran passed (bench/scaling.py's >=0.8
+    # criterion for the scaling arm, exact state match for validation)
+    arms = [a["pass"] for a in (out.get("validate"), out.get("scaling")) if a is not None]
+    out["pass"] = bool(arms) and all(arms)
+
+    dest = args.out or (OUT if not (args.skip_scaling or args.skip_validate) else None)
+    if dest:
+        with open(dest, "w") as f:
+            json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 

@@ -61,6 +61,29 @@ def lww_dedup(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def first_row(
+    df: DataFrame,
+    keys: Sequence[str] = ("repo", "path"),
+    order_col: str = "seq",
+) -> DataFrame:
+    """First-write-wins per key — the Paimon ``first-row`` merge engine:
+    the EARLIEST event by ``order_col`` is the row, every later change
+    event for the key is ignored (dedup-on-ingest for append streams
+    where the first sighting is canonical, e.g. crawl frontiers or
+    event-sourced creation records). Exactly ``lww_dedup``'s min twin:
+    ``min_by(struct(payload), seq)`` hash-aggregate, map-side combined,
+    one shuffle — and the same associative monoid across epochs (min of
+    mins), so out-of-order epoch folds converge. Delete events are not
+    part of the engine's contract (first sighting wins; a later delete is
+    'a later change' and is ignored) — callers that need deletion use LWW
+    or the partial-update engine instead."""
+    keys = list(keys)
+    payload = [c for c in df.columns if c not in keys]
+    packed = F.min_by(F.struct(*payload), F.col(order_col)).alias("_win")
+    out = df.groupBy(*keys).agg(packed)
+    return out.select(*keys, *[F.col(f"_win.{c}").alias(c) for c in payload])
+
+
 def dedup_exact(df: DataFrame, content_col: str = "text", keep_col: str | None = None) -> DataFrame:
     """Exact dedup by content hash: one representative row per distinct
     content — the representative is the row with the smallest ``keep_col``

@@ -25,9 +25,11 @@ Events per key, globally-unique ``seq``, ops:
 Scale design — why a max-monoid, not a window
 ---------------------------------------------
 The fold state per key is: ``_pu_reset`` = max(seq, is_delete) over
-reset-type events, and per value column ``c`` a ``(seq, value)`` struct =
-max over the events that SET ``c`` (non-null patch or upsert columns;
-delete sets nothing). Struct max compares ``seq`` first, so the whole
+reset-type events, ``_pu_patch_seq`` = max seq over patch events (their
+touch matters for existence even when they set none of the tracked
+columns), and per value column ``c`` a ``(seq, value)`` struct = max over
+the events that SET ``c`` (non-null patch or upsert columns; delete sets
+nothing). Struct max compares ``seq`` first, so the whole
 fold is one aggregate with ONE shuffle: Spark runs map-side partial
 aggregation first, so the shuffle carries one state row per (key, map
 task) instead of every event, and no per-key window ranking happens
@@ -72,7 +74,7 @@ _NEG = -1  # sentinel "no reset seen"; real seqs are >= 0
 
 
 def _state_cols(value_cols: Sequence[str]) -> list[str]:
-    return ["_pu_reset", *[f"_pu_{c}" for c in value_cols], "last_seq"]
+    return ["_pu_reset", *[f"_pu_{c}" for c in value_cols], "_pu_patch_seq", "last_seq"]
 
 
 def fold_partial(
@@ -104,6 +106,12 @@ def fold_partial(
             ).alias(f"_pu_{c}")
             for c in value_cols
         ],
+        # newest patch TOUCH regardless of which columns it set: a patch
+        # whose value_cols are all null (it touched only columns outside
+        # this state's schema, or was a no-op) still recreates a deleted
+        # row per the engine contract — without this the fold couldn't see
+        # such events and would diverge from the oracle's patch_after test
+        F.max(F.when(~is_reset, seq)).alias("_pu_patch_seq"),
         F.max(seq).alias("last_seq"),
     ]
     return events.groupBy(*keys).agg(*aggs)
@@ -137,16 +145,15 @@ def visible_partial(
     A column's stored (seq, val) wins only at-or-above the newest reset:
     ``>=`` because equality is only possible when the reset IS the upsert
     that set the column (delete events set no columns). The row exists
-    unless the newest reset is a delete with no column set strictly above
-    it (a later patch recreates the row).
+    unless the newest reset is a delete with no patch strictly above it
+    (``_pu_patch_seq`` — a later patch recreates the row even when it set
+    none of THESE value columns).
     """
     rseq = F.coalesce(F.col("_pu_reset.seq"), F.lit(_NEG))
     vals = [
         F.when(F.col(f"_pu_{c}.seq") >= rseq, F.col(f"_pu_{c}.val")).alias(c) for c in value_cols
     ]
-    patched_above = F.greatest(
-        F.lit(False), *[F.coalesce(F.col(f"_pu_{c}.seq") > rseq, F.lit(False)) for c in value_cols]
-    )
+    patched_above = F.coalesce(F.col("_pu_patch_seq") > rseq, F.lit(False))
     exists = F.coalesce(~F.col("_pu_reset.is_del"), F.lit(True)) | patched_above
     return state.filter(exists).select(*keys, *vals, "last_seq")
 
@@ -204,16 +211,7 @@ def agg_merge(
     seq = F.col(seq_col)
     aggs = [_agg_expr(c, fn, seq) for c, fn in specs.items()]
     out = events.groupBy(*keys).agg(*aggs, F.max(seq).alias("last_seq"))
-    if mergeable:
-        return out
-    return out.select(
-        *keys,
-        *[
-            F.col(f"_am_{c}.val").alias(c) if fn == "last" else F.col(c)
-            for c, fn in specs.items()
-        ],
-        "last_seq",
-    )
+    return out if mergeable else visible_agg(out, specs, keys)
 
 
 def agg_merge_states(
@@ -229,14 +227,12 @@ def agg_merge_states(
         "last_seq",
     ]
     both = a.select(*cols).unionByName(b.select(*cols))
-    aggs = []
-    for c, fn in specs.items():
-        if fn == "sum":
-            aggs.append(F.sum(c).alias(c))
-        elif fn == "last":
-            aggs.append(F.max(f"_am_{c}").alias(f"_am_{c}"))
-        else:
-            aggs.append(_agg_expr(c, fn, F.col("last_seq")))
+    # re-reduce packed 'last' states by struct max; sum/min/max re-fold
+    # through the same _agg_expr the first-level fold used
+    aggs = [
+        F.max(f"_am_{c}").alias(f"_am_{c}") if fn == "last" else _agg_expr(c, fn, F.col("last_seq"))
+        for c, fn in specs.items()
+    ]
     return both.groupBy(*keys).agg(*aggs, F.max("last_seq").alias("last_seq"))
 
 

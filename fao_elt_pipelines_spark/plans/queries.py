@@ -1234,9 +1234,9 @@ def q_cdc_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-update merge engine, one-shot fold (SURVEY §2.9 merge family;
     Paimon's ``partial-update``): final per-key state where each column holds
     its last-set value by seq, upserts/deletes reset, patches touch only
-    their non-null columns. Single hash aggregate — map-side combined, no
-    window — over the patch binlog; the oracle recomputes the same algebra
-    with per-column filtered arg_max in DuckDB."""
+    their non-null columns. One single-shuffle aggregate — map-side
+    combined, no window — over the patch binlog; the oracle recomputes the
+    same algebra with per-column filtered arg_max in DuckDB."""
     from ..operators.partial_update import partial_update_state
 
     st = partial_update_state(_derived_patch_binlog(spark, sf_dir), reset_ops=("insert",))
@@ -1260,8 +1260,15 @@ def q_cdc_partial_update_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visible_partial(merged).select(*_partial_vis_cols())
 
 
-SQL_CDC_PARTIAL_UPDATE = f"""
-WITH b AS ({_PATCH_BINLOG_SQL}),
+def partial_update_oracle_sql(stream_sql: str, final_select: str) -> str:
+    """The partial-update algebra in DuckDB SQL, parameterized by the
+    change-stream CTE so every harness checking this engine (the registry
+    oracle here, bench/partial_scale.py's 10^8 validation) runs the SAME
+    oracle text and cannot drift. ``final_select`` projects the visible
+    state columns (repo, path, commit, lang, content, last_seq are in
+    scope)."""
+    return f"""
+WITH b AS ({stream_sql}),
 r AS (
   SELECT repo, path, max(seq) AS rseq, arg_max(op, seq) = 'delete' AS rdel
   FROM b WHERE op IN ('insert', 'delete') GROUP BY repo, path
@@ -1280,8 +1287,49 @@ s AS (
   FROM b LEFT JOIN r USING (repo, path)
   GROUP BY b.repo, b.path
 )
-SELECT repo, path, commit, lang, sha256(content) AS content_sha256, last_seq
+SELECT {final_select}
 FROM s WHERE coalesce(NOT rdel, TRUE) OR patch_after
+"""
+
+
+SQL_CDC_PARTIAL_UPDATE = partial_update_oracle_sql(
+    _PATCH_BINLOG_SQL,
+    "repo, path, commit, lang, sha256(content) AS content_sha256, last_seq",
+)
+
+
+def q_cdc_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-row merge engine (Paimon's ``first-row``): the EARLIEST event
+    per key is canonical, later changes are ignored — LWW's min twin,
+    same one-shuffle min_by aggregate (operators/dedup.py first_row). Keys
+    whose first sighting is a delete have no creatable payload and are
+    dropped. Oracle = per-column arg_min in DuckDB (safe here because the
+    kept rows' first events are upserts, whose payload columns are never
+    NULL in this stream — arg_min's null-skipping can't diverge)."""
+    from ..operators.dedup import first_row
+
+    win = first_row(_derived_binlog(spark, sf_dir))
+    return win.filter(F.col("op") != "delete").select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.col("seq").alias("first_seq"),
+    )
+
+
+SQL_CDC_FIRST_ROW = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+w AS (
+  SELECT repo, path,
+         arg_min(op, seq) AS op, arg_min(commit, seq) AS commit,
+         arg_min(lang, seq) AS lang, arg_min(content, seq) AS content,
+         min(seq) AS first_seq
+  FROM binlog GROUP BY repo, path
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha256, first_seq
+FROM w WHERE op <> 'delete'
 """
 
 
@@ -1354,6 +1402,7 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     # fold-halves + monoid-merge ≡ one-shot fold (see docstring) — shared oracle
     "cdc_partial_update_merge": (q_cdc_partial_update_merge, SQL_CDC_PARTIAL_UPDATE),
     "cdc_agg_merge": (q_cdc_agg_merge, SQL_CDC_AGG_MERGE),
+    "cdc_first_row": (q_cdc_first_row, SQL_CDC_FIRST_ROW),
     "silver_events_cleaned": (q_silver_events_cleaned, SQL_SILVER_EVENTS_CLEANED),
     "silver_standardize": (q_silver_standardize, SQL_SILVER_STANDARDIZE),
     "silver_surrogate_key": (q_silver_surrogate_key, SQL_SILVER_SURROGATE_KEY),

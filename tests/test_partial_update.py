@@ -62,6 +62,22 @@ def test_upsert_null_column_clears_earlier_patch(spark):
     assert st == {("r", "a"): ("c2", None, "v2", 2)}
 
 
+def test_all_null_patch_after_delete_still_recreates(spark):
+    """A patch that sets NONE of the tracked value columns (it touched only
+    columns outside this state's schema, or was a no-op) still counts as a
+    touch: the row is recreated, matching the oracle's patch_after rule."""
+    df = _events(
+        spark,
+        [
+            (1, "r", "a", "insert", "c1", "py", "v1"),
+            (2, "r", "a", "delete", None, None, None),
+            (3, "r", "a", "patch", None, None, None),
+        ],
+    )
+    st = _state(partial_update_state(df))
+    assert st == {("r", "a"): (None, None, None, 3)}
+
+
 def test_delete_then_patch_recreates_from_nulls(spark):
     df = _events(
         spark,
@@ -208,6 +224,29 @@ def test_agg_merge_last_skips_nulls(spark):
     )
     rows = agg_merge(ev, {"lang_last": "last"}).collect()
     assert [(r.lang_last, r.last_seq) for r in rows] == [("x", 3)]
+
+
+def test_first_row_keeps_earliest_and_merges_as_monoid(spark):
+    from fao_elt_pipelines_spark.operators.dedup import first_row
+
+    e1 = _events(spark, [(7, "r", "a", "update", "c7", "go", "v7")])
+    e2 = _events(
+        spark,
+        [
+            (3, "r", "a", "insert", "c3", "py", "v3"),
+            (9, "r", "a", "delete", None, None, None),
+            (5, "r", "b", "insert", "c5", "rs", "v5"),
+        ],
+    )
+    both = e1.unionByName(e2)
+    oneshot = {(r.repo, r.path): (r.seq, r.commit) for r in first_row(both).collect()}
+    assert oneshot == {("r", "a"): (3, "c3"), ("r", "b"): (5, "c5")}
+    # epoch folds merge as min-of-mins: first_row over folded states,
+    # in either operand order (out-of-order epoch arrival)
+    f1, f2 = first_row(e1), first_row(e2)
+    for union in (f1.unionByName(f2), f2.unionByName(f1)):
+        merged = {(r.repo, r.path): (r.seq, r.commit) for r in first_row(union).collect()}
+        assert merged == oneshot
 
 
 def test_agg_merge_unknown_fn_raises(spark):
