@@ -5,6 +5,8 @@ binlog, and plan audits proving the one-hash-aggregate shape."""
 import random
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from fao_elt_pipelines_spark.operators.partial_update import (
@@ -187,6 +189,74 @@ def test_merge_states_plan_no_extra_shuffle(spark, patch_binlog):
     # planner declines the reuse
     assert 2 <= n_nodes(plan, "Exchange") <= 3
     assert n_nodes(plan, "Window") == 0
+
+
+# ------------------- property: engine ≡ sequential fold -------------------
+
+
+@st.composite
+def patch_event_lists(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    seqs = draw(
+        st.lists(st.integers(min_value=0, max_value=10_000), min_size=n, max_size=n, unique=True)
+    )
+    rows = []
+    for i, seq in enumerate(seqs):
+        repo = draw(st.sampled_from(["r0", "r1"]))
+        path = draw(st.sampled_from(["a", "b"]))
+        op = draw(st.sampled_from(["insert", "update", "delete", "patch"]))
+        if op == "delete":
+            c = l = t = None
+        elif op == "patch":
+            # any subset of columns, INCLUDING none (all-null touch)
+            c = f"c{i}" if draw(st.booleans()) else None
+            l = "py" if draw(st.booleans()) else None
+            t = f"v{i}" if draw(st.booleans()) else None
+        else:  # upsert: full row, but lang may be null (upsert-clears)
+            c, l, t = f"c{i}", ("py" if draw(st.booleans()) else None), f"v{i}"
+        rows.append((seq, seq % 2, op, repo, path, c, l, t))
+    return rows
+
+
+def py_partial_fold(rows):
+    """The trivially-correct model: apply events one at a time in seq
+    order. Upserts replace all columns, deletes clear, patches overlay
+    their non-null columns (and recreate deleted rows even when all-null)."""
+    state: dict = {}
+    last_seq: dict = {}
+    for seq, _e, op, repo, path, c, l, t in sorted(rows):
+        k = (repo, path)
+        last_seq[k] = max(last_seq.get(k, -1), seq)
+        if op in ("insert", "update"):
+            state[k] = {"commit": c, "lang": l, "content": t, "live": True}
+        elif op == "delete":
+            state[k] = {"commit": None, "lang": None, "content": None, "live": False}
+        else:
+            cur = state.get(k, {"commit": None, "lang": None, "content": None, "live": False})
+            new = dict(cur, live=True)
+            for col, v in (("commit", c), ("lang", l), ("content", t)):
+                if v is not None:
+                    new[col] = v
+            state[k] = new
+    return {
+        k: (v["commit"], v["lang"], v["content"], last_seq[k])
+        for k, v in state.items()
+        if v["live"]
+    }
+
+
+@given(rows=patch_event_lists())
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_partial_update_matches_sequential_fold(spark, rows):
+    df = spark.createDataFrame(
+        [(s, r, p, o, c, l, t) for (s, _e, o, r, p, c, l, t) in rows], SCHEMA
+    )
+    assert _state(partial_update_state(df)) == py_partial_fold(rows)
+    # and through the cross-batch monoid (epochs by seq parity, swapped order)
+    e0 = df.filter(F.col("seq") % 2 == 0)
+    e1 = df.filter(F.col("seq") % 2 == 1)
+    merged = merge_partial_states(fold_partial(e1), fold_partial(e0))
+    assert _state(visible_partial(merged)) == py_partial_fold(rows)
 
 
 # ----------------------------- agg engine ---------------------------------
