@@ -1,0 +1,110 @@
+"""Streaming partial-update state store (streaming/partial_state.py):
+batch convergence to the one-shot fold, exactly-once re-delivery, crash
+debris recovery, hard-link bucket COW, and the Structured Streaming drain."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fao_elt_pipelines_spark.operators.partial_update import partial_update_state
+from fao_elt_pipelines_spark.plans.queries import _derived_patch_binlog
+from fao_elt_pipelines_spark.streaming.partial_state import (
+    PartialStateStore,
+    stream_partial_state,
+)
+
+
+@pytest.fixture(scope="module")
+def binlog(spark, sf_dir):
+    return _derived_patch_binlog(spark, sf_dir).cache()
+
+
+def _state(df):
+    return {
+        (r.repo, r.path): (r.commit, r.lang, r.content, r.last_seq) for r in df.collect()
+    }
+
+
+def _store(spark, tmp_path, **kw):
+    return PartialStateStore(spark, str(tmp_path / "st"), reset_ops=("insert",), **kw)
+
+
+def test_batches_converge_to_oneshot(spark, tmp_path, binlog):
+    store = _store(spark, tmp_path)
+    for i in range(3):
+        assert store.apply_batch(binlog.filter(F.col("seq") % 3 == i), batch_id=i)
+    assert _state(store.visible()) == _state(
+        partial_update_state(binlog, reset_ops=("insert",))
+    )
+    assert store.version() == 2
+
+
+def test_reapply_is_noop(spark, tmp_path, binlog):
+    store = _store(spark, tmp_path)
+    assert store.apply_batch(binlog.filter(F.col("seq") % 3 == 0), batch_id=7)
+    v = store.version()
+    before = _state(store.visible())
+    assert store.apply_batch(binlog.filter(F.col("seq") % 3 == 0), batch_id=7) is False
+    assert store.version() == v
+    assert _state(store.visible()) == before
+
+
+def test_crash_debris_then_retry_converges(spark, tmp_path, binlog):
+    store = _store(spark, tmp_path)
+    store.apply_batch(binlog.filter(F.col("seq") % 3 == 0), batch_id=0)
+    # simulate a crash mid-apply of batch 1: a half-written next version
+    # dir and a tmp dir exist, but the commit pointer still names v0
+    os.makedirs(str(tmp_path / "st" / "v1" / "_bucket=0"), exist_ok=True)
+    os.makedirs(str(tmp_path / "st" / "tmp-deadbeef"), exist_ok=True)
+    assert store.version() == 0
+    assert store.apply_batch(binlog.filter(F.col("seq") % 3 != 0), batch_id=1)
+    assert store.version() == 1
+    assert not [d for d in os.listdir(str(tmp_path / "st")) if d.startswith("tmp-")]
+    assert _state(store.visible()) == _state(
+        partial_update_state(binlog, reset_ops=("insert",))
+    )
+
+
+def test_untouched_buckets_carry_over_by_hard_link(spark, tmp_path, binlog):
+    store = _store(spark, tmp_path)
+    store.apply_batch(binlog, batch_id=0)
+    one = binlog.orderBy("seq").limit(1).collect()[0]
+    patch = spark.createDataFrame(
+        [(10**9, one.repo, one.path, "patch", "cNEW", None, None)], binlog.schema
+    )
+    store.apply_batch(patch, batch_id=1)
+    v0, v1 = str(tmp_path / "st" / "v0"), str(tmp_path / "st" / "v1")
+    untouched = rewritten = 0
+    for b in os.listdir(v1):
+        if not b.startswith("_bucket="):
+            continue
+        old = os.path.join(v0, b)
+        linked = os.path.exists(old) and any(
+            os.path.exists(os.path.join(old, f)) and os.path.samefile(
+                os.path.join(v1, b, f), os.path.join(old, f)
+            )
+            for f in os.listdir(os.path.join(v1, b))
+            if f.endswith(".parquet")
+        )
+        untouched += linked
+        rewritten += not linked
+    # exactly the one touched bucket was rewritten; everything else linked
+    assert rewritten == 1 and untouched > 0
+    got = _state(store.visible())
+    assert got[(one.repo, one.path)][0] == "cNEW"
+
+
+def test_stream_drain_then_noop_rerun(spark, tmp_path, binlog):
+    src = str(tmp_path / "binlog")
+    for i in range(3):
+        binlog.filter(F.col("seq") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    store = _store(spark, tmp_path)
+    ckpt = str(tmp_path / "ckpt")
+    stream_partial_state(spark, src, store, ckpt)
+    assert _state(store.visible()) == _state(
+        partial_update_state(binlog, reset_ops=("insert",))
+    )
+    v = store.version()
+    stream_partial_state(spark, src, store, ckpt)  # drained: offsets + guard
+    assert store.version() == v
