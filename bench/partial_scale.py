@@ -98,10 +98,12 @@ def synth_stream(spark, n: int, parallelism: int):
     )
 
 
-def child_fold(events: int, cores: int, out_dir: str | None) -> None:
+def child_fold(events: int, cores: int, out_dir: str | None, store_batches: int = 0) -> None:
     """One fold job in THIS process (invoked as a fresh subprocess per
     measurement). out_dir=None -> timed noop sink (one-shot fold);
-    out_dir set -> split + monoid-merge, visible state written to parquet."""
+    out_dir set -> split + monoid-merge, visible state written to parquet;
+    with store_batches > 0 -> drive PartialStateStore epoch-by-epoch (the
+    operational exactly-once path) and write its visible state."""
     from pyspark.sql import functions as F
 
     from fao_elt_pipelines_spark.operators.partial_update import (
@@ -114,11 +116,23 @@ def child_fold(events: int, cores: int, out_dir: str | None) -> None:
 
     spark = get_spark("partial_scale", cores=cores, profile="bandwidth")
     ev = synth_stream(spark, events, parallelism=max(cores * 4, 16))
-    if out_dir is None:
+    if store_batches:
+        from fao_elt_pipelines_spark.streaming.partial_state import PartialStateStore
+
+        store = PartialStateStore(
+            spark, os.path.join(os.path.dirname(out_dir), "store"), n_buckets=64
+        )
+        per = events // store_batches
+        t0 = time.time()
+        for b in range(store_batches):
+            lo, hi = b * per, events if b == store_batches - 1 else (b + 1) * per
+            store.apply_batch(ev.filter((F.col("seq") >= lo) & (F.col("seq") < hi)), b)
+        store.visible().write.mode("overwrite").parquet(out_dir)
+        wall = time.time() - t0
+    elif out_dir is None:
         t0 = time.time()
         partial_update_state(ev).write.mode("overwrite").format("noop").save()
         wall = time.time() - t0
-        print(json.dumps({"wall_sec": round(wall, 2), "events_per_sec": round(events / wall, 1)}))
     else:
         mid = events // 2
         s1 = fold_partial(ev.filter(F.col("seq") < mid))
@@ -127,13 +141,14 @@ def child_fold(events: int, cores: int, out_dir: str | None) -> None:
         t0 = time.time()
         state.write.mode("overwrite").parquet(out_dir)
         wall = time.time() - t0
-        print(json.dumps({"wall_sec": round(wall, 2), "events_per_sec": round(events / wall, 1)}))
+    print(json.dumps({"wall_sec": round(wall, 2), "events_per_sec": round(events / wall, 1)}))
     spark.stop()
 
 
-def run_child(events: int, cores: int, out_dir: str | None) -> dict:
+def run_child(events: int, cores: int, out_dir: str | None, store_batches: int = 0) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--_child",
-           "--events", str(events), "--validate-cores", str(cores)]
+           "--events", str(events), "--validate-cores", str(cores),
+           "--store-batches", str(store_batches)]
     if out_dir:
         cmd += ["--_out", out_dir]
     r = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
@@ -214,12 +229,21 @@ def main() -> None:
         "for full runs (both arms) — partial/smoke runs print without "
         "overwriting the recorded full-scale artifact unless --out is given",
     )
+    ap.add_argument(
+        "--store-batches",
+        type=int,
+        default=0,
+        help="with N>0, the validation arm drives PartialStateStore over N "
+        "epoch batches (the operational exactly-once path: bucket COW + "
+        "hard-link carry-over + commit pointer per batch) instead of the "
+        "bare split+merge fold; verified against the same oracle",
+    )
     ap.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--_out", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args._child:
-        child_fold(args.events, args.validate_cores, args._out)
+        child_fold(args.events, args.validate_cores, args._out, args.store_batches)
         return
 
     out: dict = {"metric": "partial_update_scale", "events": args.events}
@@ -229,9 +253,13 @@ def main() -> None:
         atexit.register(shutil.rmtree, workdir, ignore_errors=True)
         state_dir = os.path.join(workdir, "state")
         t0 = time.time()
-        fold = run_child(args.events, args.validate_cores, state_dir)
+        fold = run_child(args.events, args.validate_cores, state_dir, args.store_batches)
         out["validate"] = {
-            "mode": "split-halves + monoid merge (cross-batch path)",
+            "mode": (
+                f"PartialStateStore x{args.store_batches} exactly-once batches"
+                if args.store_batches
+                else "split-halves + monoid merge (cross-batch path)"
+            ),
             "cores": args.validate_cores,
             "fold_wall_sec": fold["wall_sec"],
             "fold_events_per_sec": fold["events_per_sec"],
