@@ -214,11 +214,21 @@ def main() -> None:
     # series' DECLARED config — the constant "late", never read back from
     # the artifact (a read-back would make whatever config a fallback once
     # persisted permanently sticky); every config's pool is published.
-    series_cfg = "late"
+    # Pool key = the full measured configuration (events, profile,
+    # strategy), exactly as the methodology string declares — a run of a
+    # different event count or codec profile is recorded but never pooled
+    # into the headline. (Before round 3's fix the key was strategy alone;
+    # for the headline 'late' pool this changes nothing — every late run
+    # is 32M/bandwidth — but a 16M sorted probe run no longer pools with
+    # 32M sorted runs.)
+    series_cfg = "32000000/bandwidth/late"
+    for stale in ("pooled_by_strategy", "series_strategy"):  # pre-rename fields
+        series.pop(stale, None)
     pools: dict[str, list[float]] = {}
     for r in series["runs"]:
-        pools.setdefault(r.get("strategy", "late"), []).extend(r["efficiency_rounds"])
-    series["pooled_by_strategy"] = {
+        key = f"{r.get('events', 32000000)}/{r.get('profile', 'bandwidth')}/{r.get('strategy', 'late')}"
+        pools.setdefault(key, []).extend(r["efficiency_rounds"])
+    series["pooled_by_config"] = {
         k: {
             "rounds": sorted(v),
             "median": sorted(v)[len(v) // 2],
@@ -226,18 +236,18 @@ def main() -> None:
         }
         for k, v in pools.items()
     }
-    headline = series["pooled_by_strategy"].get(series_cfg)
+    headline = series["pooled_by_config"].get(series_cfg)
     if headline is None:
         # No round of the declared config yet: the headline must be labeled
         # by what it actually pools, never claim a config it has no data for
         if len(pools) == 1:
             series_cfg = next(iter(pools))
-            headline = series["pooled_by_strategy"][series_cfg]
+            headline = series["pooled_by_config"][series_cfg]
         else:
             series_cfg = "mixed"
             allr = sorted(e for v in pools.values() for e in v)
             headline = {"rounds": allr, "median": allr[len(allr) // 2], "n_rounds": len(allr)}
-    series["series_strategy"] = series_cfg
+    series["series_config"] = series_cfg
     series["pooled_rounds"] = headline["rounds"]
     series["pooled_median"] = headline["median"]
     series["pass"] = series["pooled_median"] >= 0.8
