@@ -600,6 +600,53 @@ class LakeTable:
             (F.col("repo") == repo) & (F.col("path") == path)
         )
 
+    def lookup_join(
+        self,
+        events: DataFrame,
+        keys: tuple[str, str] = ("repo", "path"),
+        how: str = "left",
+        state_prefix: str = "state_",
+    ) -> DataFrame:
+        """Stream-side lookup join against the table's current state —
+        Flink SQL's lookup-join pattern (enrich a change/event batch with
+        the dimension-ish current row per key) expressed over the lake.
+
+        Scale shape: the probe side (a micro-batch) is small, the table
+        side is the 10^10-row corpus — so never scan the corpus. The
+        events' keys are hashed with the writer's own ``bucket_expr``;
+        only the touched buckets' files are read (O(batch-buckets /
+        n_buckets) of the table), each further pruned by per-file ``repo``
+        manifest bounds against the batch's repo range. The driver-side
+        collects are bounded: distinct bucket ids (≤ n_buckets) and a
+        2-value repo min/max. The final equi-join's small side is the
+        batch, which AQE broadcasts; snapshot isolation comes from reading
+        ONE snapshot's manifest for both pruning steps."""
+        kr, kp = keys
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("lookup_join against an empty table (no snapshot)")
+        n_buckets = snap.get("n_buckets") or self._load_metadata()["n_buckets"]
+        ev_k = events.select(
+            bucket_expr(n_buckets, (kr, kp)).alias("_b"), F.col(kr).alias("_r")
+        )
+        bounds = ev_k.agg(
+            F.collect_set("_b").alias("bs"), F.min("_r").alias("lo"), F.max("_r").alias("hi")
+        ).collect()[0]
+        touched, lo, hi = set(bounds["bs"]), bounds["lo"], bounds["hi"]
+        entries = [
+            e
+            for e in snap["manifest"]
+            if e["bucket"] in touched and _stats_overlap(e, "repo", lo, hi)
+        ]
+        state = self._read_entries(entries)
+        # change events legitimately carry the same payload column names as
+        # the state (commit/lang/content); prefix the state side so the
+        # enriched row holds both unambiguously
+        state = state.select(
+            kr, kp, *[F.col(c).alias(f"{state_prefix}{c}") for c in state.columns if c not in (kr, kp)]
+        )
+        return events.join(state, on=[kr, kp], how=how)
+
     def scan_repos(self, lo: str, hi: str | None = None) -> DataFrame:
         """Repo(-range) scan with manifest file pruning — the analytics
         read path for "give me repo X" / "repos [lo, hi]" queries.

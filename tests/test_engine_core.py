@@ -1131,3 +1131,47 @@ def test_replay_no_stats_cow_counts_true_events(spark, tmp_path):
             assert rep.events_in == 4_000
         else:
             assert 0 < rep.events_in <= 4_000
+
+
+def test_lookup_join_enriches_with_bucket_pruned_state(spark, events, events_parquet, tmp_path):
+    """Flink-style lookup join: a small probe batch is enriched with the
+    table's current row per key, scanning ONLY the probe keys' buckets
+    (inputFiles audit), with MOR-correct LWW inside those buckets."""
+    table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=16)
+    replay(spark, events, table, CheckpointStore(str(tmp_path / "ckpt.json")))
+    oracle = oracle_state(events_parquet)
+    items = sorted(oracle.items())[:3]
+    probe = spark.createDataFrame(
+        [(r, p, f"probe-{i}") for i, ((r, p), _) in enumerate(items)],
+        "repo string, path string, probe_tag string",
+    )
+    out = table.lookup_join(probe)
+    rows = {(r["repo"], r["path"]): r for r in out.collect()}
+    assert len(rows) == 3
+    for (r, p), (commit, lang, sha, last_seq) in items:
+        got = rows[(r, p)]
+        assert (got["state_commit"], got["state_content_sha256"], got["state_last_seq"]) == (
+            commit, sha, last_seq,
+        )
+        assert got["probe_tag"].startswith("probe-")
+    # pruning audit: files read ⊆ the probe keys' buckets only
+    from fao_elt_pipelines_spark.lake.table import bucket_expr
+
+    want = {
+        r["b"]
+        for r in probe.select(bucket_expr(16).alias("b")).distinct().collect()
+    }
+    by_bucket: dict[int, set] = {}
+    for e in table.current_snapshot()["manifest"]:
+        by_bucket.setdefault(e["bucket"], set()).add(e["path"])
+    touched = {f.removeprefix("file://") for f in out.inputFiles() if "/state/" in f}
+    owners = {b for b, files in by_bucket.items() if touched & files}
+    assert owners <= want and owners
+    assert len(by_bucket) > len(want)  # pruning actually excluded buckets
+
+    # a key absent from the table survives a left join with null state
+    miss = spark.createDataFrame(
+        [("no_such_repo", "no/file.py", "x")], "repo string, path string, probe_tag string"
+    )
+    row = table.lookup_join(miss).collect()[0]
+    assert row["state_last_seq"] is None and row["probe_tag"] == "x"
