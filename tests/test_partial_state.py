@@ -108,3 +108,16 @@ def test_stream_drain_then_noop_rerun(spark, tmp_path, binlog):
     v = store.version()
     stream_partial_state(spark, src, store, ckpt)  # drained: offsets + guard
     assert store.version() == v
+
+
+def test_store_base_read_partition_prunes_to_touched_buckets(spark, tmp_path, binlog):
+    """The O(touched) claim is a plan property: filtering the versioned
+    state by _bucket must reach the scan as a PartitionFilter (directory
+    pruning), not a post-scan filter over every bucket's files."""
+    from tests.plan_utils import plan_of
+
+    store = _store(spark, tmp_path, n_buckets=16)
+    store.apply_batch(binlog, batch_id=0)
+    base = spark.read.parquet(store._vdir(0)).filter(F.col("_bucket").isin([3]))
+    plan = plan_of(base)
+    assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:80]
