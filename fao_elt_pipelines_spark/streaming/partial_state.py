@@ -197,6 +197,90 @@ class PartialStateStore:
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
         return True
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level changelog between two committed versions — the store
+        as a CDC SOURCE (same ``change_type`` vocabulary as
+        lake/changelog.py: insert / delete / update_preimage /
+        update_postimage).
+
+        Touched-bucket detection costs zero data IO: untouched buckets
+        carry between versions by hard link, so a bucket changed iff its
+        file inode set differs — only those buckets' rows (both versions)
+        enter the diff, a full-outer struct-equality join per key.
+        Versions outside the retention window (KEEP_VERSIONS) raise."""
+        to_v = self.version() if to_version is None else to_version
+        if from_version == to_v:
+            return self._empty_changes()
+        for v in (from_version, to_v):
+            if not os.path.isdir(self._vdir(v)):
+                raise ValueError(
+                    f"version {v} not on disk (pruned by KEEP_VERSIONS={KEEP_VERSIONS})"
+                )
+
+        def inodes(v: int, b: str) -> set:
+            d = os.path.join(self._vdir(v), b)
+            if not os.path.isdir(d):
+                return set()
+            return {os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d) if f.endswith(".parquet")}
+
+        all_buckets = {
+            b
+            for v in (from_version, to_v)
+            for b in os.listdir(self._vdir(v))
+            if b.startswith(f"{_BUCKET_COL}=")
+        }
+        touched = sorted(
+            int(b.split("=", 1)[1])
+            for b in all_buckets
+            if inodes(from_version, b) != inodes(to_v, b)
+        )
+        if not touched:
+            return self._empty_changes()
+
+        def vis(v: int) -> DataFrame:
+            st = self.mergeable(v).filter(F.col(_BUCKET_COL).isin(touched)).drop(_BUCKET_COL)
+            return visible_partial(st, self.keys, self.value_cols)
+
+        pre, post = vis(from_version), vis(to_v)
+        payload = [*self.value_cols, "last_seq"]
+        j = pre.alias("a").join(post.alias("b"), on=self.keys, how="full_outer")
+        a_row = F.struct(*[F.col(f"a.{c}") for c in payload])
+        b_row = F.struct(*[F.col(f"b.{c}") for c in payload])
+        a_exists, b_exists = F.col("a.last_seq").isNotNull(), F.col("b.last_seq").isNotNull()
+        both = j.select(
+            *self.keys,
+            a_exists.alias("_a"),
+            b_exists.alias("_b"),
+            (a_exists & b_exists & ~a_row.eqNullSafe(b_row)).alias("_upd"),
+            a_row.alias("_ar"),
+            b_row.alias("_br"),
+        )
+        out = []
+        for cond, row, tag in [
+            (~F.col("_a") & F.col("_b"), "_br", "insert"),
+            (F.col("_a") & ~F.col("_b"), "_ar", "delete"),
+            (F.col("_upd"), "_ar", "update_preimage"),
+            (F.col("_upd"), "_br", "update_postimage"),
+        ]:
+            out.append(
+                both.filter(cond).select(
+                    *self.keys,
+                    *[F.col(f"{row}.{c}").alias(c) for c in payload],
+                    F.lit(tag).alias("change_type"),
+                )
+            )
+        res = out[0]
+        for o in out[1:]:
+            res = res.unionByName(o)
+        return res
+
+    def _empty_changes(self) -> DataFrame:
+        st = self.mergeable()
+        if st is None:
+            raise ValueError("no committed state yet")
+        empty = visible_partial(st.drop(_BUCKET_COL), self.keys, self.value_cols).limit(0)
+        return empty.withColumn("change_type", F.lit(None).cast("string"))
+
     @staticmethod
     def _link_dir(src: str, dst: str) -> None:
         """Carry a bucket into the new version by hard link (no data copy);

@@ -121,3 +121,38 @@ def test_store_base_read_partition_prunes_to_touched_buckets(spark, tmp_path, bi
     base = spark.read.parquet(store._vdir(0)).filter(F.col("_bucket").isin([3]))
     plan = plan_of(base)
     assert "PartitionFilters" in plan and "_bucket" in plan.split("PartitionFilters")[1][:80]
+
+
+def test_changes_between_versions_equals_brute_diff(spark, tmp_path, binlog):
+    """The store as a CDC source: changes(v0, v1) must equal the brute
+    full-state diff, and touched-bucket detection (inode comparison of
+    hard-linked files) must not silently drop changes."""
+    store = _store(spark, tmp_path)
+    store.apply_batch(binlog.filter(F.col("seq") % 3 == 0), batch_id=0)
+    store.apply_batch(binlog.filter(F.col("seq") % 3 != 0), batch_id=1)
+
+    def vis_at(v):
+        from fao_elt_pipelines_spark.operators.partial_update import visible_partial
+
+        return _state(
+            visible_partial(store.mergeable(v).drop("_bucket"))
+        )
+
+    pre, post = vis_at(0), vis_at(1)
+    want = {"insert": set(), "delete": set(), "update_preimage": set(), "update_postimage": set()}
+    for k in post.keys() - pre.keys():
+        want["insert"].add((k, post[k]))
+    for k in pre.keys() - post.keys():
+        want["delete"].add((k, pre[k]))
+    for k in pre.keys() & post.keys():
+        if pre[k] != post[k]:
+            want["update_preimage"].add((k, pre[k]))
+            want["update_postimage"].add((k, post[k]))
+    got = {t: set() for t in want}
+    for r in store.changes(0, 1).collect():
+        got[r.change_type].add(((r.repo, r.path), (r.commit, r.lang, r.content, r.last_seq)))
+    assert got == want
+    assert sum(len(v) for v in want.values()) > 0  # the diff is non-trivial
+
+    # identical versions -> empty changelog with the same schema
+    assert store.changes(1, 1).count() == 0
