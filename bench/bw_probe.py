@@ -60,6 +60,8 @@ def main() -> None:
     b1 = run(1, args.seconds)
     bn = run(args.procs, args.seconds)
     entry = {
+        "ts": int(time.time()),
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "write_bw_1proc_GBps": round(b1 / 1e9, 2),
         f"write_bw_{args.procs}proc_GBps": round(bn / 1e9, 2),
         "bw_scaling_eff": round(bn / b1 / args.procs, 3),

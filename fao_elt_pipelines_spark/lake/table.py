@@ -622,10 +622,19 @@ class LakeTable:
         batch, which AQE broadcasts; snapshot isolation comes from reading
         ONE snapshot's manifest for both pruning steps."""
         kr, kp = keys
-        snap = self.current_snapshot()
+        # ONE metadata load supplies snapshot, manifest, and bucket count —
+        # same discipline as lookup(): a rebucket committing concurrently
+        # must not split the hash space from the manifest being pruned
+        meta = self._load_metadata()
+        sid = self._head(meta, "main")
+        snap = (
+            next((s for s in meta["snapshots"] if s["snapshot_id"] == sid), None)
+            if sid is not None
+            else None
+        )
         if snap is None:
             raise ValueError("lookup_join against an empty table (no snapshot)")
-        n_buckets = snap.get("n_buckets") or self._load_metadata()["n_buckets"]
+        n_buckets = snap.get("n_buckets") or meta["n_buckets"]
         ev_k = events.select(
             bucket_expr(n_buckets, (kr, kp)).alias("_b"), F.col(kr).alias("_r")
         )

@@ -45,12 +45,13 @@ from pyspark.sql import functions as F
 from ..lake.table import bucket_expr
 from ..operators.partial_update import (
     RESET_OPS_DEFAULT,
-    _state_cols,
     fold_partial,
+    merge_partial_states,
     visible_partial,
 )
 
 _BUCKET_COL = "_bucket"
+APPLIED_WINDOW = 1024  # re-delivery detection horizon, in committed batches
 KEEP_VERSIONS = 2  # current + previous (crash-recovery window)
 
 
@@ -59,8 +60,14 @@ class PartialStateStore:
 
     Layout::
 
-        {path}/commit.json        -> {"version": N, "applied": [...]}
-        {path}/v{N}/bucket={b}/*.parquet   (mergeable monoid state)
+        {path}/commit.json  -> {"version": N, "applied": [...], "config": {...}}
+        {path}/v{N}/_bucket={b}/*.parquet   (mergeable monoid state)
+
+    Single-writer by contract (one streaming query / one driver); the
+    stamped config makes reopening with a mismatched layout an error
+    instead of silent corruption. Re-delivery detection covers the last
+    ``APPLIED_WINDOW`` committed batch ids; a re-apply beyond that window
+    is state-idempotent (max-monoid) but bumps a spurious empty version.
     """
 
     def __init__(
@@ -83,6 +90,26 @@ class PartialStateStore:
         self.reset_ops = tuple(reset_ops)
         self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
+        # layout/config is part of the state's identity: reopening an
+        # existing store with a different bucket count or schema would
+        # hash keys into the wrong buckets and silently corrupt merges,
+        # so the first commit stamps the config and every reopen checks it
+        stamped = self._load_commit().get("config")
+        if stamped is not None and stamped != self._config():
+            raise ValueError(
+                f"store at {path} was created with config {stamped}, "
+                f"reopened with {self._config()} — refusing to corrupt state"
+            )
+
+    def _config(self) -> dict:
+        return {
+            "keys": self.keys,
+            "seq_col": self.seq_col,
+            "op_col": self.op_col,
+            "value_cols": self.value_cols,
+            "reset_ops": list(self.reset_ops),
+            "n_buckets": self.n_buckets,
+        }
 
     # ---------------- commit bookkeeping ----------------
 
@@ -138,11 +165,18 @@ class PartialStateStore:
         for name in os.listdir(self.path):
             if name.startswith("tmp-"):
                 shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
-        delta = fold_partial(
-            events, self.keys, self.seq_col, self.op_col, self.value_cols, self.reset_ops
-        ).withColumn(_BUCKET_COL, bucket_expr(self.n_buckets, tuple(self.keys)))
-
-        state_cols = [*self.keys, *_state_cols(self.value_cols)]
+        # persist the folded delta: it is read twice (touched-bucket collect
+        # + the merged write), and recomputing it from a nondeterministic or
+        # mutating source between the two actions could produce a bucket
+        # absent from `touched` — which would then be written delta-only and
+        # excluded from the hard-link carry-over, dropping its base keys
+        delta = (
+            fold_partial(
+                events, self.keys, self.seq_col, self.op_col, self.value_cols, self.reset_ops
+            )
+            .withColumn(_BUCKET_COL, bucket_expr(self.n_buckets, tuple(self.keys)))
+            .persist()
+        )
         tmp = os.path.join(self.path, f"tmp-{uuid.uuid4().hex[:8]}")
         if cur_v < 0:
             merged, touched = delta, None  # first batch: all buckets are new
@@ -156,13 +190,11 @@ class PartialStateStore:
             base = self.spark.read.parquet(self._vdir(cur_v)).filter(
                 F.col(_BUCKET_COL).isin(touched)
             )
-            both = base.select(_BUCKET_COL, *state_cols).unionByName(
-                delta.select(_BUCKET_COL, *state_cols)
-            )
-            merged = both.groupBy(*self.keys).agg(
-                *[F.max(c).alias(c) for c in _state_cols(self.value_cols)],
-                F.max(_BUCKET_COL).alias(_BUCKET_COL),  # key-determined: equal in both
-            )
+            # the one true monoid merge (operators.partial_update); the
+            # bucket column is key-determined, so re-derive it afterwards
+            merged = merge_partial_states(
+                base.drop(_BUCKET_COL), delta.drop(_BUCKET_COL), self.keys, self.value_cols
+            ).withColumn(_BUCKET_COL, bucket_expr(self.n_buckets, tuple(self.keys)))
         (
             merged.repartition(min(self.n_buckets, 8), F.col(_BUCKET_COL))
             .write.mode("overwrite")
@@ -182,10 +214,16 @@ class PartialStateStore:
                 if d.startswith(f"{_BUCKET_COL}=") and d not in written:
                     self._link_dir(os.path.join(self._vdir(cur_v), d), os.path.join(new_dir, d))
         shutil.rmtree(tmp, ignore_errors=True)
+        delta.unpersist()
         # publish: atomic pointer replace AFTER the version dir is complete
         commit = {
             "version": cur_v + 1,
-            "applied": (commit["applied"] + [batch_id])[-64:],
+            # the guard window: re-delivery more than APPLIED_WINDOW
+            # commits back is no longer detected (see class docstring; the
+            # max-monoid makes such a re-apply state-idempotent anyway —
+            # only a spurious version with an empty diff results)
+            "applied": (commit["applied"] + [batch_id])[-APPLIED_WINDOW:],
+            "config": self._config(),
         }
         ctmp = self._commit_path() + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(ctmp, "w") as f:
@@ -306,8 +344,14 @@ def stream_partial_state(
     and stop (availableNow). Exactly-once: Spark's offset log prevents
     re-reading drained files; the store's applied-batch guard makes any
     re-offered batch a no-op. ``batch_base`` namespaces streaming batch
-    ids away from batch-driver epoch ids feeding the same store."""
-    schema = spark.read.parquet(binlog_dir).schema
+    ids away from batch-driver epoch ids feeding the same store.
+
+    An existing-but-empty binlog dir (producer created it, no file landed
+    yet — the normal race for a scheduled drain) is a clean no-op."""
+    try:
+        schema = spark.read.parquet(binlog_dir).schema
+    except Exception:  # no parquet to infer from -> nothing to drain
+        return
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

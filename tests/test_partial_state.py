@@ -156,3 +156,21 @@ def test_changes_between_versions_equals_brute_diff(spark, tmp_path, binlog):
 
     # identical versions -> empty changelog with the same schema
     assert store.changes(1, 1).count() == 0
+
+
+def test_reopen_with_mismatched_config_refuses(spark, tmp_path, binlog):
+    store = _store(spark, tmp_path, n_buckets=8)
+    store.apply_batch(binlog.filter(F.col("seq") % 3 == 0), batch_id=0)
+    with pytest.raises(ValueError, match="refusing to corrupt"):
+        _store(spark, tmp_path, n_buckets=16)
+    # same config reopens fine and sees the committed state
+    again = _store(spark, tmp_path, n_buckets=8)
+    assert again.version() == 0
+
+
+def test_stream_drain_empty_dir_is_noop(spark, tmp_path):
+    src = str(tmp_path / "empty_binlog")
+    os.makedirs(src)
+    store = _store(spark, tmp_path)
+    stream_partial_state(spark, src, store, str(tmp_path / "ck"))
+    assert store.version() == -1
