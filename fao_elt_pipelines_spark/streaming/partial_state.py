@@ -178,6 +178,23 @@ class PartialStateStore:
             .persist()
         )
         tmp = os.path.join(self.path, f"tmp-{uuid.uuid4().hex[:8]}")
+        if cur_v < 0 and not delta.take(1):
+            # empty FIRST batch (streaming legitimately delivers empty
+            # micro-batches): record it applied without creating a version
+            # dir — an empty v0 parquet dir would fail schema inference on
+            # every later read. Later empty batches flow through normally
+            # (no written buckets -> full hard-link carry-over).
+            delta.unpersist()
+            commit = {
+                "version": -1,
+                "applied": (commit["applied"] + [batch_id])[-APPLIED_WINDOW:],
+                "config": self._config(),
+            }
+            ctmp = self._commit_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(ctmp, "w") as f:
+                json.dump(commit, f)
+            os.replace(ctmp, self._commit_path())
+            return True
         if cur_v < 0:
             merged, touched = delta, None  # first batch: all buckets are new
         else:

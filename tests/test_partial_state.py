@@ -174,3 +174,17 @@ def test_stream_drain_empty_dir_is_noop(spark, tmp_path):
     store = _store(spark, tmp_path)
     stream_partial_state(spark, src, store, str(tmp_path / "ck"))
     assert store.version() == -1
+
+
+def test_empty_batches_are_safe(spark, tmp_path, binlog):
+    """An empty FIRST batch must not create an unreadable empty version;
+    an empty later batch advances the version with state unchanged."""
+    store = _store(spark, tmp_path)
+    empty = binlog.filter(F.col("seq") < 0)
+    assert store.apply_batch(empty, batch_id=0)
+    assert store.version() == -1 and 0 in store.applied()
+    assert store.apply_batch(binlog.filter(F.col("seq") % 3 == 0), batch_id=1)
+    before = _state(store.visible())
+    assert store.apply_batch(empty, batch_id=2)
+    assert store.version() == 1
+    assert _state(store.visible()) == before
