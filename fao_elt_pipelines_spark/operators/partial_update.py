@@ -84,15 +84,44 @@ def fold_partial(
     op_col: str = "op",
     value_cols: Sequence[str] = ("commit", "lang", "content"),
     reset_ops: Sequence[str] = RESET_OPS_DEFAULT,
+    seq_by_col: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Fold an event batch into mergeable partial-update state.
 
     One single-shuffle aggregate; every function is a ``max`` of a struct
     keyed by ``seq`` (unique), so results are deterministic and the
     map-side partial aggregate pre-reduces duplicates before the shuffle.
+
+    ``seq_by_col`` maps a value column to ITS OWN ordering column —
+    Paimon's sequence-groups: columns owned by different upstream systems
+    carry independent clocks, and each column's last-set winner is
+    decided by its group's clock (unmapped columns use ``seq_col``).
+    Sequence-groups compose with the monoid only on append+patch streams:
+    a reset (upsert/delete) is ordered by the PRIMARY clock, and "column
+    set below a later reset dies" is undecidable across clocks inside an
+    associative fold — so combining ``seq_by_col`` with resets raises,
+    exactly the restriction Paimon documents for partial-update deletes
+    without a sequence-group covering them.
     """
     seq, op = F.col(seq_col), F.col(op_col)
-    is_reset = op.isin(*reset_ops) | (op == "delete")
+    if seq_by_col:
+        bad = [c for c in seq_by_col if c not in value_cols]
+        if bad:
+            raise ValueError(f"seq_by_col for unknown value columns: {bad}")
+        if tuple(reset_ops) != ():
+            raise ValueError(
+                "sequence-groups require an append+patch stream: pass "
+                "reset_ops=() and pre-drop resets/deletes (see docstring)"
+            )
+
+    def order_of(c: str):
+        return F.col(seq_by_col[c]) if seq_by_col and c in seq_by_col else seq
+
+    # under sequence-groups deletes are NOT resets (they are ignored rows;
+    # pre-drop them — see docstring); otherwise delete always resets
+    is_reset = (op.isin(*reset_ops) if reset_ops else F.lit(False)) | (
+        F.lit(False) if seq_by_col else (op == "delete")
+    )
     aggs = [
         F.max(F.when(is_reset, F.struct(seq.alias("seq"), (op == "delete").alias("is_del")))).alias(
             "_pu_reset"
@@ -101,7 +130,7 @@ def fold_partial(
             F.max(
                 F.when(
                     F.col(c).isNotNull() & (op != "delete"),
-                    F.struct(seq.alias("seq"), F.col(c).alias("val")),
+                    F.struct(order_of(c).alias("seq"), F.col(c).alias("val")),
                 )
             ).alias(f"_pu_{c}")
             for c in value_cols
@@ -165,10 +194,13 @@ def partial_update_state(
     op_col: str = "op",
     value_cols: Sequence[str] = ("commit", "lang", "content"),
     reset_ops: Sequence[str] = RESET_OPS_DEFAULT,
+    seq_by_col: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """One-shot fold: events → visible final state (single shuffle)."""
     return visible_partial(
-        fold_partial(events, keys, seq_col, op_col, value_cols, reset_ops), keys, value_cols
+        fold_partial(events, keys, seq_col, op_col, value_cols, reset_ops, seq_by_col),
+        keys,
+        value_cols,
     )
 
 

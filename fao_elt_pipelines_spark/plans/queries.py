@@ -1298,6 +1298,61 @@ SQL_CDC_PARTIAL_UPDATE = partial_update_oracle_sql(
 )
 
 
+def q_cdc_partial_update_seqgroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-groups (Paimon partial-update ``sequence-group``): columns
+    owned by different upstream systems carry independent ordering clocks
+    — here ``lang`` is ordered by a second clock ``seq2`` (a bijective
+    permutation of seq, so group winners genuinely differ from primary
+    winners) while commit/content follow the primary seq. Valid on
+    append+patch streams (the operator rejects resets under groups); the
+    oracle applies per-column arg_max under each column's own clock.
+    ``seq2 = (seq * 7919) % 100003`` is a bijection because 100003 is
+    prime and every testdata seq < 100003."""
+    ev = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    repo = F.concat(F.lit("repo_"), (F.col("user_id") % 37).cast("string"))
+    path = F.concat(F.lit("src/f_"), (eid % 211).cast("string"), F.lit(".py"))
+    b = ev.select(
+        eid.alias("seq"),
+        ((eid * 7919) % 100003).alias("seq2"),
+        repo.alias("repo"),
+        path.alias("path"),
+        F.lit("patch").alias("op"),
+        F.when((eid % 4).isin(0, 3), F.concat(F.lit("c"), eid.cast("string"))).alias("commit"),
+        F.when(eid % 4 == 1, F.col("event_type")).alias("lang"),
+        F.when(
+            (eid % 4).isin(2, 3),
+            F.concat(F.lit("v"), eid.cast("string"), F.lit(":"), (eid % 97).cast("string")),
+        ).alias("content"),
+    )
+    from ..operators.partial_update import partial_update_state
+
+    st = partial_update_state(b, reset_ops=(), seq_by_col={"lang": "seq2"})
+    return st.select(*_partial_vis_cols())
+
+
+SQL_CDC_PARTIAL_UPDATE_SEQGROUP = """
+WITH b AS (
+  SELECT event_id AS seq,
+         (event_id * 7919) % 100003 AS seq2,
+         'repo_' || CAST(user_id % 37 AS VARCHAR) AS repo,
+         'src/f_' || CAST(event_id % 211 AS VARCHAR) || '.py' AS path,
+         CASE WHEN event_id % 4 IN (0, 3) THEN 'c' || CAST(event_id AS VARCHAR) END AS commit,
+         CASE WHEN event_id % 4 = 1 THEN event_type END AS lang,
+         CASE WHEN event_id % 4 IN (2, 3)
+           THEN 'v' || CAST(event_id AS VARCHAR) || ':' || CAST(event_id % 97 AS VARCHAR)
+         END AS content
+  FROM events
+)
+SELECT repo, path,
+       arg_max(commit, seq) FILTER (WHERE commit IS NOT NULL) AS commit,
+       arg_max(lang, seq2) FILTER (WHERE lang IS NOT NULL) AS lang,
+       sha256(arg_max(content, seq) FILTER (WHERE content IS NOT NULL)) AS content_sha256,
+       max(seq) AS last_seq
+FROM b GROUP BY repo, path
+"""
+
+
 def q_cdc_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-row merge engine (Paimon's ``first-row``): the EARLIEST event
     per key is canonical, later changes are ignored — LWW's min twin,
@@ -1403,6 +1458,7 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_partial_update_merge": (q_cdc_partial_update_merge, SQL_CDC_PARTIAL_UPDATE),
     "cdc_agg_merge": (q_cdc_agg_merge, SQL_CDC_AGG_MERGE),
     "cdc_first_row": (q_cdc_first_row, SQL_CDC_FIRST_ROW),
+    "cdc_partial_update_seqgroup": (q_cdc_partial_update_seqgroup, SQL_CDC_PARTIAL_UPDATE_SEQGROUP),
     "silver_events_cleaned": (q_silver_events_cleaned, SQL_SILVER_EVENTS_CLEANED),
     "silver_standardize": (q_silver_standardize, SQL_SILVER_STANDARDIZE),
     "silver_surrogate_key": (q_silver_surrogate_key, SQL_SILVER_SURROGATE_KEY),

@@ -191,6 +191,46 @@ def test_merge_states_plan_no_extra_shuffle(spark, patch_binlog):
     assert n_nodes(plan, "Window") == 0
 
 
+# --------------------------- sequence-groups ------------------------------
+
+
+def test_seqgroup_orders_each_column_by_its_own_clock(spark):
+    rows = [
+        # (seq, seq2): lang's clock runs OPPOSITE to the primary clock
+        (1, 30, "r", "a", "patch", "c1", "go", None),
+        (2, 20, "r", "a", "patch", None, "py", "v2"),
+        (3, 10, "r", "a", "patch", "c3", "rs", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "seq long, seq2 long, repo string, path string, op string, "
+        "commit string, lang string, content string",
+    )
+    st = partial_update_state(df, reset_ops=(), seq_by_col={"lang": "seq2"})
+    r = st.collect()[0]
+    # commit/content by primary seq; lang by seq2 (winner = seq2=30 -> 'go')
+    assert (r.commit, r.lang, r.content, r.last_seq) == ("c3", "go", "v2", 3)
+    # and the same through the cross-epoch monoid, epochs split adversarially
+    m = merge_partial_states(
+        fold_partial(df.filter(F.col("seq") == 3), reset_ops=(), seq_by_col={"lang": "seq2"}),
+        fold_partial(df.filter(F.col("seq") < 3), reset_ops=(), seq_by_col={"lang": "seq2"}),
+    )
+    r2 = visible_partial(m).collect()[0]
+    assert (r2.commit, r2.lang, r2.content, r2.last_seq) == ("c3", "go", "v2", 3)
+
+
+def test_seqgroup_rejects_resets_and_unknown_columns(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "r", "a", "patch", None, None, None)],
+        "seq long, seq2 long, repo string, path string, op string, "
+        "commit string, lang string, content string",
+    )
+    with pytest.raises(ValueError, match="append\\+patch"):
+        fold_partial(df, seq_by_col={"lang": "seq2"})  # default reset_ops
+    with pytest.raises(ValueError, match="unknown value columns"):
+        fold_partial(df, reset_ops=(), seq_by_col={"nope": "seq2"})
+
+
 # ------------------- property: engine ≡ sequential fold -------------------
 
 
