@@ -208,7 +208,8 @@ def partial_update_state(
 # Aggregation merge engine
 # --------------------------------------------------------------------------
 
-AGG_FNS = ("sum", "min", "max", "last")
+AGG_FNS = ("sum", "min", "max", "last", "first", "count", "bool_or", "bool_and")
+_PACKED = ("last", "first")  # stored as (seq, val) structs in mergeable state
 
 
 def _agg_expr(col: str, fn: str, seq: Column) -> Column:
@@ -218,8 +219,15 @@ def _agg_expr(col: str, fn: str, seq: Column) -> Column:
         return F.min(col).alias(col)
     if fn == "max":
         return F.max(col).alias(col)
-    if fn == "last":  # last non-null by seq, stored directly as the value
-        return F.max(
+    if fn == "count":  # re-merged with SUM, never count (see agg_merge_states)
+        return F.count(col).alias(col)
+    if fn == "bool_or":
+        return F.bool_or(col).alias(col)
+    if fn == "bool_and":
+        return F.bool_and(col).alias(col)
+    if fn in _PACKED:  # last/first non-null by seq, packed as (seq, val)
+        red = F.max if fn == "last" else F.min
+        return red(
             F.when(F.col(col).isNotNull(), F.struct(seq.alias("seq"), F.col(col).alias("val")))
         ).alias(f"_am_{col}")
     raise ValueError(f"unknown aggregation {fn!r} for column {col!r} (supported: {AGG_FNS})")
@@ -234,11 +242,13 @@ def agg_merge(
 ) -> DataFrame:
     """Per-column aggregation merge engine (Paimon's ``aggregation``).
 
-    ``specs`` maps value column → one of ``sum|min|max|last``. With
-    ``mergeable=True``, ``last`` columns stay packed as (seq, val) structs
-    so the OUTPUT of one fold can be fed back through ``agg_merge_states``
-    — sums re-sum, min/max re-reduce, last re-maxes — giving exact
-    cross-batch/out-of-order merging with the same one-shuffle plan.
+    ``specs`` maps value column → one of ``AGG_FNS``
+    (``sum|min|max|last|first|count|bool_or|bool_and``). With
+    ``mergeable=True``, ``last``/``first`` columns stay packed as
+    (seq, val) structs so the OUTPUT of one fold can be fed back through
+    ``agg_merge_states`` — sums and counts re-sum, min/max/bool re-reduce,
+    last re-maxes and first re-mins the struct — giving exact cross-batch/
+    out-of-order merging with the same one-shuffle plan.
     """
     seq = F.col(seq_col)
     aggs = [_agg_expr(c, fn, seq) for c, fn in specs.items()]
@@ -255,16 +265,21 @@ def agg_merge_states(
     """Merge two mergeable ``agg_merge`` states (associative+commutative)."""
     cols = [
         *keys,
-        *[f"_am_{c}" if fn == "last" else c for c, fn in specs.items()],
+        *[f"_am_{c}" if fn in _PACKED else c for c, fn in specs.items()],
         "last_seq",
     ]
     both = a.select(*cols).unionByName(b.select(*cols))
-    # re-reduce packed 'last' states by struct max; sum/min/max re-fold
-    # through the same _agg_expr the first-level fold used
-    aggs = [
-        F.max(f"_am_{c}").alias(f"_am_{c}") if fn == "last" else _agg_expr(c, fn, F.col("last_seq"))
-        for c, fn in specs.items()
-    ]
+
+    def remerge(c: str, fn: str) -> Column:
+        if fn == "last":
+            return F.max(f"_am_{c}").alias(f"_am_{c}")
+        if fn == "first":
+            return F.min(f"_am_{c}").alias(f"_am_{c}")
+        if fn == "count":  # partial counts merge by SUM, never by count
+            return F.sum(c).alias(c)
+        return _agg_expr(c, fn, F.col("last_seq"))
+
+    aggs = [remerge(c, fn) for c, fn in specs.items()]
     return both.groupBy(*keys).agg(*aggs, F.max("last_seq").alias("last_seq"))
 
 
@@ -274,6 +289,9 @@ def visible_agg(
     """Unpack a mergeable agg state to plain columns."""
     return state.select(
         *keys,
-        *[F.col(f"_am_{c}.val").alias(c) if fn == "last" else F.col(c) for c, fn in specs.items()],
+        *[
+            F.col(f"_am_{c}.val").alias(c) if fn in _PACKED else F.col(c)
+            for c, fn in specs.items()
+        ],
         "last_seq",
     )

@@ -359,6 +359,43 @@ def test_first_row_keeps_earliest_and_merges_as_monoid(spark):
         assert merged == oneshot
 
 
+def test_agg_merge_extended_fns_split_equals_oneshot(spark, patch_binlog):
+    """count/first/bool_or/bool_and across an epoch split must equal the
+    one-shot fold — count partials MUST re-merge by sum (a re-count of
+    partial counts per key would collapse to the number of epochs)."""
+    ev = patch_binlog.select(
+        "seq",
+        "repo",
+        "path",
+        F.col("commit").alias("n_commits"),  # count skips nulls
+        F.col("lang").alias("first_lang"),
+        (F.col("seq") % 2 == 0).alias("any_even"),
+        (F.col("seq") % 3 != 1).alias("all_nonone"),
+    )
+    specs = {
+        "n_commits": "count",
+        "first_lang": "first",
+        "any_even": "bool_or",
+        "all_nonone": "bool_and",
+    }
+
+    def key(df):
+        return {
+            (r.repo, r.path): (r.n_commits, r.first_lang, r.any_even, r.all_nonone, r.last_seq)
+            for r in df.collect()
+        }
+
+    oneshot = key(agg_merge(ev, specs))
+    s1 = agg_merge(ev.filter(F.col("seq") % 3 == 0), specs, mergeable=True)
+    s2 = agg_merge(ev.filter(F.col("seq") % 3 == 1), specs, mergeable=True)
+    s3 = agg_merge(ev.filter(F.col("seq") % 3 == 2), specs, mergeable=True)
+    merged = agg_merge_states(agg_merge_states(s2, s3, specs), s1, specs)
+    assert key(visible_agg(merged, specs)) == oneshot
+    # sanity on semantics: first = lowest-seq non-null
+    any_key = next(iter(oneshot))
+    assert oneshot[any_key][0] >= 0
+
+
 def test_agg_merge_unknown_fn_raises(spark):
     ev = spark.createDataFrame([(1, "r", "a", 1.0)], "seq long, repo string, path string, v double")
     with pytest.raises(ValueError, match="unknown aggregation"):
