@@ -635,6 +635,14 @@ class LakeTable:
         if snap is None:
             raise ValueError("lookup_join against an empty table (no snapshot)")
         n_buckets = snap.get("n_buckets") or meta["n_buckets"]
+        # pin the batch: the bucket/repo bounds collected here must describe
+        # the SAME rows the join below sees, or a nondeterministic /
+        # source-mutating batch could hash into buckets absent from
+        # `touched` and silently enrich those keys with NULL state (same
+        # hazard partial_state.apply_batch persists against).
+        # localCheckpoint truncates lineage, so every later evaluation of
+        # the returned join reads these exact rows — no unpersist window.
+        events = events.localCheckpoint(eager=True)
         ev_k = events.select(
             bucket_expr(n_buckets, (kr, kp)).alias("_b"), F.col(kr).alias("_r")
         )

@@ -1307,8 +1307,16 @@ def q_cdc_partial_update_seqgroup(spark: SparkSession, sf_dir: str) -> DataFrame
     append+patch streams (the operator rejects resets under groups); the
     oracle applies per-column arg_max under each column's own clock.
     ``seq2 = (seq * 7919) % 100003`` is a bijection because 100003 is
-    prime and every testdata seq < 100003."""
+    prime and every testdata seq < 100003 — guarded below so a dataset-size
+    change fails loudly instead of flaking on seq2 collisions (Spark's
+    struct-max vs DuckDB's arg_max break ties differently)."""
     ev = load(spark, sf_dir, "events")
+    max_seq = ev.agg(F.max("event_id")).collect()[0][0]
+    if max_seq is not None and max_seq >= 100003:
+        raise AssertionError(
+            f"seq2 bijection requires max(event_id) < 100003, got {max_seq}; "
+            "raise the prime modulus to keep seq2 collision-free"
+        )
     eid = F.col("event_id")
     repo = F.concat(F.lit("repo_"), (F.col("user_id") % 37).cast("string"))
     path = F.concat(F.lit("src/f_"), (eid % 211).cast("string"), F.lit(".py"))
@@ -1358,9 +1366,10 @@ def q_cdc_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
     per key is canonical, later changes are ignored — LWW's min twin,
     same one-shuffle min_by aggregate (operators/dedup.py first_row). Keys
     whose first sighting is a delete have no creatable payload and are
-    dropped. Oracle = per-column arg_min in DuckDB (safe here because the
-    kept rows' first events are upserts, whose payload columns are never
-    NULL in this stream — arg_min's null-skipping can't diverge)."""
+    dropped. Oracle = row-atomic first row via row_number() in DuckDB
+    (seq is unique), matching min_by's whole-row semantics exactly even if
+    a payload column of the first event were NULL — per-column arg_min
+    would null-skip to a later event's value there."""
     from ..operators.dedup import first_row
 
     win = first_row(_derived_binlog(spark, sf_dir))
@@ -1377,14 +1386,12 @@ def q_cdc_first_row(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CDC_FIRST_ROW = f"""
 WITH binlog AS ({_BINLOG_SQL}),
 w AS (
-  SELECT repo, path,
-         arg_min(op, seq) AS op, arg_min(commit, seq) AS commit,
-         arg_min(lang, seq) AS lang, arg_min(content, seq) AS content,
-         min(seq) AS first_seq
-  FROM binlog GROUP BY repo, path
+  SELECT repo, path, op, commit, lang, content, seq AS first_seq,
+         row_number() OVER (PARTITION BY repo, path ORDER BY seq) AS rn
+  FROM binlog
 )
 SELECT repo, path, commit, lang, sha256(content) AS content_sha256, first_seq
-FROM w WHERE op <> 'delete'
+FROM w WHERE rn = 1 AND op <> 'delete'
 """
 
 

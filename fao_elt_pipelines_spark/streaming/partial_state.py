@@ -367,8 +367,13 @@ def stream_partial_state(
     yet — the normal race for a scheduled drain) is a clean no-op."""
     try:
         schema = spark.read.parquet(binlog_dir).schema
-    except Exception:  # no parquet to infer from -> nothing to drain
-        return
+    except Exception as exc:
+        # only "nothing to drain yet" is a clean no-op; corrupt files,
+        # permission errors etc. must surface, not skip a drain cycle
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return
+        raise
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
