@@ -3,22 +3,38 @@
 Image/audio/video payloads are ``binary`` columns with a ``kind`` tag and a
 ``map<string,string>`` metadata column. The Spark-side machinery — schema,
 partition-preserving mapInPandas, Arrow batch shapes, deterministic
-batching — is real and tested; the actual media decode is STUBBED (the
-sandbox has no image/audio libs): ``decode_features(real_decode=True)``
-raises NotImplementedError at the exact seam where PIL/librosa/pyav would
-be called, and the default path produces a deterministic fake feature row
-per asset (byte statistics + hash-derived dims) so the pipeline shape is
-end-to-end executable.
+batching — is real and tested.
+
+Decode is REAL for two formats, implemented on the stdlib alone (the
+sandbox ships no PIL/librosa/pyav):
+
+* **WAV** (RIFF PCM16 mono) — parsed with stdlib ``wave`` + numpy; emits
+  sample_rate / n_samples / duration_ms / amp_sum / amp_max from the
+  actual decoded samples.
+* **BMP** (24-bit uncompressed, BITMAPINFOHEADER) — header parsed with
+  ``struct``, pixel array decoded with numpy including the 4-byte row
+  padding and bottom-up row order; emits width / height / per-channel
+  pixel sums from the actual decoded pixels.
+
+Video decode stays gated at the codec seam (``NotImplementedError`` inside
+``decode_media_features`` for ``kind='video'`` rows): no stdlib video
+codec exists. The legacy deterministic fake path (byte statistics) remains
+for the video plumbing tests.
 
 At scale: mapInPandas streams Arrow batches (bounded memory per task
 regardless of payload size); binary payloads never pass through the driver;
-partitioning by asset hash keeps decode fanout even.
+partitioning by asset hash keeps decode fanout even. Per-payload work is
+numpy-vectorized (frombuffer/reshape/sum), not per-sample Python.
 """
 
 from __future__ import annotations
 
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,18 +82,182 @@ def synthesize_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("amp_sum", T.LongType()),
+        T.StructField("amp_max", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum_r", T.LongType()),
+        T.StructField("px_sum_g", T.LongType()),
+        T.StructField("px_sum_b", T.LongType()),
+    ]
+)
+
+
+def wav_bytes(asset_id: int) -> bytes:
+    """Deterministic RIFF/WAVE PCM16 mono payload for ``asset_id``: a
+    step-7 integer ramp ``s_i = ((7*i + id) % 401) - 200`` at a rate and
+    length derived from the id. Real file — stdlib ``wave`` writes the
+    headers, any WAV reader can decode it."""
+    sr = 8000 + (asset_id % 2) * 8000
+    n = 1000 + (asset_id % 50) * 100
+    samples = ((7 * np.arange(n, dtype=np.int64) + asset_id) % 401 - 200).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def bmp_bytes(asset_id: int) -> bytes:
+    """Deterministic 24-bit uncompressed BMP for ``asset_id``. Width is
+    chosen so ``3*width`` is usually not a multiple of 4 — the decoder must
+    handle the per-row padding and the bottom-up row order to read the
+    pixels the formula below places at (x, y):
+    r=(x+y+id)%256, g=(x+2y+id)%256, b=(3x+y+id)%256."""
+    w = int(asset_id % 7) + 2
+    h = int(asset_id % 5) + 2
+    ys, xs = np.mgrid[0:h, 0:w]
+    r = (xs + ys + asset_id) % 256
+    g = (xs + 2 * ys + asset_id) % 256
+    b = (3 * xs + ys + asset_id) % 256
+    img = np.stack([b, g, r], axis=-1).astype(np.uint8)  # BMP stores BGR
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img.reshape(h, w * 3)
+    pix = rows[::-1].tobytes()  # bottom-up row order
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("expected PCM16 mono WAV")
+        sr = w.getframerate()
+        n = w.getnframes()
+        frames = w.readframes(n)
+    samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    return sr, n, n * 1000 // sr, int(samples.sum()), int(samples.max())
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
+    magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=abs(h) * stride, offset=offset)
+    img = rows.reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        img = img[::-1]  # bottom-up → top-down
+    sums = img.astype(np.int64).sum(axis=(0, 1))  # BGR order
+    return w, abs(h), int(sums[2]), int(sums[1]), int(sums[0])
+
+
+def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media asset table derived deterministically from ``documents``:
+    even doc_ids carry a genuine WAV payload, odd ones a genuine BMP.
+    Payload construction runs distributed (Arrow-batched mapInPandas) —
+    bytes never pass through the driver."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            kinds = np.where(ids % 2 == 0, "audio", "image")
+            payloads = [
+                wav_bytes(i) if i % 2 == 0 else bmp_bytes(i) for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "kind": kinds,
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "wav" if i % 2 == 0 else "bmp"} for i in ids
+                    ],
+                }
+            )
+
+    return d.mapInPandas(synth, ASSET_SCHEMA)
+
+
+def decode_media_features(assets: DataFrame) -> DataFrame:
+    """REAL per-asset media decode over mapInPandas (Arrow-batched):
+    WAV via stdlib ``wave``, BMP via ``struct`` + numpy. ``kind='video'``
+    rows raise at the codec seam — no stdlib video codec exists.
+
+    Analogue of the reference's multi-format ingest dispatch
+    (app/file_client.py:58-161, per-extension reader selection), re-done
+    as a distributed binary-column decode instead of driver-side file IO.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in DECODED_SCHEMA.fields}
+            for aid, kind, payload in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                row = dict.fromkeys(out)
+                row["asset_id"], row["kind"] = aid, kind
+                if kind == "audio":
+                    (
+                        row["sample_rate"],
+                        row["n_samples"],
+                        row["duration_ms"],
+                        row["amp_sum"],
+                        row["amp_max"],
+                    ) = _decode_wav(payload)
+                elif kind == "image":
+                    (
+                        row["width"],
+                        row["height"],
+                        row["px_sum_r"],
+                        row["px_sum_g"],
+                        row["px_sum_b"],
+                    ) = _decode_bmp(payload)
+                else:
+                    raise NotImplementedError(
+                        "video decode requires a codec library (pyav) absent "
+                        "from this environment; WAV and BMP decode are real"
+                    )
+                for k, v in row.items():
+                    out[k].append(v)
+            int_cols = {
+                "sample_rate": "Int32", "n_samples": "Int32",
+                "duration_ms": "Int32", "amp_sum": "Int64",
+                "amp_max": "Int32", "width": "Int32", "height": "Int32",
+                "px_sum_r": "Int64", "px_sum_g": "Int64", "px_sum_b": "Int64",
+            }
+            pdf_out = pd.DataFrame(out)
+            for c, t in int_cols.items():
+                pdf_out[c] = pdf_out[c].astype(t)
+            yield pdf_out
+
+    return assets.mapInPandas(extract, DECODED_SCHEMA)
+
+
 def decode_features(assets: DataFrame, real_decode: bool = False, frame_stride: int = 16) -> DataFrame:
     """Per-asset feature extraction over mapInPandas (Arrow-batched).
 
-    ``real_decode=True`` marks the seam where a real media decoder would
-    run — unavailable in this environment by design.
+    ``real_decode=True`` routes to :func:`decode_media_features` (real WAV
+    and BMP decoding); the default path is the deterministic byte-statistic
+    fake used by the video plumbing tests.
     """
     if real_decode:
-        raise NotImplementedError(
-            "real media decode requires PIL/librosa/pyav — not present in this "
-            "environment; the deterministic fake path exercises identical "
-            "Spark plumbing (schema, batching, partitioning)"
-        )
+        return decode_media_features(assets)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

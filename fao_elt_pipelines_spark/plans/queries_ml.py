@@ -711,33 +711,48 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {COSINE_TAU}
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing end-to-end: binary payload + typed metadata →
-    Arrow-batched mapInPandas feature extraction (deterministic fake decode
-    at the PIL/librosa seam — see functions.multimodal). Oracle-checked:
-    the fake decode is pure byte arithmetic DuckDB reproduces from the
-    utf-8 bytes."""
+    """Multimodal decode end-to-end, REAL decoders: deterministic WAV
+    (RIFF PCM16, stdlib ``wave``) and BMP (24-bit, struct header + padded
+    bottom-up pixel rows) payloads are synthesized distributed, then decoded
+    distributed over Arrow-batched mapInPandas (functions/multimodal.py).
+    Oracle-checked: the waveform and pixel formulas are closed-form in the
+    asset id, so DuckDB recomputes every decoded value (sample counts,
+    amplitude sum/max, per-channel pixel sums) without touching the bytes —
+    the Spark side must actually parse the WAV/BMP payloads to match.
+    Reference analogue: multi-format ingest dispatch
+    (app/file_client.py:58-161)."""
     from ..functions import multimodal as MM
 
-    assets = MM.synthesize_assets(spark, sf_dir)
-    return MM.decode_features(assets)
+    assets = MM.synthesize_media_assets(spark, sf_dir)
+    return MM.decode_media_features(assets)
 
 
 SQL_MULTIMODAL_FEATURES = """
 WITH b AS (
   SELECT doc_id AS asset_id,
-         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
-         hex(encode(text)) AS h,
-         octet_length(encode(text)) AS n_bytes,
-         ((doc_id % 8) + 1) * 64 AS width,
-         ((doc_id % 4) + 1) * 64 AS height
+         CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+         8000 + (doc_id % 2) * 8000 AS sr,
+         1000 + (doc_id % 50) * 100 AS ns,
+         (doc_id % 7) + 2 AS w,
+         (doc_id % 5) + 2 AS h
   FROM documents
 )
-SELECT asset_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
-       CAST(coalesce(list_sum(list_transform(range(1, n_bytes + 1),
-         i -> (strpos('0123456789ABCDEF', substr(h, 2*i-1, 1)) - 1) * 16
-            + (strpos('0123456789ABCDEF', substr(h, 2*i, 1)) - 1))), 0) AS BIGINT) AS byte_sum,
-       CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
-       CAST(greatest(n_bytes // 16, 1) AS INTEGER) AS n_frames_sampled
+SELECT asset_id, kind,
+  CASE WHEN kind = 'audio' THEN CAST(sr AS INTEGER) END AS sample_rate,
+  CASE WHEN kind = 'audio' THEN CAST(ns AS INTEGER) END AS n_samples,
+  CASE WHEN kind = 'audio' THEN CAST(ns * 1000 // sr AS INTEGER) END AS duration_ms,
+  CASE WHEN kind = 'audio' THEN CAST(list_sum(list_transform(range(ns),
+    i -> (7 * i + asset_id) % 401 - 200)) AS BIGINT) END AS amp_sum,
+  CASE WHEN kind = 'audio' THEN CAST(list_max(list_transform(range(ns),
+    i -> (7 * i + asset_id) % 401 - 200)) AS INTEGER) END AS amp_max,
+  CASE WHEN kind = 'image' THEN CAST(w AS INTEGER) END AS width,
+  CASE WHEN kind = 'image' THEN CAST(h AS INTEGER) END AS height,
+  CASE WHEN kind = 'image' THEN CAST(list_sum(list_transform(range(w * h),
+    i -> (i % w + i // w + asset_id) % 256)) AS BIGINT) END AS px_sum_r,
+  CASE WHEN kind = 'image' THEN CAST(list_sum(list_transform(range(w * h),
+    i -> (i % w + 2 * (i // w) + asset_id) % 256)) AS BIGINT) END AS px_sum_g,
+  CASE WHEN kind = 'image' THEN CAST(list_sum(list_transform(range(w * h),
+    i -> (3 * (i % w) + i // w + asset_id) % 256)) AS BIGINT) END AS px_sum_b
 FROM b
 """
 

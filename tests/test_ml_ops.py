@@ -53,9 +53,54 @@ def test_multimodal_plumbing(spark, sf_dir):
         assert r["n_bytes"] == len(s["text"].encode())
         assert r["byte_sum"] == sum(s["text"].encode())
         assert r["width"] % 64 == 0 and r["n_frames_sampled"] >= 1
-    # the real-decode seam is explicit
-    with pytest.raises(NotImplementedError):
-        MM.decode_features(assets, real_decode=True)
+
+
+def test_multimodal_real_decode_roundtrip():
+    """WAV and BMP decoders read back exactly what the synthesizers wrote,
+    for ids covering every width/height/rate/length residue class."""
+    for aid in range(0, 71):
+        sr, n, dur, s_sum, s_max = MM._decode_wav(MM.wav_bytes(aid))
+        assert sr == 8000 + (aid % 2) * 8000
+        assert n == 1000 + (aid % 50) * 100
+        assert dur == n * 1000 // sr
+        expect = [((7 * i + aid) % 401) - 200 for i in range(n)]
+        assert s_sum == sum(expect) and s_max == max(expect)
+        w, h, pr, pg, pb = MM._decode_bmp(MM.bmp_bytes(aid))
+        assert (w, h) == (aid % 7 + 2, aid % 5 + 2)
+        assert pr == sum((x + y + aid) % 256 for y in range(h) for x in range(w))
+        assert pg == sum((x + 2 * y + aid) % 256 for y in range(h) for x in range(w))
+        assert pb == sum((3 * x + y + aid) % 256 for y in range(h) for x in range(w))
+
+
+def test_multimodal_real_decode_guards(spark, sf_dir):
+    # corrupt payloads surface, not silently zero
+    with pytest.raises(ValueError):
+        MM._decode_bmp(b"XX" + b"\x00" * 60)
+    with pytest.raises(Exception):
+        MM._decode_wav(b"RIFFgarbage")
+    # the video codec seam is explicit and raises at evaluation
+    video = spark.createDataFrame(
+        [(1, "video", bytearray(b"frames"), {"format": "raw"})],
+        MM.ASSET_SCHEMA,
+    )
+    with pytest.raises(Exception, match="video decode requires"):
+        MM.decode_media_features(video).collect()
+
+
+def test_multimodal_distributed_decode(spark, sf_dir):
+    """End-to-end distributed path: synth → decode over mapInPandas, with
+    audio and image rows carrying their own feature columns."""
+    feats = MM.decode_media_features(MM.synthesize_media_assets(spark, sf_dir))
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = feats.collect()
+    assert len(rows) == n_docs
+    for r in rows[:50]:
+        if r["kind"] == "audio":
+            assert r["sample_rate"] in (8000, 16000) and r["width"] is None
+            assert r["amp_max"] is not None and r["amp_max"] <= 200
+        else:
+            assert r["width"] is not None and r["sample_rate"] is None
+            assert 2 <= r["width"] <= 8 and 2 <= r["height"] <= 6
 
 
 def test_windowed_op_counts_batch_parity(spark):
