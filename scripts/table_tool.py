@@ -183,6 +183,27 @@ def main() -> None:
     p_pub.add_argument("branch")
     p_drop = sub.add_parser("drop-ref")
     p_drop.add_argument("name")
+    p_sql = sub.add_parser("sql", help="ad-hoc spark.sql over the table "
+                           "registered as a temp view (SURVEY §3.3: the "
+                           "reference's sample_queries.sql-through-psql "
+                           "surface)")
+    p_sql.add_argument("statement", nargs="?", default=None,
+                       help="one SQL statement; or use --file")
+    p_sql.add_argument("--file", default=None,
+                       help="SQL script; ;-separated statements run in order")
+    p_sql.add_argument("--view-name", default="state",
+                       help="temp view name for the table (default: state)")
+    p_sql.add_argument("--snapshot", type=int, default=None)
+    p_sql.add_argument("--ref", default="main")
+    p_sql.add_argument("--as-of-ms", type=int, default=None)
+    p_sql.add_argument("--extra-table", action="append", default=[],
+                       metavar="NAME=PATH",
+                       help="register another lake table as view NAME")
+    p_sql.add_argument("--parquet", action="append", default=[],
+                       metavar="NAME=PATH",
+                       help="register a parquet dataset as view NAME")
+    p_sql.add_argument("--limit", type=int, default=1000,
+                       help="max rows printed per statement")
     p_gc = sub.add_parser("orphans")
     p_gc.add_argument("--older-than-hours", type=float, default=24.0,
                       help="safety horizon; unreferenced files younger than "
@@ -260,6 +281,25 @@ def main() -> None:
     elif args.cmd == "drop-ref":
         table.drop_ref(args.name)
         print(json.dumps({"dropped": args.name}))
+    elif args.cmd == "sql":
+        from fao_elt_pipelines_spark.lake import sql_surface as S
+
+        S.register_table_view(table, args.view_name, snapshot_id=args.snapshot,
+                              ref=args.ref, as_of_ms=args.as_of_ms)
+        for spec in args.extra_table:
+            name, _, path = spec.partition("=")
+            S.register_table_view(LakeTable(spark, path), name)
+        for spec in args.parquet:
+            name, _, path = spec.partition("=")
+            S.register_parquet_view(spark, path, name)
+        if (args.statement is None) == (args.file is None):
+            raise SystemExit("sql: pass exactly one of <statement> or --file")
+        text = args.statement if args.statement is not None else open(args.file).read()
+        for i, (stmt, df) in enumerate(S.run_statements(spark, text)):
+            print(json.dumps({"statement_index": i, "statement": stmt,
+                              "columns": df.columns}))
+            for row in df.limit(args.limit).toJSON().collect():
+                print(row)
     elif args.cmd == "orphans":
         out = table.remove_orphan_files(older_than_ms=int(args.older_than_hours * 3600 * 1000))
         print(json.dumps(out))
