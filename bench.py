@@ -101,8 +101,11 @@ def bench_replay(spark, workdir: str) -> tuple[float, float]:
         ckpt = CheckpointStore(os.path.join(workdir, f"ckpt{trial}.json"))
         t0 = time.time()
         # merge-on-read + periodic compaction: the write-optimized CDC path
-        # (see lake.table.merge_changes; COW benched in tests/perf notes)
-        rep = replay(spark, stored, table, ckpt, mode="mor", compact_every=4)
+        # (see lake.table.merge_changes; COW benched in tests/perf notes).
+        # epoch_batch="auto" is the job default policy; at this shape (2M
+        # events/epoch >> 50k×cores) it resolves to 1 — unbatched.
+        rep = replay(spark, stored, table, ckpt, mode="mor", compact_every=4,
+                     epoch_batch="auto")
         times.append((time.time() - t0, rep.events_in))
         shutil.rmtree(os.path.join(workdir, f"state{trial}"), ignore_errors=True)
     dt, events_in = sorted(times)[len(times) // 2]

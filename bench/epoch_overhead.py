@@ -38,7 +38,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH", "epoch_overhead.json")
 
 
-def run(spark, stored, workdir: str, tag: str, batch: int) -> tuple[float, int, int]:
+def run(spark, stored, workdir: str, tag: str, batch) -> tuple[float, int, int]:
     table = LakeTable.create(
         spark, os.path.join(workdir, f"state_{tag}"), STATE_SCHEMA, n_buckets=64
     )
@@ -48,6 +48,7 @@ def run(spark, stored, workdir: str, tag: str, batch: int) -> tuple[float, int, 
                  epoch_batch=batch)
     dt = time.time() - t0
     rows = table.read().count()
+    run.last_groups = len(table.snapshots())  # groups committed this run
     return round(dt, 2), rows, rep.events_in
 
 
@@ -79,10 +80,13 @@ def main() -> None:
         # interleave to cancel drift: b1, bK, b1, bK — medians of 2 each
         t1a, r1a, _ = run(spark, stored, workdir, "b1_a", 1)
         tka, rka, _ = run(spark, stored, workdir, "bk_a", args.batch)
+        taa, raa, _ = run(spark, stored, workdir, "auto_a", "auto")
+        auto_groups = run.last_groups
         t1b, r1b, _ = run(spark, stored, workdir, "b1_b", 1)
         tkb, rkb, _ = run(spark, stored, workdir, "bk_b", args.batch)
-        assert len({r1a, rka, r1b, rkb}) == 1, "state diverged"
-        t1, tk = min(t1a, t1b), min(tka, tkb)
+        tab, rab, _ = run(spark, stored, workdir, "auto_b", "auto")
+        assert len({r1a, rka, raa, r1b, rkb, rab}) == 1, "state diverged"
+        t1, tk, ta = min(t1a, t1b), min(tka, tkb), min(taa, tab)
         n_groups = -(-args.epochs // args.batch)
         # T = events_work + fixed * n_commits  (events_work identical)
         fixed = (t1 - tk) / (args.epochs - n_groups)
@@ -97,6 +101,11 @@ def main() -> None:
             "est_fixed_sec_per_epoch": round(fixed, 3),
             "events_per_sec_batch1": round(args.events / t1, 1),
             "events_per_sec_batchK": round(args.events / tk, 1),
+            "auto_sec": [taa, tab],
+            "auto_groups": auto_groups,
+            "auto_resolved_batch": -(-args.epochs // auto_groups),
+            "events_per_sec_auto": round(args.events / ta, 1),
+            "speedup_auto": round(t1 / ta, 2),
             "measured_at": time.strftime("%Y-%m-%d"),
         }
         hist = []

@@ -26,6 +26,16 @@ from .checkpoint import CheckpointStore
 from .quarantine import split_malformed, write_dead_letters
 from .table import LakeTable
 
+# epoch_batch="auto" policy: batch consecutive epochs until a group carries
+# at least defaultParallelism × AUTO_ROWS_PER_CORE events, so the per-group
+# fixed driver cost (merge planning, AQE build, snapshot commit) is paid
+# against at least this much per-core merge work. 50k rows/core ≈ the point
+# where the bench box's merge stops being commit-dominated
+# (BENCH/epoch_overhead.json). AUTO_MAX_BATCH bounds crash-replay work:
+# a group re-applies whole after a mid-group crash.
+AUTO_ROWS_PER_CORE = 50_000
+AUTO_MAX_BATCH = 64
+
 
 @dataclass
 class ReplayReport:
@@ -68,7 +78,7 @@ def replay(
     expire_tombstones: bool = False,
     merge_strategy: str | None = None,
     compact_delta_ratio: float | None = None,
-    epoch_batch: int = 1,
+    epoch_batch: int | str = 1,
     quarantine_dir: str | None = None,
     wap_audit: Callable[[LakeTable, str, dict[str, Any]], list[str]] | None = None,
 ) -> ReplayReport:
@@ -98,6 +108,11 @@ def replay(
     records every epoch id in the group, so a crash mid-group re-applies
     the whole group (idempotent — LWW of the same events is a no-op) and
     a completed group is skipped entirely on resume.
+    ``epoch_batch="auto"`` sizes the group from the data: batch enough
+    consecutive epochs that each merge carries at least
+    ``defaultParallelism × AUTO_ROWS_PER_CORE`` events (epochs already
+    that large run unbatched). Measured 6.0× on 32 small epochs at
+    batch=8 (BENCH/epoch_overhead.json); a no-op for large epochs.
     The per-epoch slice filter prunes on the generator/parquet side
     (predicate pushdown on ``epoch``); at 100 TB the binlog would be a
     parquet/Kafka source partitioned by epoch and this filter becomes
@@ -141,9 +156,29 @@ def replay(
     # 1_000_000+ epochs feeding the same table) would otherwise iterate
     # millions of empty driver-side slices. One partial-agg distinct over
     # a single pruned column; epochs are few no matter how many events.
-    epoch_vals = [
-        r[0] for r in events.select(F.col(epoch_col).cast("long")).distinct().collect()
-    ]
+    # "auto" upgrades the distinct to a count-by-epoch (same shuffle shape,
+    # map-side combined) and derives the batch factor from the sizes.
+    if epoch_batch == "auto":
+        per_epoch = (
+            events.groupBy(F.col(epoch_col).cast("long").alias("_e"))
+            .count()
+            .collect()
+        )
+        epoch_vals = [r["_e"] for r in per_epoch]
+        sized = [r["count"] for r in per_epoch if r["_e"] is not None]
+        if sized:
+            target = (
+                spark.sparkContext.defaultParallelism * AUTO_ROWS_PER_CORE
+            )
+            avg = sum(sized) / len(sized)
+            epoch_batch = max(1, min(AUTO_MAX_BATCH, -(-target // max(int(avg), 1))))
+        else:
+            epoch_batch = 1
+    else:
+        epoch_vals = [
+            r[0]
+            for r in events.select(F.col(epoch_col).cast("long")).distinct().collect()
+        ]
     if None in epoch_vals:
         # null epoch = no slice can ever carry the row: neither applied
         # nor re-offered, it would silently vanish (the one malformed

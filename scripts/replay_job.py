@@ -69,9 +69,13 @@ def main() -> None:
         "single-shuffle sorted merge",
     )
     ap.add_argument("--compact-every", type=int, default=None)
-    ap.add_argument("--epoch-batch", type=int, default=1,
+    ap.add_argument("--epoch-batch", type=lambda v: v if v == "auto" else int(v),
+                    default="auto",
                     help="apply up to this many consecutive pending epochs "
-                    "per merge+commit (fixed-cost amortization)")
+                    "per merge+commit (fixed-cost amortization); 'auto' "
+                    "(default) sizes groups from per-epoch event counts — "
+                    "large epochs run unbatched, small ones group until "
+                    "each merge carries ~50k events/core")
     ap.add_argument("--compact-delta-ratio", type=float, default=None,
                     help="size-based compaction: compact when MOR delta bytes "
                     "reach this fraction of base bytes (manifest stats)")

@@ -779,6 +779,41 @@ def test_epoch_batch_grouping_and_resume(spark, events, events_parquet, tmp_path
     assert key(t_c) == key(t_1)
 
 
+def test_epoch_batch_auto_policy(spark, events, events_parquet, tmp_path, monkeypatch):
+    """epoch_batch='auto' batches small epochs (one merge+commit for the
+    whole pending run here: 5k-event epochs are far below 50k/core × 8)
+    and leaves large epochs unbatched (simulated by shrinking the per-core
+    target below the epoch size). State always equals per-epoch replay's."""
+    from fao_elt_pipelines_spark.lake import replay as replay_mod
+
+    stored = spark.read.parquet(events_parquet)
+    key = lambda t: {(r["repo"], r["path"], r["content_sha256"], r["last_seq"])
+                     for r in t.read().collect()}
+
+    t_ref = LakeTable.create(spark, str(tmp_path / "ref"), STATE_SCHEMA, n_buckets=8)
+    replay(spark, stored, t_ref, CheckpointStore(str(tmp_path / "ref.ckpt.json")), mode="mor")
+
+    # small epochs -> one group
+    t_a = LakeTable.create(spark, str(tmp_path / "auto"), STATE_SCHEMA, n_buckets=8)
+    rep = replay(spark, stored, t_a,
+                 CheckpointStore(str(tmp_path / "auto.ckpt.json")),
+                 mode="mor", epoch_batch="auto")
+    assert rep.epochs_applied == [0, 1, 2, 3]
+    assert len(t_a.snapshots()) == 1
+    assert t_a.committed_epochs() == {0, 1, 2, 3}
+    assert key(t_a) == key(t_ref)
+
+    # epochs at/above the per-group target -> unbatched (one snapshot each)
+    monkeypatch.setattr(replay_mod, "AUTO_ROWS_PER_CORE", 1)
+    t_u = LakeTable.create(spark, str(tmp_path / "unb"), STATE_SCHEMA, n_buckets=8)
+    rep_u = replay(spark, stored, t_u,
+                   CheckpointStore(str(tmp_path / "unb.ckpt.json")),
+                   mode="mor", epoch_batch="auto")
+    assert rep_u.epochs_applied == [0, 1, 2, 3]
+    assert len(t_u.snapshots()) == 4
+    assert key(t_u) == key(t_ref)
+
+
 def test_point_lookup_prunes_to_one_bucket(spark, events, events_parquet, tmp_path):
     table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=16)
     replay(spark, events, table, CheckpointStore(str(tmp_path / "ckpt.json")))
