@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import shutil
 import subprocess
@@ -67,9 +68,24 @@ def main() -> None:
         "handoff must converge to the same final state. Artifact goes to "
         "validate_1e8_bootstrap.json",
     )
+    ap.add_argument(
+        "--content-reps", type=int, default=None,
+        help="pin generated content size (1 rep = 50 chars); the 10^9 arm "
+        "uses 1 to fit binlog + table history on one box's disk",
+    )
+    ap.add_argument(
+        "--gc-slices", type=int, default=0,
+        help="replay in this many slices, running snapshot expiry + orphan "
+        "file GC between slices — bounds the table directory to ~live-state "
+        "size instead of every superseded version (the retention policy a "
+        "long-running 10^9+ ingest needs anyway). 0 = single uninterrupted "
+        "run",
+    )
     args = ap.parse_args()
     if args.mirror and (args.wap or args.bootstrap):
         raise SystemExit("--mirror is its own arm; do not combine")
+    if args.gc_slices and (args.mirror or args.wap or args.bootstrap):
+        raise SystemExit("--gc-slices is the plain arm's disk-bound mode; do not combine")
 
     shutil.rmtree(args.workdir, ignore_errors=True)
     os.makedirs(args.workdir, exist_ok=True)
@@ -91,6 +107,8 @@ def main() -> None:
         "--compact-delta-ratio", "0.25",  # round-3 size-based trigger
         "--profile", "bandwidth",
         "--mv-dir", os.path.join(args.workdir, "mv"),
+        *(["--content-reps", str(args.content_reps)]
+          if args.content_reps is not None else []),
         *(
             ["--wap", "--wap-min-rows", "1", "--wap-max-quarantine-ratio", "0.5"]
             if args.wap
@@ -172,6 +190,50 @@ def main() -> None:
             replay = json.loads(proc.stdout.strip().splitlines()[-1])
             mirror_runs.append({"replay": replay, "mirror": mirror_step()})
         mirror_final_noop = mirror_step()  # exactly-once: nothing new
+    elif args.gc_slices:
+        # disk-bound mode: replay in slices, expiring superseded snapshots
+        # and deleting their orphaned files between slices so the table
+        # dir holds ~live state, not the full version history. Retention
+        # keeps the last 2 snapshots — the checkpoint plus committed-epoch
+        # markers preserve exactly-once across the expiry.
+        def gc_step() -> None:
+            for sub_cmd in (["expire", "--keep-last", "2"],
+                            ["orphans", "--older-than-hours", "0"]):
+                gp = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "scripts", "table_tool.py"),
+                     "--table", table, "--cores", str(args.cores), *sub_cmd],
+                    capture_output=True, text=True, cwd=REPO,
+                )
+                if gp.returncode != 0:
+                    sys.stderr.write(gp.stderr[-4000:])
+                    raise SystemExit(f"gc step {sub_cmd[0]} failed rc={gp.returncode}")
+        per_slice = -(-args.epochs // args.gc_slices)
+        replay = None
+        applied_all: list[int] = []
+        events_in_total = 0
+        replay_secs = 0.0
+        while True:
+            proc = subprocess.run(
+                base_cmd + ["--max-epochs", str(per_slice)],
+                capture_output=True, text=True, cwd=REPO,
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"replay slice failed rc={proc.returncode}")
+            replay = json.loads(proc.stdout.strip().splitlines()[-1])
+            applied_all.extend(replay["epochs_applied"])
+            events_in_total += replay["events_in"]
+            if replay["events_in"]:
+                replay_secs += replay["events_in"] / replay["events_per_sec"]
+            if not replay["epochs_applied"]:
+                break
+            gc_step()
+        replay["epochs_applied"] = applied_all
+        replay["events_in"] = events_in_total
+        # replay-phase rate across slices (generation + GC excluded, like
+        # the single-run arm whose rate comes from replay_job's own timer)
+        replay["events_per_sec"] = round(events_in_total / replay_secs, 1)
+        replay["gc_slices"] = args.gc_slices
     else:
         proc = subprocess.run(
             base_cmd + boot_extra, capture_output=True, text=True, cwd=REPO
@@ -298,7 +360,7 @@ def main() -> None:
     sample_match = eng_sample == ora_sample
 
     out = {
-        "metric": "validate_1e8",
+        "metric": f"validate_1e{round(math.log10(args.events))}",
         "events": args.events,
         "epochs": args.epochs,
         "cores": args.cores,
@@ -327,7 +389,11 @@ def main() -> None:
         out["pass"] = bool(
             out["pass"] and mirror_repo_match and mirror_sample_match and noop_ok
         )
-    name = "validate_1e8"
+    name = f"validate_1e{round(math.log10(args.events))}"
+    if args.gc_slices:
+        out["gc_slices"] = args.gc_slices
+    if args.content_reps is not None:
+        out["content_reps"] = args.content_reps
     if args.wap:
         name += "_wap"
     if args.bootstrap:

@@ -49,6 +49,10 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--generate", type=int, default=0)
+    ap.add_argument("--content-reps", type=int, default=None,
+                    help="pin generated content size (1 rep = 50 chars); "
+                    "default: hash-chosen 50-1500 chars. Disk-bound runs "
+                    "(10^9+ events on one box) use 1")
     ap.add_argument("--events-per-epoch", type=int, default=100_000)
     ap.add_argument("--n-repos", type=int, default=1000)
     ap.add_argument("--n-buckets", type=int, default=64)
@@ -152,6 +156,7 @@ def main() -> None:
             spark, args.generate, n_repos=args.n_repos,
             events_per_epoch=args.events_per_epoch,
             num_partitions=n_parts,
+            content_reps=args.content_reps,
         ).write.partitionBy("epoch").parquet(args.binlog)
     events = spark.read.parquet(args.binlog)
 
