@@ -356,3 +356,94 @@ def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two signed-64-bit simhashes via bit_count
     of XOR (JVM built-in)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# kmeans-IVF: trained coarse quantizer (vs ivf_bucket's data-free sign-LSH)
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(X, k: int, iters: int = 10):
+    """Deterministic spherical k-means (Lloyd's) over a sample matrix.
+
+    Rows are L2-normalized first, so assignment = argmax dot product =
+    cosine k-means. Init is the first ``k`` rows of the (caller-ordered)
+    sample — the caller supplies hash-ordered rows, making init a
+    deterministic pseudo-random pick. Empty clusters keep their previous
+    centroid. Returns (k × dim) float64 with unit rows.
+    """
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    k = min(k, len(Xn))
+    C = Xn[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members):
+                m = members.sum(axis=0)
+                n = np.linalg.norm(m)
+                if n > 1e-12:
+                    C[j] = m / n
+    return C
+
+
+def train_kmeans_ivf(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 10,
+    sample_n: int = 10_000,
+):
+    """Train IVF centroids from a BOUNDED deterministic sample: rows are
+    ranked by xxhash64(id) (an order-free pseudo-shuffle, identical on any
+    partitioning) and the first ``sample_n`` vectors are collected —
+    O(sample_n × dim) driver memory regardless of corpus size, the same
+    train-on-sample recipe every production IVF index uses. The returned
+    (k × dim) array is closure-shipped to executors (a few KB)."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(sample_n)
+        .collect()
+    )
+    return kmeans_centroids([r["v"] for r in rows], k=k, iters=iters)
+
+
+def kmeans_assign(centroids, emb: Column):
+    """Cell id for each vector: argmax cosine vs the trained centroids,
+    as a numpy pandas UDF (one matmul per Arrow batch)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf(T.IntegerType())
+    def _assign(v: pd.Series) -> pd.Series:
+        X = np.stack(v.values).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(Xn @ C.T, axis=1).astype(np.int32))
+
+    return _assign(emb)
+
+
+def kmeans_probe(centroids, emb: Column, n_probe: int = 4):
+    """Multi-probe list for a query vector: ids of its ``n_probe`` nearest
+    centroids (ordered, deterministic tie-break by centroid id via stable
+    argsort on (-score, id))."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    p = min(n_probe, len(C))
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _probe(v: pd.Series) -> pd.Series:
+        X = np.stack(v.values).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        S = Xn @ C.T
+        # stable argsort on -S: equal scores break toward lower centroid id
+        order = np.argsort(-S, axis=1, kind="stable")[:, :p].astype(np.int32)
+        return pd.Series(list(order))
+
+    return _probe(emb)

@@ -1105,6 +1105,57 @@ def q_ann_ivf_topk_matmul_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ANN_IVF_TOPK_IDS = f"SELECT query_id, neighbor_id, rnk FROM ({SQL_ANN_IVF_TOPK})"
 
 
+def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str, k: int = 16,
+                      n_probe: int = 5) -> DataFrame:
+    """Centroid-based IVF ANN top-5 (true kmeans-IVF, vs the data-free
+    sign-LSH grid of q_ann_ivf_topk): spherical Lloyd's is trained on a
+    bounded hash-ordered sample driver-side (SIM.train_kmeans_ivf), the
+    (k × dim) codebook ships in the UDF closure, candidates are assigned
+    to their nearest-centroid cell (one numpy matmul per Arrow batch), and
+    each query probes its ``n_probe`` nearest cells. Trained cells track
+    the data distribution, so recall-per-probe beats the LSH grid: at the
+    SAME 5-of-16-cell probe budget as q_ann_ivf_topk (exact + Hamming-1),
+    measured recall@5 vs exact brute is 0.64-0.68 vs the grid's 0.48-0.50
+    on the near-uniform synthetic embeddings, rising to 0.82+ at 8 probes
+    (pytest property: beats-the-grid + probe-monotone floor).
+
+    Non-SQL-expressible (iterative training), so no DuckDB oracle — the
+    driver records the weaker rows-only check; exactness evidence is the
+    recall property plus determinism (fixed sample order + init).
+
+    At 10^9 vectors: train stays O(sample × dim) on the driver, assignment
+    is embarrassingly parallel, and scoring is one equi-join on cell id —
+    identical shuffle shape to the LSH path, no cross join."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = SIM.train_kmeans_ivf(e, k=k)
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        SIM.kmeans_assign(cents, F.col("embedding")).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(SIM.kmeans_probe(cents, F.col("embedding"), n_probe)).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(cand, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            SIM.cosine_np(F.col("qe"), F.col("ce")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def q_embedding_neardup_lsh_np_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry face of the per-cell matmul near-dup verify
     (q_embedding_neardup_lsh_np): pair-id projection shares the HOF
@@ -1132,6 +1183,7 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_ivf_topk_matmul": (q_ann_ivf_topk_matmul_ids, SQL_ANN_IVF_TOPK_IDS),
+    "ann_kmeans_topk": (q_ann_kmeans_topk, None),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),

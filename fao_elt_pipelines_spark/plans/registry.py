@@ -47,6 +47,7 @@ _VERIFY_FIRST: list[str] = [
     "text_redact_pii",
     "text_contamination",
     "multimodal_features",
+    "ann_kmeans_topk",
 ]
 
 _ROTATION_TAIL: list[str] = [
