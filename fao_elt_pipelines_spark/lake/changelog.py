@@ -54,14 +54,9 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.diff import DELETE, INSERT, UPDATE_POST, UPDATE_PRE, image_diff
 from .mv import INCREMENTAL_SAFE_OPS, KEYS
 from .table import LakeTable
-
-#: change_type values, in emission order for updates (pre before post).
-INSERT = "insert"
-DELETE = "delete"
-UPDATE_PRE = "update_preimage"
-UPDATE_POST = "update_postimage"
 
 
 def _tag(df: DataFrame, change_type, from_sid: int | None, to_sid: int) -> DataFrame:
@@ -141,33 +136,9 @@ def row_changes(
 
 
 def _diff(before: DataFrame, after: DataFrame, from_sid: int, to_sid: int) -> DataFrame:
-    """Full-outer key diff of two live images → changelog rows. One join,
-    one struct equality, one explode; updates emit pre+post."""
-    payload = [c for c in after.columns if c not in KEYS]
-    b = before.select(*KEYS, F.struct(*payload).alias("_b"))
-    a = after.select(*KEYS, F.struct(*payload).alias("_a"))
-    j = b.join(a, list(KEYS), "full_outer").filter(
-        ~F.col("_b").eqNullSafe(F.col("_a"))
-    )
-
-    def ev(change_type: str, img: str):
-        return F.struct(
-            F.lit(change_type).alias("t"), F.col(img).alias("img")
-        )
-
-    arr = (
-        F.when(F.col("_b").isNull(), F.array(ev(INSERT, "_a")))
-        .when(F.col("_a").isNull(), F.array(ev(DELETE, "_b")))
-        .otherwise(F.array(ev(UPDATE_PRE, "_b"), ev(UPDATE_POST, "_a")))
-    )
-    flat = j.select(*KEYS, F.explode(arr).alias("_c")).select(
-        *KEYS,
-        *[F.col(f"_c.img.{c}").alias(c) for c in payload],
-        F.col("_c.t").alias("_change_type"),
-    )
-    return flat.select(
-        *[c for c in flat.columns if c != "_change_type"],
-        F.col("_change_type"),
+    """operators.diff.image_diff + the changelog's snapshot-id columns."""
+    return image_diff(before, after, KEYS).select(
+        "*",
         F.lit(from_sid).cast("long").alias("_from_snapshot_id"),
         F.lit(to_sid).cast("long").alias("_to_snapshot_id"),
     )

@@ -296,38 +296,16 @@ class PartialStateStore:
             st = self.mergeable(v).filter(F.col(_BUCKET_COL).isin(touched)).drop(_BUCKET_COL)
             return visible_partial(st, self.keys, self.value_cols)
 
+        from ..operators.diff import image_diff
+
         pre, post = vis(from_version), vis(to_v)
         payload = [*self.value_cols, "last_seq"]
-        j = pre.alias("a").join(post.alias("b"), on=self.keys, how="full_outer")
-        a_row = F.struct(*[F.col(f"a.{c}") for c in payload])
-        b_row = F.struct(*[F.col(f"b.{c}") for c in payload])
-        a_exists, b_exists = F.col("a.last_seq").isNotNull(), F.col("b.last_seq").isNotNull()
-        both = j.select(
-            *self.keys,
-            a_exists.alias("_a"),
-            b_exists.alias("_b"),
-            (a_exists & b_exists & ~a_row.eqNullSafe(b_row)).alias("_upd"),
-            a_row.alias("_ar"),
-            b_row.alias("_br"),
+        return image_diff(
+            pre.select(*self.keys, *payload),
+            post.select(*self.keys, *payload),
+            self.keys,
+            change_col="change_type",
         )
-        out = []
-        for cond, row, tag in [
-            (~F.col("_a") & F.col("_b"), "_br", "insert"),
-            (F.col("_a") & ~F.col("_b"), "_ar", "delete"),
-            (F.col("_upd"), "_ar", "update_preimage"),
-            (F.col("_upd"), "_br", "update_postimage"),
-        ]:
-            out.append(
-                both.filter(cond).select(
-                    *self.keys,
-                    *[F.col(f"{row}.{c}").alias(c) for c in payload],
-                    F.lit(tag).alias("change_type"),
-                )
-            )
-        res = out[0]
-        for o in out[1:]:
-            res = res.unionByName(o)
-        return res
 
     def _empty_changes(self) -> DataFrame:
         st = self.mergeable()
