@@ -81,16 +81,32 @@ def main() -> None:
         "long-running 10^9+ ingest needs anyway). 0 = single uninterrupted "
         "run",
     )
+    ap.add_argument(
+        "--reuse-binlog", action="store_true",
+        help="keep an already-generated binlog in the workdir and replay "
+        "it onto a fresh table (state/checkpoint/mv are wiped) — for "
+        "re-validating after a harness fix without paying the multi-hour "
+        "10^9 generation again; wall/events_per_sec then cover replay + "
+        "verify only (generation excluded), recorded in the artifact",
+    )
     args = ap.parse_args()
     if args.mirror and (args.wap or args.bootstrap):
         raise SystemExit("--mirror is its own arm; do not combine")
     if args.gc_slices and (args.mirror or args.wap or args.bootstrap):
         raise SystemExit("--gc-slices is the plain arm's disk-bound mode; do not combine")
 
-    shutil.rmtree(args.workdir, ignore_errors=True)
-    os.makedirs(args.workdir, exist_ok=True)
     binlog = os.path.join(args.workdir, "binlog")
     table = os.path.join(args.workdir, "state")
+    if args.reuse_binlog and os.path.exists(os.path.join(binlog, "_SUCCESS")):
+        for sub in ("state", "mv", "ckpt.json", "duck_spill",
+                    "mirror_state", "mirror_cursor.json", "snapshot.parquet"):
+            p = os.path.join(args.workdir, sub)
+            shutil.rmtree(p, ignore_errors=True)
+            if os.path.isfile(p):
+                os.remove(p)
+    else:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+    os.makedirs(args.workdir, exist_ok=True)
 
     t0 = time.time()
     base_cmd = [
@@ -285,17 +301,33 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"SET threads={args.cores}")
+    # Bound the oracle's memory and give it somewhere to spill: the 10^9
+    # arm OOM-killed the box's first attempt because a one-pass
+    # max_by(content, seq) over 1e9 rows keeps every overwritten string
+    # in the aggregate arena (~127 GB observed). The scalable form is the
+    # same two-phase shape the engine itself uses: a fixed-size-state
+    # max(seq) per key, then a join back to the binlog to fetch exactly
+    # the winning rows (seq is globally unique, so the join is 1:1 and
+    # the probe side streams).
+    os.makedirs(os.path.join(args.workdir, "duck_spill"), exist_ok=True)
+    con.execute(f"SET temp_directory='{os.path.join(args.workdir, 'duck_spill')}'")
+    con.execute("SET memory_limit='48GB'")
+    con.execute(
+        f"""
+        CREATE TEMP TABLE last_seqs AS
+        SELECT repo, path, max(seq) AS last_seq
+        FROM read_parquet('{binlog}/epoch=*/*.parquet', hive_partitioning=1)
+        GROUP BY repo, path
+        """
+    )
     con.execute(
         f"""
         CREATE TEMP TABLE winners AS
-        SELECT repo, path,
-               max_by(op, seq) AS op,
-               max_by(commit, seq) AS commit,
-               max_by(lang, seq) AS lang,
-               max_by(content, seq) AS content,
-               max(seq) AS last_seq
-        FROM read_parquet('{binlog}/epoch=*/*.parquet', hive_partitioning=1)
-        GROUP BY repo, path
+        SELECT b.repo, b.path, b.op, b.commit, b.lang, b.content,
+               b.seq AS last_seq
+        FROM read_parquet('{binlog}/epoch=*/*.parquet', hive_partitioning=1) b
+        JOIN last_seqs w
+          ON b.repo = w.repo AND b.path = w.path AND b.seq = w.last_seq
         """
     )
     ora_repo = con.execute(
@@ -394,6 +426,8 @@ def main() -> None:
         out["gc_slices"] = args.gc_slices
     if args.content_reps is not None:
         out["content_reps"] = args.content_reps
+    if args.reuse_binlog:
+        out["reused_binlog"] = True  # wall excludes generation
     if args.wap:
         name += "_wap"
     if args.bootstrap:
