@@ -248,7 +248,9 @@ def main() -> None:
         replay["events_in"] = events_in_total
         # replay-phase rate across slices (generation + GC excluded, like
         # the single-run arm whose rate comes from replay_job's own timer)
-        replay["events_per_sec"] = round(events_in_total / replay_secs, 1)
+        replay["events_per_sec"] = (
+            round(events_in_total / replay_secs, 1) if replay_secs else 0.0
+        )
         replay["gc_slices"] = args.gc_slices
     else:
         proc = subprocess.run(
@@ -311,7 +313,10 @@ def main() -> None:
     # the probe side streams).
     os.makedirs(os.path.join(args.workdir, "duck_spill"), exist_ok=True)
     con.execute(f"SET temp_directory='{os.path.join(args.workdir, 'duck_spill')}'")
-    con.execute("SET memory_limit='48GB'")
+    # cap at 60% of physical RAM (a fixed figure could exceed a smaller
+    # box's memory and re-enable the OOM-kill the spill dir prevents)
+    ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+    con.execute(f"SET memory_limit='{max(1, int(ram_gb * 0.6))}GB'")
     con.execute(
         f"""
         CREATE TEMP TABLE last_seqs AS
@@ -391,8 +396,12 @@ def main() -> None:
     repo_match = per_repo_matches(eng_repo)
     sample_match = eng_sample == ora_sample
 
+    # exact scale labels only: a 5e8 run must not claim (and overwrite)
+    # the 1e9 artifact; non-powers-of-ten get their literal event count
+    exp = round(math.log10(args.events)) if args.events > 0 else 0
+    scale = f"1e{exp}" if args.events == 10 ** exp else str(args.events)
     out = {
-        "metric": f"validate_1e{round(math.log10(args.events))}",
+        "metric": f"validate_{scale}",
         "events": args.events,
         "epochs": args.epochs,
         "cores": args.cores,
@@ -421,7 +430,7 @@ def main() -> None:
         out["pass"] = bool(
             out["pass"] and mirror_repo_match and mirror_sample_match and noop_ok
         )
-    name = f"validate_1e{round(math.log10(args.events))}"
+    name = f"validate_{scale}"
     if args.gc_slices:
         out["gc_slices"] = args.gc_slices
     if args.content_reps is not None:

@@ -146,8 +146,13 @@ def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int]:
         sr = w.getframerate()
         n = w.getnframes()
         frames = w.readframes(n)
+    if sr <= 0:
+        raise ValueError("expected positive WAV framerate")
     samples = np.frombuffer(frames, dtype="<i2").astype(np.int64)
-    return sr, n, n * 1000 // sr, int(samples.sum()), int(samples.max())
+    # a zero-frame WAV is spec-valid: defined stats, not an opaque
+    # numpy empty-reduction error from inside the executor UDF
+    amp_max = int(samples.max()) if n else 0
+    return sr, n, n * 1000 // sr, int(samples.sum()), amp_max
 
 
 def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:

@@ -158,6 +158,8 @@ def replay(
     # a single pruned column; epochs are few no matter how many events.
     # "auto" upgrades the distinct to a count-by-epoch (same shuffle shape,
     # map-side combined) and derives the batch factor from the sizes.
+    auto_sizes: dict[int, int] | None = None
+    auto_target = 0
     if epoch_batch == "auto":
         per_epoch = (
             events.groupBy(F.col(epoch_col).cast("long").alias("_e"))
@@ -165,15 +167,14 @@ def replay(
             .collect()
         )
         epoch_vals = [r["_e"] for r in per_epoch]
-        sized = [r["count"] for r in per_epoch if r["_e"] is not None]
-        if sized:
-            target = (
-                spark.sparkContext.defaultParallelism * AUTO_ROWS_PER_CORE
-            )
-            avg = sum(sized) / len(sized)
-            epoch_batch = max(1, min(AUTO_MAX_BATCH, -(-target // max(int(avg), 1))))
-        else:
-            epoch_batch = 1
+        # groups are formed by ACCUMULATING each pending epoch's own count
+        # until the target, not by a uniform count cap derived from the
+        # mean: under skewed epoch sizes a mean-based cap either leaves
+        # tiny epochs unbatched (mean dragged up by committed/large
+        # epochs) or groups many LARGE epochs into one oversized merge
+        auto_sizes = {r["_e"]: r["count"] for r in per_epoch if r["_e"] is not None}
+        auto_target = spark.sparkContext.defaultParallelism * AUTO_ROWS_PER_CORE
+        epoch_batch = AUTO_MAX_BATCH
     else:
         epoch_vals = [
             r[0]
@@ -226,6 +227,7 @@ def replay(
         return i < len(committed_sorted) and committed_sorted[i] <= hi_incl
 
     pending: list[int] = []
+    pending_rows = 0
     groups: list[list[int]] = []
     for epoch in present:
         if epoch in committed:
@@ -233,14 +235,19 @@ def replay(
             if pending:
                 groups.append(pending)
                 pending = []
+                pending_rows = 0
             continue
         if pending and (
             len(pending) >= max(1, epoch_batch)
+            or (auto_sizes is not None and pending_rows >= auto_target)
             or _committed_in(pending[-1], epoch)
         ):
             groups.append(pending)
             pending = []
+            pending_rows = 0
         pending.append(epoch)
+        if auto_sizes is not None:
+            pending_rows += auto_sizes.get(epoch, 0)
     if pending:
         groups.append(pending)
     for group in groups:

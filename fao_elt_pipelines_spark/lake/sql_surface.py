@@ -46,12 +46,13 @@ def register_parquet_view(spark: SparkSession, path: str, name: str) -> DataFram
 
 
 def split_statements(text: str) -> list[str]:
-    """Split a SQL script into statements on ``;``, respecting single-quoted
-    strings and ``--`` line comments (the grammar sample_queries-style files
-    actually use)."""
+    """Split a SQL script into statements on ``;``, respecting quoted
+    regions (``'...'`` strings, ``"..."`` strings/identifiers, backquoted
+    identifiers — a ``;`` or ``--`` inside any of them is literal text, not
+    a separator) and ``--`` line comments."""
     out: list[str] = []
     buf: list[str] = []
-    in_str = False
+    quote: str | None = None  # the open quote char, or None
     in_comment = False
     i = 0
     while i < len(text):
@@ -60,16 +61,16 @@ def split_statements(text: str) -> list[str]:
             if ch == "\n":
                 in_comment = False
             buf.append(ch)
-        elif in_str:
+        elif quote is not None:
             buf.append(ch)
-            if ch == "'":
-                if i + 1 < len(text) and text[i + 1] == "'":  # escaped ''
-                    buf.append("'")
+            if ch == quote:
+                if i + 1 < len(text) and text[i + 1] == quote:  # doubled escape
+                    buf.append(quote)
                     i += 1
                 else:
-                    in_str = False
-        elif ch == "'":
-            in_str = True
+                    quote = None
+        elif ch in "'\"`":
+            quote = ch
             buf.append(ch)
         elif ch == "-" and text[i : i + 2] == "--":
             in_comment = True

@@ -635,14 +635,17 @@ class LakeTable:
         if snap is None:
             raise ValueError("lookup_join against an empty table (no snapshot)")
         n_buckets = snap.get("n_buckets") or meta["n_buckets"]
-        # pin the batch: the bucket/repo bounds collected here must describe
-        # the SAME rows the join below sees, or a nondeterministic /
-        # source-mutating batch could hash into buckets absent from
-        # `touched` and silently enrich those keys with NULL state (same
-        # hazard partial_state.apply_batch persists against).
-        # localCheckpoint truncates lineage, so every later evaluation of
-        # the returned join reads these exact rows — no unpersist window.
-        events = events.localCheckpoint(eager=True)
+        # The bucket/repo bounds collected here must describe the SAME rows
+        # the join below sees, or a nondeterministic / source-mutating
+        # batch could hash into buckets absent from `touched` and silently
+        # enrich those keys with NULL state (the hazard
+        # partial_state.apply_batch persists against). Rather than pinning
+        # the batch (an earlier localCheckpoint fix accumulated
+        # non-replicated executor blocks with no release point across a
+        # long-running driver's calls), the join plan carries a loud
+        # guard: any row that re-evaluates outside the collected bounds
+        # raises instead of NULL-enriching. Deterministic batches — the
+        # documented contract — never pay more than the codegen predicate.
         ev_k = events.select(
             bucket_expr(n_buckets, (kr, kp)).alias("_b"), F.col(kr).alias("_r")
         )
@@ -650,6 +653,29 @@ class LakeTable:
             F.collect_set("_b").alias("bs"), F.min("_r").alias("lo"), F.max("_r").alias("hi")
         ).collect()[0]
         touched, lo, hi = set(bounds["bs"]), bounds["lo"], bounds["hi"]
+        # empty bounds = the batch evaluated empty: any row appearing on a
+        # later evaluation is by definition out of bounds (raise, below)
+        in_bounds = (
+            bucket_expr(n_buckets, (kr, kp)).isin(*touched)
+            & F.col(kr).between(F.lit(lo), F.lit(hi))
+            if touched
+            else F.lit(False)
+        )
+        # when(cond, true).otherwise(raise_error) as the predicate: an
+        # assert_true OR'd with a tautology is constant-folded out by
+        # Catalyst (verified), which would silently remove this guard
+        events = events.filter(
+            F.when(in_bounds, F.lit(True)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "lookup_join batch re-evaluated outside its collected "
+                        "bucket/repo bounds: the events source is "
+                        "nondeterministic or mutated mid-join; materialize "
+                        "(checkpoint/write) the batch before enriching"
+                    )
+                )
+            )
+        )
         entries = [
             e
             for e in snap["manifest"]

@@ -1307,17 +1307,27 @@ def q_cdc_partial_update_seqgroup(spark: SparkSession, sf_dir: str) -> DataFrame
     append+patch streams (the operator rejects resets under groups); the
     oracle applies per-column arg_max under each column's own clock.
     ``seq2 = (seq * 7919) % 100003`` is a bijection because 100003 is
-    prime and every testdata seq < 100003 — guarded below so a dataset-size
-    change fails loudly instead of flaking on seq2 collisions (Spark's
-    struct-max vs DuckDB's arg_max break ties differently)."""
+    prime and every testdata seq < 100003 — guarded by an in-plan
+    ``assert_true`` (codegen, zero extra scans: building the query stays
+    metadata-only) so a dataset-size change fails loudly at execution
+    instead of flaking on seq2 collisions (Spark's struct-max vs DuckDB's
+    arg_max break ties differently)."""
     ev = load(spark, sf_dir, "events")
-    max_seq = ev.agg(F.max("event_id")).collect()[0][0]
-    if max_seq is not None and max_seq >= 100003:
-        raise AssertionError(
-            f"seq2 bijection requires max(event_id) < 100003, got {max_seq}; "
-            "raise the prime modulus to keep seq2 collision-free"
-        )
     eid = F.col("event_id")
+    # NOTE the idiom: when(cond, true).otherwise(raise_error) AS the filter
+    # predicate — an assert_true OR'd with a tautology gets constant-folded
+    # out by Catalyst (verified empirically), silently removing the guard
+    ev = ev.filter(
+        F.when(eid < 100003, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("seq2 bijection requires event_id < 100003, got "),
+                    eid.cast("string"),
+                    F.lit("; raise the prime modulus to keep seq2 collision-free"),
+                )
+            )
+        )
+    )
     repo = F.concat(F.lit("repo_"), (F.col("user_id") % 37).cast("string"))
     path = F.concat(F.lit("src/f_"), (eid % 211).cast("string"), F.lit(".py"))
     b = ev.select(

@@ -813,6 +813,31 @@ def test_epoch_batch_auto_policy(spark, events, events_parquet, tmp_path, monkey
     assert len(t_u.snapshots()) == 4
     assert key(t_u) == key(t_ref)
 
+    # SKEWED epoch sizes -> groups formed by each group's ACCUMULATED
+    # size, not a uniform count from the global mean (which here is 5k,
+    # giving batch=1 and four snapshots — the mean-based bug): sizes
+    # [250, 250, 15000, 4500] with target ~1000 must group [0,1,2] (the
+    # two tiny epochs accumulate, the big one closes the group) + [3]
+    from pyspark.sql import functions as F
+
+    par = spark.sparkContext.defaultParallelism
+    monkeypatch.setattr(replay_mod, "AUTO_ROWS_PER_CORE", max(1, -(-1000 // par)))
+    skew = stored.withColumn(
+        "epoch",
+        F.when(F.col("seq") < 250, 0)
+        .when(F.col("seq") < 500, 1)
+        .when(F.col("seq") < 15_500, 2)
+        .otherwise(3),
+    )
+    t_s = LakeTable.create(spark, str(tmp_path / "skew"), STATE_SCHEMA, n_buckets=8)
+    rep_s = replay(spark, skew, t_s,
+                   CheckpointStore(str(tmp_path / "skew.ckpt.json")),
+                   mode="mor", epoch_batch="auto")
+    assert rep_s.epochs_applied == [0, 1, 2, 3]
+    assert len(t_s.snapshots()) == 2
+    assert t_s.committed_epochs() == {0, 1, 2, 3}
+    assert key(t_s) == key(t_ref)
+
 
 def test_point_lookup_prunes_to_one_bucket(spark, events, events_parquet, tmp_path):
     table = LakeTable.create(spark, str(tmp_path / "state"), STATE_SCHEMA, n_buckets=16)

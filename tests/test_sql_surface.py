@@ -49,6 +49,15 @@ def test_split_statements():
     assert "'a;b'" in stmts[1]
     assert "'it''s; fine'" in stmts[2]
     assert S.split_statements("-- only comments;\n  \n") == []
+    # ';' and '--' inside double-quoted strings / backquoted identifiers
+    # are literal text, not separators or comment starts
+    quoted = S.split_statements(
+        'SELECT "a;b" AS s; SELECT `odd;--col` FROM t; SELECT "x--y" AS z'
+    )
+    assert len(quoted) == 3
+    assert '"a;b"' in quoted[0]
+    assert "`odd;--col`" in quoted[1]
+    assert '"x--y"' in quoted[2]
 
 
 @pytest.fixture(scope="module")
@@ -80,16 +89,24 @@ def test_register_and_run(spark, state_table):
 def test_view_is_snapshot_pinned(spark, state_table, tmp_path):
     """The view pins the snapshot resolved at registration: a later commit
     must not change what the registered view returns."""
+    from pyspark.sql import functions as F
+
     S.register_table_view(state_table, "pinned")
     before = spark.sql("SELECT COUNT(*) AS n FROM pinned").first()["n"]
+    before_max = spark.sql("SELECT MAX(last_seq) AS m FROM pinned").first()["m"]
+    # seqs shifted above the fixture's range so these events WIN last-write-
+    # wins — the head observably moves (max last_seq rises to >= 100_000)
     extra = binlog.change_events(spark, 2_000, n_repos=40, paths_per_repo=30,
                                  events_per_epoch=2_000)
+    extra = extra.withColumn("seq", F.col("seq") + 100_000)
     replay(spark, extra, state_table, CheckpointStore(str(tmp_path / "c2.json")),
            source="extra")
-    after = spark.sql("SELECT COUNT(*) AS n FROM pinned").first()["n"]
-    assert after == before
+    # still pinned: neither the count nor the max moved
+    assert spark.sql("SELECT COUNT(*) AS n FROM pinned").first()["n"] == before
+    assert spark.sql("SELECT MAX(last_seq) AS m FROM pinned").first()["m"] == before_max
     S.register_table_view(state_table, "pinned")  # re-register sees new head
-    assert spark.sql("SELECT MAX(last_seq) AS m FROM pinned").first()["m"] >= before
+    assert before_max < 100_000
+    assert spark.sql("SELECT MAX(last_seq) AS m FROM pinned").first()["m"] >= 100_000
 
 
 @pytest.mark.slow
