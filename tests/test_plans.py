@@ -100,11 +100,13 @@ def test_lww_maxby_has_partial_aggregate(spark):
 def test_no_python_udf_in_relational_queries(spark, sf_dir):
     """Every oracle-checked relational query stays JVM-side (no
     BatchEvalPython / ArrowEvalPython nodes) — UDFs are reserved for the
-    explicitly-Python surfaces (simhash, multimodal)."""
+    explicitly-Python surfaces (simhash's unpackbits reduction, the
+    kmeans-IVF trained-quantizer assignment/probe einsums, multimodal
+    decode), all Arrow-batched numpy, never row-at-a-time."""
     from fao_elt_pipelines_spark.plans.registry import REGISTRY
 
     for name, (fn, sql) in REGISTRY.items():
-        if name in ("simhash_signatures", "simhash_neardup"):
+        if name in ("simhash_signatures", "simhash_neardup", "ann_kmeans_topk"):
             continue
         plan = _plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} plan contains Python eval"

@@ -113,7 +113,11 @@ def test_table_tool_cli(spark, tmp_path):
         [sys.executable, os.path.join(REPO, "scripts", "replay_job.py"),
          "--binlog", binlog, "--table", table, "--checkpoint", str(tmp_path / "c.json"),
          "--generate", "20000", "--events-per-epoch", "10000",
-         "--n-repos", "20", "--n-buckets", "4", "--cores", "4", "--mode", "mor"],
+         "--n-repos", "20", "--n-buckets", "4", "--cores", "4", "--mode", "mor",
+         # pin per-epoch commits: the assertions below address specific
+         # snapshot ids, which the job-default auto batching policy
+         # would legitimately collapse into one grouped commit
+         "--epoch-batch", "1"],
         capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr[-1500:]
