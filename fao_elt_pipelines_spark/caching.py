@@ -29,3 +29,30 @@ def release_caches() -> None:
             _MANAGED_CACHES.pop().unpersist()
         except Exception:
             pass
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free a ``localCheckpoint()``-ed frame's executor blocks NOW.
+
+    Spark's ContextCleaner releases checkpoint blocks only when the JVM
+    garbage-collects the backing RDD, which in a long-lived driver can lag
+    indefinitely — a loop producing one checkpointed result per batch
+    accumulates storage until then. Walks the analyzed plan and unpersists
+    EVERY checkpoint-backed leaf it references (so neither ``df`` nor any
+    other frame sharing those leaves may be read afterwards). Returns
+    False when the plan holds no checkpoint leaf (nothing to free)."""
+    try:
+        found = False
+        stack = [df._jdf.queryExecution().analyzed()]  # noqa: SLF001
+        while stack:
+            node = stack.pop()
+            if node.getClass().getName().endswith("LogicalRDD"):
+                node.rdd().unpersist(False)
+                found = True
+            else:
+                children = node.children()
+                for i in range(children.size()):
+                    stack.append(children.apply(i))
+        return found
+    except Exception:
+        return False

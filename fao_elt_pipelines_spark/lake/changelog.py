@@ -265,11 +265,16 @@ def replicate(
             F.lit("upsert").alias("op"),
             F.col("last_seq").alias("seq"),
         )
+        # Null-safe tombstone ordering: append()-sourced rows mirror with
+        # last_seq NULL, and NULL + 1 = NULL would make the synthesized
+        # delete tie (instead of win) against the mirrored row under the
+        # read path's coalesce(-1) order. NULL normalizes to -1, so the
+        # tombstone lands at seq 0 and deterministically outranks it.
         dels = ch.filter(F.col("_change_type") == DELETE).select(
             *KEYS,
             *[null_of[c].alias(c) for c in non_key],
             F.lit("delete").alias("op"),
-            (F.col("last_seq") + 1).alias("seq"),
+            (F.coalesce(F.col("last_seq"), F.lit(-1)) + 1).alias("seq"),
         )
         target.merge_changes(
             ups.unionByName(dels), epoch_id=int(to_sid), mode=mode, source=source_name

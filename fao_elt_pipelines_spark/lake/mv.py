@@ -276,11 +276,13 @@ class IncrementalGoldView:
             # past it): the interval is unreconstructable, so fall back to
             # a full recompute instead of wedging the view forever
             return recompute("cursor expired")
-        interval_ops = {
-            s["operation"]
-            for s in meta["snapshots"]
-            if from_sid < s["snapshot_id"] <= to_sid
-        }
+        # ancestry-scoped, like the changelog (the raw snapshot log may
+        # carry unpublished WAP/staging commits whose op — e.g. a staged
+        # overwrite — never affected this lineage; counting them would
+        # force a spurious full recompute every refresh until expiry)
+        from .changelog import _interval_ops
+
+        interval_ops = _interval_ops(self.table, meta, from_sid, to_sid)
         if not interval_ops <= INCREMENTAL_SAFE_OPS:
             # e.g. overwrite: drops rows without tombstoned file-adds, so
             # the delta algebra cannot see the retractions. Checked BEFORE

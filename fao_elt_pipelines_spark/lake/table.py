@@ -47,6 +47,7 @@ the table and rewriting a few percent of it.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import operator
 import os
@@ -269,13 +270,30 @@ class LakeTable:
 
     def _advance_version_pointer(self, version: int) -> None:
         """Monotonically advance VERSION to ``version`` (no-op if a newer
-        commit already moved it further)."""
+        commit already moved it further).
+
+        The check-then-replace is serialized under an advisory file lock:
+        without it, two concurrent committers can interleave so the older
+        version lands LAST, regressing the pointer and hiding the newer
+        (already CAS-committed) snapshot from readers until a future
+        commit's repair; a shared tmp name additionally let one writer's
+        ``os.replace`` consume the other's file (FileNotFoundError after a
+        successful commit). The v{N} metadata files themselves remain the
+        CAS-protected source of truth — this lock covers only the pointer
+        swap (on an object store the pointer is the catalog's swap
+        primitive instead)."""
         vp = os.path.join(self.meta_dir, "VERSION")
-        if os.path.exists(vp) and self._version() >= version:
-            return  # a newer commit already advanced the pointer
-        with open(vp + ".tmp", "w") as f:
-            f.write(str(version))
-        os.replace(vp + ".tmp", vp)
+        with open(vp + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(vp) and self._version() >= version:
+                    return  # a newer commit already advanced the pointer
+                tmp = f"{vp}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(version))
+                os.replace(tmp, vp)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
     @property
     def n_buckets(self) -> int:
@@ -417,6 +435,11 @@ class LakeTable:
         metadata CAS every write uses, so a concurrent commit on ``to``
         surfaces as PublishConflictError (re-run the WAP cycle) rather than
         being clobbered. Returns the published head snapshot id."""
+        if branch == to:
+            # publish(x, to=x) would no-op the fast-forward and then DROP
+            # the branch itself — publish('main') would delete the main
+            # ref and brick every subsequent read/commit
+            raise ValueError(f"cannot publish {branch!r} onto itself")
         meta, base_v = self._load_versioned()
         refs = self._refs(meta)
         head = self._head(meta, branch)
@@ -437,6 +460,8 @@ class LakeTable:
             if to == "main":
                 meta["current_snapshot_id"] = head
         if drop and branch in refs:
+            if branch == "main":  # same protection drop_ref gives
+                raise ValueError("refusing to drop 'main'; publish with drop=False")
             del refs[branch]
         self._write_metadata(meta, version=base_v + 1)
         return head
@@ -908,7 +933,10 @@ class LakeTable:
         (conservative for skip, but a numeric collision with another
         feed's pending epoch would wrongly suppress it), so callers with
         a real upstream identity — e.g. a changelog-mirror resync —
-        must tag it."""
+        must tag it. Same table-level exactly-once as append/merge: a
+        re-offered (source, epoch) is skipped, not re-applied."""
+        if epoch_id is not None and epoch_id in self.committed_epochs(source=source):
+            return self._load_metadata()["current_snapshot_id"]
         meta, base_v = self._load_versioned()
         new_schema = schema_evo.reconcile(meta["schema"], df.schema)
         df = schema_evo.align(df, schema_evo.registry_to_schema(new_schema))
@@ -1001,10 +1029,21 @@ class LakeTable:
         scales materially better on bandwidth-constrained hosts (see
         BENCH/BASELINE.md).
         """
-        winners = ev.groupBy(*[F.col(k) for k in keys]).agg(
-            F.max(F.col(seq_col)).alias(seq_col)
+        # Winner selection must be NULL-safe: append()-sourced rows carry
+        # last_seq NULL (schema_evo backfill) and re-enter a COW rewrite as
+        # seq-NULL events; max() over an all-NULL group is NULL and the
+        # null-unsafe semi-join below would never match it — silently
+        # dropping the key from the rewritten bucket. Normalize NULL to -1
+        # (the read path's coalesce(-1) convention: any real seq >= 0
+        # outranks it, matching _sorted_lww's desc-nulls-last order).
+        seq_n = "_seq_lww"
+        evn = ev.withColumn(
+            seq_n, F.coalesce(F.col(seq_col).cast("long"), F.lit(-1).cast("long"))
         )
-        slim = ev.join(winners, [*keys, seq_col], "left_semi")
+        winners = evn.groupBy(*[F.col(k) for k in keys]).agg(
+            F.max(F.col(seq_n)).alias(seq_n)
+        )
+        slim = evn.join(winners, [*keys, seq_n], "left_semi").drop(seq_n)
         # At-least-once re-delivery can offer the exact winning event again
         # (same key AND seq): the semi-join keeps every tie row, so dedup
         # per key — tie rows are equivalent under the binlog contract (a

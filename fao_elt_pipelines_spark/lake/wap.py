@@ -201,7 +201,16 @@ def wap_merge(
                 return sid
             failures = audit(table, staging, (staged or {}).get("summary", {}))
             if failures:
-                table.drop_ref(staging)
+                # cleanup must not mask the audit verdict: drop_ref's
+                # metadata CAS can lose a race and raise
+                # CommitConflictError, which a replay driver would treat
+                # as "retry the epoch" — re-staging a known-bad batch
+                # instead of dead-lettering it. The ref, if left behind,
+                # is retargeted by the next cycle's create_branch(reset).
+                try:
+                    table.drop_ref(staging)
+                except Exception:
+                    pass
                 raise WapAuditError(epoch_id, failures)
             try:
                 return table.publish(staging)

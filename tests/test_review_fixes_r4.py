@@ -1,0 +1,227 @@
+"""Round-4 review-fix regressions: late-strategy NULL-seq retention, the
+mirror tombstone's null-safe seq, publish() self/main guards, overwrite's
+table-level exactly-once, the VERSION pointer's serialized advance, and
+connected_components releasing its edge cache."""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fao_elt_pipelines_spark.lake.changelog import replicate
+from fao_elt_pipelines_spark.lake.checkpoint import CheckpointStore
+from fao_elt_pipelines_spark.lake.table import LakeTable
+
+STATE = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("last_seq", T.LongType()),
+    ]
+)
+
+APPEND_DDL = (
+    "repo string, path string, commit string, lang string, "
+    "content string, content_sha256 string"
+)
+DELTA_DDL = (
+    "seq long, op string, repo string, path string, "
+    "commit string, lang string, content string"
+)
+
+
+# ------------------------------------------------- late LWW NULL-seq rows
+
+
+@pytest.mark.parametrize("strategy", ["late", "sorted"])
+def test_merge_keeps_null_seq_appended_rows(spark, tmp_path, strategy):
+    """append()-sourced rows carry last_seq NULL (schema_evo backfill). A
+    COW merge that rewrites their bucket re-enters them as seq-NULL events;
+    BOTH strategies must keep them (the late strategy's max()+semi-join
+    winner selection silently dropped all-NULL keys before the null
+    normalization), and a real-seq event for the same key must win."""
+    table = LakeTable.create(spark, str(tmp_path / f"t_{strategy}"), STATE, n_buckets=1)
+    table.append(
+        spark.createDataFrame(
+            [
+                ("r0", "keep/me.py", "c0", "py", "X", "sha-x"),
+                ("r0", "update/me.py", "c0", "py", "OLD", "sha-old"),
+            ],
+            APPEND_DDL,
+        ),
+        epoch_id=0,
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "insert", "r0", "other.py", "c1", "py", "B"),
+            (11, "update", "r0", "update/me.py", "c2", "py", "NEW"),
+        ],
+        DELTA_DDL,
+    )
+    table.merge_changes(delta, epoch_id=1, mode="cow", strategy=strategy)
+    rows = {r["path"]: r for r in table.read().collect()}
+    assert set(rows) == {"keep/me.py", "update/me.py", "other.py"}
+    assert rows["keep/me.py"]["last_seq"] is None  # untouched, retained
+    assert rows["update/me.py"]["content_sha256"] != "sha-old"  # real seq won
+    assert rows["update/me.py"]["last_seq"] == 11
+
+
+# -------------------------------------------- mirror tombstone null-safety
+
+
+def test_mirror_deletes_append_sourced_rows(spark, tmp_path):
+    """A source row that entered via append() mirrors with last_seq NULL;
+    when the source later deletes it, the synthesized changelog tombstone
+    must deterministically WIN in the mirror (NULL+1 was NULL, a tie)."""
+    src = LakeTable.create(spark, str(tmp_path / "src"), STATE, n_buckets=2)
+    src.append(
+        spark.createDataFrame([("r0", "a.py", "c0", "py", "X", "sha-x")], APPEND_DDL),
+        epoch_id=0,
+    )
+    tgt = LakeTable.create(spark, str(tmp_path / "tgt"), STATE, n_buckets=2)
+    ckpt = CheckpointStore(str(tmp_path / "cur.json"))
+    replicate(src, tgt, ckpt)
+    assert tgt.read().count() == 1
+
+    src.merge_changes(
+        spark.createDataFrame([(5, "delete", "r0", "a.py", "c1", "py", "")], DELTA_DDL),
+        epoch_id=1,
+        mode="mor",
+    )
+    replicate(src, tgt, ckpt)
+    assert tgt.read().count() == 0  # the key died in the mirror too
+    # and the tombstone is physically present, not merely tied
+    phys = tgt.read(include_tombstones=True).filter("_is_deleted").collect()
+    assert len(phys) == 1 and phys[0]["last_seq"] == 0
+
+
+# ------------------------------------------------------- publish() guards
+
+
+def test_publish_refuses_self_and_main_drop(spark, tmp_path):
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE, n_buckets=2)
+    table.append(
+        spark.createDataFrame([("r0", "a.py", "c0", "py", "X", "s")], APPEND_DDL),
+        epoch_id=0,
+    )
+    with pytest.raises(ValueError, match="onto itself"):
+        table.publish("main")
+    table.create_branch("stage")
+    with pytest.raises(ValueError, match="drop 'main'"):
+        table.publish("main", to="stage")
+    # the guard aborted BEFORE any metadata write: main still resolves
+    assert table.read().count() == 1
+
+
+# ------------------------------------------- overwrite table-level skip
+
+
+def test_overwrite_skips_committed_epoch(spark, tmp_path):
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE, n_buckets=2)
+    df1 = spark.createDataFrame([("r0", "a.py", "c0", "py", "X", "s")], APPEND_DDL)
+    sid = table.overwrite(df1, epoch_id=7, source="resync")
+    df2 = spark.createDataFrame([("r9", "z.py", "c9", "py", "Z", "s9")], APPEND_DDL)
+    # re-offered epoch: skipped, state unchanged, no new snapshot
+    assert table.overwrite(df2, epoch_id=7, source="resync") == sid
+    assert [r["repo"] for r in table.read().collect()] == ["r0"]
+    # a NEW epoch still applies
+    sid2 = table.overwrite(df2, epoch_id=8, source="resync")
+    assert sid2 != sid
+    assert [r["repo"] for r in table.read().collect()] == ["r9"]
+
+
+# ------------------------------------------- VERSION pointer concurrency
+
+
+def test_version_pointer_advance_is_serialized(spark, tmp_path):
+    """Concurrent _advance_version_pointer calls must never regress the
+    pointer or raise (the shared-tmp-name TOCTOU did both)."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE, n_buckets=2)
+    base = table._version()
+    errors: list[Exception] = []
+
+    def hammer(versions):
+        try:
+            for v in versions:
+                table._advance_version_pointer(v)
+        except Exception as e:  # pragma: no cover - the regression itself
+            errors.append(e)
+
+    # interleaved ascending sequences with heavy overlap
+    ts = [
+        threading.Thread(target=hammer, args=(range(base, base + 200),))
+        for _ in range(4)
+    ]
+    observed: list[int] = []
+    stop = threading.Event()
+
+    def watch():
+        while not stop.is_set():
+            try:
+                observed.append(table._version())
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+    w = threading.Thread(target=watch)
+    w.start()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    stop.set()
+    w.join()
+    assert not errors
+    assert table._version() == base + 199
+    # no reader ever saw the pointer move backwards
+    assert observed == sorted(observed)
+
+
+# -------------------------------------- connected_components cache release
+
+
+def test_connected_components_releases_edge_cache(spark):
+    """The per-call edge persist must be released on return — a driver
+    looping over batches outside the registry harness (which owns
+    release_caches) must not accumulate pinned edge sets."""
+    from fao_elt_pipelines_spark.operators.components import connected_components
+
+    import gc
+    import time
+
+    def n_persisted() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    def settle(target: int, timeout: float = 15.0) -> int:
+        """GC + let Spark's ContextCleaner release unreferenced
+        localCheckpoint blocks (async), down to ``target`` if possible."""
+        deadline = time.time() + timeout
+        n = n_persisted()
+        while n > target and time.time() < deadline:
+            gc.collect()
+            time.sleep(0.5)
+            n = n_persisted()
+        return n
+
+    from fao_elt_pipelines_spark.caching import release_local_checkpoint
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    expect = {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    baseline = settle(0)
+    # repeated calls must not accumulate pinned blocks: before the fixes,
+    # every call left the full edge persist (strong-referenced by the
+    # managed-cache list) plus every iteration's superseded label
+    # checkpoint in executor storage
+    for _ in range(3):
+        out = connected_components(pairs)
+        assert {(r["node"], r["cluster_id"]) for r in out.collect()} == expect
+        assert release_local_checkpoint(out)  # consumed: free it eagerly
+    assert settle(baseline) <= baseline
