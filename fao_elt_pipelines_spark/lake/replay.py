@@ -158,6 +158,13 @@ def replay(
     # a single pruned column; epochs are few no matter how many events.
     # "auto" upgrades the distinct to a count-by-epoch (same shuffle shape,
     # map-side combined) and derives the batch factor from the sizes.
+    if isinstance(epoch_batch, str) and epoch_batch != "auto":
+        # fail at entry with a clear message — otherwise a config string
+        # like "8" survives to the grouping loop and dies in an opaque
+        # str-vs-int TypeError after the distinct-epochs job already ran
+        raise ValueError(
+            f"epoch_batch must be an int or 'auto', got {epoch_batch!r}"
+        )
     auto_sizes: dict[int, int] | None = None
     auto_target = 0
     if epoch_batch == "auto":
@@ -282,6 +289,19 @@ def replay(
             n, seq_hi, seq_lo = agg["n"], agg["seq_hi"], agg["seq_lo"]
             if n == 0:
                 continue
+            if seq_hi is None:
+                # Every event in the group carries null seq (reachable with
+                # quarantine off: the bootstrap tail filter passes seq-NULL
+                # rows through so drift stays visible). Raise BEFORE the
+                # merge — committing first and failing at the checkpoint's
+                # int(seq_hi) would wedge the pipeline: each resume
+                # re-applies the committed group and dies at the same line.
+                raise ValueError(
+                    f"epoch group {group} has {n} events but no non-null "
+                    "seq: cannot advance the checkpoint cursor; enable "
+                    "quarantine_dir to dead-letter null-seq events or "
+                    "repair the source"
+                )
             _check_expiry_precondition(e_lo, seq_lo, expiry_watermark)
         else:
             n = seq_hi = None  # derived from written-file stats below

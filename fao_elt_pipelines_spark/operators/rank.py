@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..caching import managed_persist
 
@@ -106,17 +107,24 @@ def global_cumsum(
     ).withColumn("_pid", F.spark_partition_id())
     managed_persist(parted)
 
+    # the running total keeps the value column's numeric family: int()-ing
+    # per-partition offsets (and a blanket cast to long) silently truncates
+    # fractional inputs, compounding the error across every later partition
+    fractional = isinstance(df.schema[value_col].dataType, T.FractionalType)
+    out_type = "double" if fractional else "long"
+
     sums = {
         r["_pid"]: r["s"]
         for r in parted.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
     }
     if not sums:
-        return df.withColumn(out_col, F.lit(None).cast("long"))
-    offsets: dict[int, int] = {}
-    acc = 0
+        return df.withColumn(out_col, F.lit(None).cast(out_type))
+    offsets: dict[int, float] = {}
+    acc = 0.0 if fractional else 0
     for pid in sorted(sums):
         offsets[pid] = acc
-        acc += int(sums[pid] or 0)
+        s = sums[pid] or 0
+        acc += float(s) if fractional else int(s)
     off_map = F.create_map(
         *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
     )
@@ -130,7 +138,7 @@ def global_cumsum(
         parted.withColumn("_ls", F.sum(value_col).over(local_w))
         .withColumn(
             out_col,
-            (F.col("_ls") + F.element_at(off_map, F.col("_pid"))).cast("long"),
+            (F.col("_ls") + F.element_at(off_map, F.col("_pid"))).cast(out_type),
         )
         .drop("_pid", "_ls")
     )

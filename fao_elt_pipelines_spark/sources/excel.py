@@ -290,10 +290,14 @@ def detect_excel_structure(path: str, n_sample: int = 100) -> dict:
                     break
     m = re.search(r"(\d+)$", dim) if dim and ":" in dim else None
     if m:
-        est = int(m.group(1)) - 1  # data rows below the header row
+        # NOT exact: external writers pad or leave <dimension> stale
+        # (Excel itself keeps formatted-but-empty trailing rows in it)
+        est = max(0, int(m.group(1)) - 1)  # data rows below the header row
+        exact = False
     else:  # no usable <dimension> (e.g. column-only ref 'A:C'): stream-count
-        est = sum(1 for _ in iter_xlsx_rows(path)) - 1
-    exact = True
+        # max(0, ...): an empty sheet has no header row to subtract
+        est = max(0, sum(1 for _ in iter_xlsx_rows(path)) - 1)
+        exact = True
     rows = []
     it = iter_xlsx_rows(path)
     header = next(it, [])

@@ -43,7 +43,11 @@ def sniff_encoding(path: str, n_bytes: int = 65536) -> str:
         codecs.getincrementaldecoder("utf-8")().decode(head, final=False)
         return "utf-8"
     except UnicodeDecodeError:
-        return "latin-1"
+        # the canonical charset name: Python also accepts "latin-1"/
+        # "latin1" but the JVM (java.nio.charset.Charset, which resolves
+        # spark.read.option("encoding", ...)) rejects "latin-1" — the
+        # Python spelling would crash the exact reads this fallback serves
+        return "ISO-8859-1"
 
 
 def read_delimited(
@@ -85,17 +89,16 @@ def detect_structure(spark: SparkSession, path: str, n_sample: int = 100) -> dic
         exact = True
     else:
         df = read_delimited(spark, path)
-        sample = df.limit(n_sample)
-        import functools
-
+        # average row size from the file's ACTUAL head lines — a Row repr
+        # adds 'Row(', every column name, and separators, inflating
+        # per-row bytes several-fold and under-estimating rows by the
+        # same factor
+        with open(path, "rb") as f:
+            head_lines = f.read(65536).splitlines()
+        if len(head_lines) > 1:
+            head_lines = head_lines[:-1]  # last line may be truncated
         avg_row_bytes = max(
-            1,
-            functools.reduce(
-                lambda a, b: a + b,
-                [len(str(r)) for r in sample.collect()],
-                0,
-            )
-            // max(1, min(n_sample, sample.count())),
+            1, sum(len(ln) + 1 for ln in head_lines) // max(1, len(head_lines))
         )
         total = os.path.getsize(path) // avg_row_bytes
         exact = False

@@ -314,16 +314,35 @@ class PartialStateStore:
         empty = visible_partial(st.drop(_BUCKET_COL), self.keys, self.value_cols).limit(0)
         return empty.withColumn("change_type", F.lit(None).cast("string"))
 
-    @staticmethod
-    def _link_dir(src: str, dst: str) -> None:
+    _warned_copy_fallback = False
+
+    @classmethod
+    def _link_dir(cls, src: str, dst: str) -> None:
         """Carry a bucket into the new version by hard link (no data copy);
-        cross-device fallback copies."""
+        cross-device fallback copies — loudly, once: on a filesystem
+        without hard links the carry-over degrades from O(touched buckets)
+        to O(state) per batch AND the inode-based touched-bucket diff in
+        ``changes()`` sees every bucket as touched, so the module's scale
+        contract silently fails without this signal."""
         os.makedirs(dst, exist_ok=True)
         for f in os.listdir(src):
             s, d = os.path.join(src, f), os.path.join(dst, f)
             try:
                 os.link(s, d)
             except OSError:
+                if not cls._warned_copy_fallback:
+                    cls._warned_copy_fallback = True
+                    import warnings
+
+                    warnings.warn(
+                        "PartialStateStore: hard links unavailable on this "
+                        "filesystem; falling back to full copies — per-batch "
+                        "carry-over is now O(state), not O(touched buckets), "
+                        "and version diffs degrade to full-corpus joins. "
+                        "Place the store on a link-capable filesystem.",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 shutil.copy2(s, d)
 
 

@@ -70,8 +70,20 @@ def stream_replay(
     micro-batch stages + audits + publishes atomically; a failing batch
     kills the query with main untouched, and Spark's offset log re-offers
     the batch on restart.
+
+    An existing-but-empty (or not-yet-created) binlog dir — the normal
+    race for a scheduled drain — is a clean no-op, same contract as
+    ``stream_partial_state``.
     """
-    schema = spark.read.parquet(binlog_dir).schema
+    try:
+        schema = spark.read.parquet(binlog_dir).schema
+    except Exception as exc:
+        # only "nothing to drain yet" no-ops; corrupt files, permission
+        # errors etc. must surface, not silently skip a drain cycle
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return
+        raise
     src = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -175,7 +175,7 @@ def test_sniff_encoding_multibyte_at_sample_boundary(tmp_path):
     assert sniff_encoding(str(p)) == "utf-8"
     q = tmp_path / "l1.csv"
     q.write_bytes(b"caf\xe9\n")  # latin-1 é, invalid utf-8 mid-sample
-    assert sniff_encoding(str(q)) == "latin-1"
+    assert sniff_encoding(str(q)) == "ISO-8859-1"  # JVM-canonical name
 
 
 # ------------------------------------------------------------- Excel

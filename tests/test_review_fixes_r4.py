@@ -183,6 +183,101 @@ def test_version_pointer_advance_is_serialized(spark, tmp_path):
     assert observed == sorted(observed)
 
 
+# ------------------------------------------------- JVM-readable encoding
+
+
+def test_latin1_csv_reads_end_to_end(spark, tmp_path):
+    """sniff_encoding must return a charset name the JVM accepts —
+    'latin-1' satisfies Python but java.nio.charset rejects it, crashing
+    the exact fallback read it exists to serve."""
+    from fao_elt_pipelines_spark.sources import readers as R
+
+    p = str(tmp_path / "latin.csv")
+    with open(p, "wb") as f:
+        f.write("name\nCôte d'Ivoire\n".encode("latin-1"))
+    enc = R.sniff_encoding(p)
+    assert spark._jvm.java.nio.charset.Charset.isSupported(enc)
+    rows = R.read_delimited(spark, p).collect()
+    assert rows[0]["name"] == "Côte d'Ivoire"
+
+
+# ----------------------------------------------- replay null-seq validation
+
+
+def test_replay_rejects_all_null_seq_epoch_before_merge(spark, tmp_path):
+    """A group whose events all carry null seq must raise BEFORE the merge
+    commits (int(None) after the commit wedged the pipeline: every resume
+    re-applied the committed group and died at the checkpoint line)."""
+    from fao_elt_pipelines_spark.lake.replay import replay
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE, n_buckets=2)
+    ev = spark.createDataFrame(
+        [(None, 0, "upsert", "r0", "a.py", "c0", "py", "X")],
+        "seq long, epoch long, op string, repo string, path string, "
+        "commit string, lang string, content string",
+    )
+    ckpt = CheckpointStore(str(tmp_path / "c.json"))
+    with pytest.raises(ValueError, match="no non-null seq"):
+        replay(spark, ev, table, ckpt)
+    # nothing was committed: the table is still empty and re-runnable
+    assert table.read().count() == 0
+    assert table.committed_epochs() == set()
+
+
+def test_replay_rejects_bad_epoch_batch_string(spark, tmp_path):
+    from fao_elt_pipelines_spark.lake.replay import replay
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE, n_buckets=2)
+    ev = spark.createDataFrame(
+        [(1, 0, "upsert", "r0", "a.py", "c0", "py", "X")],
+        "seq long, epoch long, op string, repo string, path string, "
+        "commit string, lang string, content string",
+    )
+    with pytest.raises(ValueError, match="epoch_batch"):
+        replay(spark, ev, table, CheckpointStore(str(tmp_path / "c.json")),
+               epoch_batch="8")
+
+
+# -------------------------------------------------- fractional global cumsum
+
+
+def test_global_cumsum_fractional_values(spark):
+    """Running totals over a double column must match the single-partition
+    window cumsum exactly — int()-truncated per-partition offsets drifted
+    by the accumulated fraction."""
+    from pyspark.sql import Window
+
+    from fao_elt_pipelines_spark.operators.rank import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, 0.7) for i in range(100)], "id long, w double"
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in global_cumsum(df, "id", "w", "cum", num_partitions=8).collect()
+    }
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("w").over(w)).collect()
+    }
+    assert all(abs(got[i] - want[i]) < 1e-9 for i in want)
+
+
+# -------------------------------------------- streaming empty-binlog drain
+
+
+def test_stream_replay_noops_on_empty_binlog(spark, tmp_path):
+    from fao_elt_pipelines_spark.streaming.stream_replay import stream_replay
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), STATE, n_buckets=2)
+    empty = str(tmp_path / "binlog")
+    os.makedirs(empty)
+    # the normal race for a scheduled drain: dir exists, no file landed yet
+    stream_replay(spark, empty, table, str(tmp_path / "ckpt"))
+    assert table.read().count() == 0
+
+
 # -------------------------------------- connected_components cache release
 
 

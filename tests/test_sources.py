@@ -28,7 +28,7 @@ def test_sniff_encoding_latin1(tmp_path):
     p = str(tmp_path / "latin.csv")
     with open(p, "wb") as f:
         f.write("name\nCôte\n".encode("latin-1"))
-    assert R.sniff_encoding(p) == "latin-1"
+    assert R.sniff_encoding(p) == "ISO-8859-1"  # the JVM-canonical name
 
 
 def test_detect_structure_parquet(spark, sf_dir):
