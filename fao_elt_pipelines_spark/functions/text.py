@@ -25,40 +25,22 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
-def token_count(col: Column) -> Column:
-    return F.size(tokens(col))
 
 
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish sub-word count: runs of letters, runs of digits, or single
     other non-space chars — a cheap stand-in for a real tokenizer's piece
-    count."""
-    return F.size(F.regexp_extract_all(col, F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), 0))
-
-
-def shingles(tok_col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (array<string>); empty when fewer than n tokens."""
-    idx = F.sequence(F.lit(0), F.size(tok_col) - n)
-    return F.when(F.size(tok_col) >= n, F.transform(idx, lambda i: _gram(tok_col, i, n))).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
-def _gram(tok_col: Column, i: Column, n: int) -> Column:
-    # one slice + concat_ws beats n element_at lookups: higher-order
-    # lambdas run interpreted, so fewer child expressions per element
-    # directly cuts per-shingle evaluation cost (~2.7x on the profile)
-    return F.concat_ws(" ", F.slice(tok_col, i + 1, n))
+    count. Case-insensitive: 'Hello World' is 2 pieces, not 4 (an
+    uppercase letter must not break a run)."""
+    return F.size(F.regexp_extract_all(col, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0))
 
 
 def stopword_hits(tok_col: Column, words: list[str] | None = None) -> Column:
+    """Case-insensitive: 'The' at sentence start is a stopword hit —
+    lang_id/quality_score must not go blind on title-case text."""
     words = words or STOPWORDS
     arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tok_col, lambda t: F.array_contains(arr, t)))
-
-
-def distinct_token_ratio(tok_col: Column) -> Column:
-    return F.size(F.array_distinct(tok_col)) / F.size(tok_col)
+    return F.size(F.filter(tok_col, lambda t: F.array_contains(arr, F.lower(t))))
 
 
 def quality_score(text_col: Column) -> Column:

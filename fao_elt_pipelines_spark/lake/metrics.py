@@ -42,7 +42,9 @@ def metrics_df(spark: SparkSession, table: LakeTable, ref: str = "main") -> Data
                 s["operation"],
                 m.get("rows_in_delta"),
                 m.get("rows_written"),
-                len(m.get("buckets_touched", [])),
+                # MOR merges don't track touched buckets: report NULL (the
+                # column is nullable), not a flatly-wrong 0
+                len(m["buckets_touched"]) if "buckets_touched" in m else None,
                 m.get("base_files_rewritten"),
                 m.get("duration_sec"),
             )

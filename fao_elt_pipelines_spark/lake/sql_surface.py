@@ -15,6 +15,7 @@ manifest/file pruning every other reader gets.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,11 +50,14 @@ def split_statements(text: str) -> list[str]:
     """Split a SQL script into statements on ``;``, respecting quoted
     regions (``'...'`` strings, ``"..."`` strings/identifiers, backquoted
     identifiers — a ``;`` or ``--`` inside any of them is literal text, not
-    a separator) and ``--`` line comments."""
+    a separator), backslash escapes inside string quotes (Spark's default
+    ``escapedStringLiterals=false`` grammar accepts ``\\'``), ``--`` line
+    comments, and ``/* ... */`` bracketed comments."""
     out: list[str] = []
     buf: list[str] = []
     quote: str | None = None  # the open quote char, or None
     in_comment = False
+    in_block = False
     i = 0
     while i < len(text):
         ch = text[i]
@@ -61,9 +65,20 @@ def split_statements(text: str) -> list[str]:
             if ch == "\n":
                 in_comment = False
             buf.append(ch)
+        elif in_block:
+            buf.append(ch)
+            if ch == "*" and text[i + 1 : i + 2] == "/":
+                buf.append("/")
+                i += 1
+                in_block = False
         elif quote is not None:
             buf.append(ch)
-            if ch == quote:
+            if ch == "\\" and quote in "'\"" and i + 1 < len(text):
+                # backslash escape inside a string literal: the next char
+                # (possibly the quote itself) is literal text, not a close
+                buf.append(text[i + 1])
+                i += 1
+            elif ch == quote:
                 if i + 1 < len(text) and text[i + 1] == quote:  # doubled escape
                     buf.append(quote)
                     i += 1
@@ -74,6 +89,9 @@ def split_statements(text: str) -> list[str]:
             buf.append(ch)
         elif ch == "-" and text[i : i + 2] == "--":
             in_comment = True
+            buf.append(ch)
+        elif ch == "/" and text[i : i + 2] == "/*":
+            in_block = True
             buf.append(ch)
         elif ch == ";":
             stmt = "".join(buf).strip()
@@ -91,9 +109,10 @@ def split_statements(text: str) -> list[str]:
 
 def _has_sql(stmt: str) -> bool:
     """True if the statement contains anything besides comments/whitespace."""
+    no_block = re.sub(r"/\*.*?\*/", "", stmt, flags=re.S)
     return any(
         line.strip() and not line.strip().startswith("--")
-        for line in stmt.splitlines()
+        for line in no_block.splitlines()
     )
 
 

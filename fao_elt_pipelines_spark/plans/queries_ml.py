@@ -269,9 +269,9 @@ WITH toks AS (
 SELECT doc_id,
        len(t) AS n_tokens,
        len(list_distinct(t)) / len(t) AS distinct_ratio,
-       len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) / len(t) AS stopword_ratio,
+       len(list_filter(t, x -> list_contains({_STOP_SQL}, lower(x)))) / len(t) AS stopword_ratio,
        len(list_distinct(t)) / len(t) * 0.5
-         + len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) / len(t) * 0.3
+         + len(list_filter(t, x -> list_contains({_STOP_SQL}, lower(x)))) / len(t) * 0.3
          + CASE WHEN length(text) >= 100 AND length(text) <= 2000 THEN 1.0 ELSE 0.5 END * 0.2
          AS quality_score
 FROM toks
@@ -292,9 +292,9 @@ WITH toks AS (
   SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 )
 SELECT doc_id, lang,
-       CASE WHEN len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) >= 1
+       CASE WHEN len(list_filter(t, x -> list_contains({_STOP_SQL}, lower(x)))) >= 1
             THEN 'en' ELSE 'und' END AS lang_pred,
-       (CASE WHEN len(list_filter(t, x -> list_contains({_STOP_SQL}, x))) >= 1
+       (CASE WHEN len(list_filter(t, x -> list_contains({_STOP_SQL}, lower(x)))) >= 1
             THEN 'en' ELSE 'und' END) = lang AS agrees
 FROM toks
 """
@@ -322,7 +322,7 @@ WITH toks AS (
 )
 SELECT doc_id,
        len(t) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
        CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len
 FROM toks
 """
@@ -1097,8 +1097,14 @@ def q_ann_ivf_topk_matmul_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry face of the matmul ANN scale path (q_ann_ivf_topk_matmul):
     the (query, neighbor, rank) projection is oracle-exact and shares the
     HOF twin's SQL; the raw score column is dropped because numpy's
-    pairwise summation differs from SQL's left fold in the last ulp
-    (projection identity with the twin is pytest-asserted at both SFs)."""
+    pairwise summation COULD differ from SQL's left fold in the last ulp
+    (projection identity with the twin is pytest-asserted at both SFs).
+    At dim 64 every numpy reduction here is in fact bit-identical to the
+    fold (below numpy's pairwise blocksize and within this BLAS's
+    sequential microkernel) so the row SET cannot flip at a tau/rank
+    boundary either — pinned by
+    tests/test_review_fixes_r4.py::test_numpy_reductions_match_left_fold_at_dim64,
+    which fails loudly if a dim bump or BLAS change invalidates it."""
     return q_ann_ivf_topk_matmul(spark, sf_dir).select("query_id", "neighbor_id", "rnk")
 
 

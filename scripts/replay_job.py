@@ -143,6 +143,19 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("replay_job", cores=args.cores, profile=args.profile)
+    if (
+        args.generate
+        and os.path.exists(args.binlog)
+        and not os.path.exists(os.path.join(args.binlog, "_SUCCESS"))
+    ):
+        # a bare exists() check would silently reuse a partially-written
+        # binlog from a crashed generation run and replay a fraction of
+        # the requested events behind a normal-looking summary
+        raise SystemExit(
+            f"binlog dir {args.binlog} exists but has no _SUCCESS marker "
+            "(crashed generation?); remove it to regenerate or point "
+            "--binlog at a complete one"
+        )
     if args.generate and not os.path.exists(args.binlog):
         # partition count must scale with event count, not just cores:
         # a dynamic-partition parquet write holds sort buffers + one open
@@ -165,6 +178,18 @@ def main() -> None:
     else:
         table = LakeTable(spark, args.table)
     ckpt = CheckpointStore(args.checkpoint)
+
+    if args.wap_max_quarantine_ratio is not None and args.quarantine_dir is None:
+        # the audit only sees a rows_quarantined metric when quarantine is
+        # enabled, so without --quarantine-dir this gate never evaluates —
+        # surface that instead of letting an operator believe it is armed
+        # (not a hard error: harnesses legitimately pass the ratio as
+        # "gate if quarantine is armed")
+        sys.stderr.write(
+            "warning: --wap-max-quarantine-ratio has no effect without "
+            "--quarantine-dir (no rows_quarantined metric is recorded, so "
+            "the WAP quarantine-ratio audit never evaluates)\n"
+        )
 
     if args.bootstrap_snapshot:
         if args.bootstrap_watermark is None:

@@ -286,11 +286,17 @@ def main() -> None:
 
         S.register_table_view(table, args.view_name, snapshot_id=args.snapshot,
                               ref=args.ref, as_of_ms=args.as_of_ms)
+        def _name_path(spec: str, flag: str) -> tuple[str, str]:
+            name, sep, path = spec.partition("=")
+            if not sep or not name or not path:
+                raise SystemExit(f"{flag}: expected NAME=PATH, got {spec!r}")
+            return name, path
+
         for spec in args.extra_table:
-            name, _, path = spec.partition("=")
+            name, path = _name_path(spec, "--extra-table")
             S.register_table_view(LakeTable(spark, path), name)
         for spec in args.parquet:
-            name, _, path = spec.partition("=")
+            name, path = _name_path(spec, "--parquet")
             S.register_parquet_view(spark, path, name)
         if (args.statement is None) == (args.file is None):
             raise SystemExit("sql: pass exactly one of <statement> or --file")

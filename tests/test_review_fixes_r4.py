@@ -264,6 +264,35 @@ def test_global_cumsum_fractional_values(spark):
     assert all(abs(got[i] - want[i]) < 1e-9 for i in want)
 
 
+# ------------------------------------- numpy scorer vs SQL-fold bit parity
+
+
+def test_numpy_reductions_match_left_fold_at_dim64():
+    """The _np/matmul ANN twins rank/filter on numpy-summed cosine while
+    the oracle uses a left-fold; membership at the tau boundary is only
+    safe if the two agree. At dim 64 (< numpy's pairwise blocksize 128,
+    and within this BLAS's sequential microkernel) every reduction is
+    bit-identical to the fold — this test pins that assumption so a dim
+    bump or BLAS change fails loudly instead of flaking the driver
+    differential."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    A = rng.random((5000, 64), dtype=np.float32).astype(np.float64)
+    B = rng.random((5000, 64), dtype=np.float32).astype(np.float64)
+    fold = np.zeros(len(A))
+    for j in range(64):
+        fold = fold + A[:, j] * B[:, j]
+    assert (np.einsum("ij,ij->i", A, B) == fold).all()
+    assert ((A * B).sum(axis=1) == fold).all()
+    Q, C = A[:200], B[:1000]
+    mm = Q @ C.T
+    fold2 = np.zeros((200, 1000))
+    for j in range(64):
+        fold2 += np.outer(Q[:, j], C[:, j])
+    assert (mm == fold2).all()
+
+
 # -------------------------------------------- streaming empty-binlog drain
 
 
