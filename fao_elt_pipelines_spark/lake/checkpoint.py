@@ -72,4 +72,11 @@ class CheckpointStore:
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(doc, f, indent=1)
+            # fsync BEFORE the rename: without it a power loss can persist
+            # the rename while the data blocks never hit disk, leaving a
+            # truncated checkpoint that wedges every resume (and deleting
+            # it would also discard the expiry watermark that prevents
+            # tombstone resurrection)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self.path)

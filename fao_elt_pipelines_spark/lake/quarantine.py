@@ -93,7 +93,17 @@ def write_dead_letters(bad: DataFrame, quarantine_dir: str, epoch_col: str = "ep
 
 
 def read_dead_letters(spark, quarantine_dir: str) -> DataFrame | None:
-    """The quarantine table, or None before any dead letter landed."""
+    """The quarantine table, or None before any dead letter landed.
+
+    A dir that exists but holds no readable parquet (a write killed
+    between directory creation and task commit — the crash-retry scenario
+    this module's idempotency story serves) is also 'nothing landed'."""
     if not os.path.isdir(quarantine_dir):
         return None
-    return spark.read.parquet(quarantine_dir)
+    try:
+        return spark.read.parquet(quarantine_dir)
+    except Exception as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg:
+            return None
+        raise

@@ -12,11 +12,14 @@ Scale notes
 Two physical strategies for LWW, same semantics:
 
 - ``max_by`` (default): ``groupBy(keys).agg(max_by(struct(cols), seq))``.
-  This is a hash aggregate, so Spark runs a *partial* aggregate before the
-  shuffle — each map task pre-reduces its local duplicates, and the shuffle
-  carries at most one row per (key, map task). At 10^10 events with heavy
-  per-key duplication this is the difference between shuffling 10^10 rows
-  and shuffling ~|keys|·tasks rows. No sort, no skew-sensitive window.
+  Spark runs a *partial* aggregate before the shuffle — each map task
+  pre-reduces its local duplicates, and the shuffle carries at most one
+  row per (key, map task). At 10^10 events with heavy per-key duplication
+  this is the difference between shuffling 10^10 rows and shuffling
+  ~|keys|·tasks rows. That shuffle-volume property is the scale win; note
+  the struct-valued max buffer is NOT hash-aggregable, so the plan is a
+  partial/final SortAggregate pair (see operators/partial_update.py,
+  which plan-audits the same shape) — map-side combine still applies.
 - ``window``: ``row_number() OVER (PARTITION BY key ORDER BY seq DESC)=1``.
   Needed when *all* event rows per key must be ranked (e.g. keeping top-k
   versions); it sorts within partitions and shuffles every row.
@@ -88,9 +91,17 @@ def dedup_exact(df: DataFrame, content_col: str = "text", keep_col: str | None =
     """Exact dedup by content hash: one representative row per distinct
     content — the representative is the row with the smallest ``keep_col``
     (default: first column). Implemented as min_by hash-aggregate on the
-    sha256 digest: partial aggregation map-side, one shuffle on the digest."""
+    sha256 digest: partial aggregation map-side, one shuffle on the digest.
+
+    NULL content is NOT deduplicated: sha2(NULL) is NULL and a plain
+    group-by would collapse every content-less row into one surviving
+    representative — distinct documents silently dropped for merely
+    lacking text. NULL rows get a per-row key instead (all kept)."""
     keep_col = keep_col or df.columns[0]
-    h = F.sha2(F.col(content_col).cast("string"), 256)
+    h = F.when(
+        F.col(content_col).isNotNull(),
+        F.sha2(F.col(content_col).cast("string"), 256),
+    ).otherwise(F.concat(F.lit("__null__:"), F.col(keep_col).cast("string")))
     payload = list(df.columns)
     out = (
         df.withColumn("_h", h)

@@ -106,8 +106,12 @@ def _derived_binlog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lww(df: DataFrame) -> DataFrame:
-    w = Window.partitionBy("repo", "path").orderBy(F.col("seq").desc())
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # delegate to the REAL operator so the oracle differential exercises
+    # it — a private re-implementation here would let the two drift
+    # (tie-break, null ordering) with the registry still green
+    from ..operators.dedup import lww_dedup
+
+    return lww_dedup(df, keys=("repo", "path"), order_col="seq", strategy="window")
 
 
 def q_cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -965,7 +969,14 @@ def q_source_excel_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(200)
         )
         rows = [[r.doc_id, r.lang, r.text_len] for r in src.collect()]
-        write_xlsx(path, ["doc_id", "lang", "text_len"], rows)
+        # write-then-rename: a run killed mid-write must not leave a
+        # truncated workbook at the cached path for a later process (pids
+        # recycle) to treat as complete. Staleness note: the cache key has
+        # no content fingerprint — regenerating the parquet IN-PLACE at
+        # the same sf_dir within one machine/pid lifetime would serve the
+        # old workbook; fixture dirs are immutable by contract (TESTDATA.md)
+        write_xlsx(path + ".tmp", ["doc_id", "lang", "text_len"], rows)
+        os.replace(path + ".tmp", path)
     out = read_excel_chunked(spark, path, chunk_size=64)
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),

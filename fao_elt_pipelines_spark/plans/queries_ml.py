@@ -73,7 +73,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_DEDUP_EXACT = """
 SELECT doc_id, lang, source, n_chars
 FROM documents
-QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+QUALIFY row_number() OVER (
+  PARTITION BY CASE WHEN text IS NULL THEN '__null__:' || CAST(doc_id AS VARCHAR)
+               ELSE sha256(text) END
+  ORDER BY doc_id) = 1
 """
 
 

@@ -24,10 +24,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-EXPECTED_TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+try:
+    # one source of truth for the fixture table set
+    from fao_elt_pipelines_spark.plans.queries import TABLES as EXPECTED_TABLES
+except Exception:  # preflight must still run (and report) when imports break
+    EXPECTED_TABLES = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
 
 
 def check_python() -> tuple[bool, str]:

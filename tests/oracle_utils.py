@@ -10,10 +10,7 @@ from decimal import Decimal
 
 import duckdb
 
-SF_TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+from fao_elt_pipelines_spark.plans.queries import TABLES as SF_TABLES  # one source of truth
 
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:

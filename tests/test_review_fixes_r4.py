@@ -264,6 +264,35 @@ def test_global_cumsum_fractional_values(spark):
     assert all(abs(got[i] - want[i]) < 1e-9 for i in want)
 
 
+# ---------------------------------------------- dedup_exact NULL content
+
+
+def test_dedup_exact_keeps_null_content_rows(spark):
+    """Distinct documents that merely LACK content must all survive:
+    sha2(NULL) is NULL and a plain group-by collapsed every null-text row
+    into one surviving representative."""
+    from fao_elt_pipelines_spark.operators.dedup import dedup_exact
+
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    out = sorted(r["doc_id"] for r in dedup_exact(df, keep_col="doc_id").collect())
+    assert out == [1, 3, 4]
+
+
+# -------------------------------------------- quarantine dir without files
+
+
+def test_read_dead_letters_empty_dir_is_none(spark, tmp_path):
+    from fao_elt_pipelines_spark.lake.quarantine import read_dead_letters
+
+    d = str(tmp_path / "q")
+    assert read_dead_letters(spark, d) is None  # absent
+    os.makedirs(d)  # created but no parquet committed (crash mid-write)
+    assert read_dead_letters(spark, d) is None
+
+
 # ------------------------------------- numpy scorer vs SQL-fold bit parity
 
 
