@@ -98,6 +98,89 @@ FROM documents GROUP BY 1
 """
 
 
+CHUNK_K = 8  # tokens per aligned chunk (Lee et al. use 50-token windows;
+# the fixture docs are 10-99 tokens, so 8 keeps several chunks per doc)
+
+
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: drop K-token-ALIGNED chunks whose text was
+    already seen earlier in the corpus, keep the first global occurrence
+    (corpus order = (doc_id, chunk_idx)).  The chunk-aligned practical
+    approximation of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") / CCNet paragraph dedup —
+    the granularity the doc-level family (dedup_exact/minhash) can't reach.
+
+    Scale shape, in order:
+    * tokenize + posexplode + lead-window chunk assembly — whole-stage
+      codegen (the _shingle_rows pattern generalized to K leads), one
+      shuffle on doc_id (uniform key).
+    * first-occurrence = hash-agg ``min(struct(doc_id, cidx))`` per chunk
+      + equi-join back.  NOT a row_number window over the chunk partition:
+      a boilerplate chunk repeated 10^7 times would sort-shuffle every
+      occurrence into one task, while the agg pre-reduces map-side and the
+      join back is AQE-skew-splittable.
+    * per-doc reassembly — ordered string agg, one shuffle on doc_id.
+    No all-pairs anywhere; every shuffle key is either uniform (doc_id) or
+    map-side pre-reduced (chunk)."""
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    tr = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, CHUNK_K)]
+    chunks = (
+        tr.select("doc_id", "pos", F.concat_ws(" ", F.col("tok"), *leads).alias("chunk"))
+        .filter(F.col("pos") % CHUNK_K == 0)
+        .select("doc_id", (F.col("pos") / CHUNK_K).cast("int").alias("cidx"), "chunk")
+    )
+    firsts = chunks.groupBy("chunk").agg(F.min(F.struct("doc_id", "cidx")).alias("_first"))
+    kept = chunks.join(firsts, "chunk").filter(
+        (F.col("doc_id") == F.col("_first.doc_id")) & (F.col("cidx") == F.col("_first.cidx"))
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cidx", "chunk"))), lambda s: s["chunk"]
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    totals = d.select(
+        "doc_id", F.ceil(F.size(toks) / F.lit(CHUNK_K)).cast("int").alias("n_chunks")
+    )
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
+SQL_DEDUP_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS cidx,
+         array_to_string(t[(i*{CHUNK_K}+1):((i+1)*{CHUNK_K})], ' ') AS chunk
+  FROM toks, unnest(range(0, CAST(ceil(len(t)/{CHUNK_K}.0) AS BIGINT))) AS u(i)
+),
+kept AS (
+  SELECT doc_id, cidx, chunk FROM chunks
+  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) = 1
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+         string_agg(chunk, ' ' ORDER BY cidx) AS text_dedup
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(ceil(len(t.t)/{CHUNK_K}.0) AS INT) AS n_chunks,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       COALESCE(a.text_dedup, '') AS text_dedup
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+"""
+
+
 
 def _jaccard_verify(inter: DataFrame, sizes: DataFrame) -> DataFrame:
     """(doc_a, doc_b, |∩| as c) + per-doc shingle counts → verified pairs
@@ -1180,6 +1263,7 @@ SQL_EMBEDDING_NEARDUP_LSH_IDS = (
 REGISTRY_ML: dict[str, QuerySpec] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
+    "dedup_chunks": (q_dedup_chunks, SQL_DEDUP_CHUNKS),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

@@ -25,6 +25,10 @@ explicitly:
   - ``embedding_neardup_lsh`` is equated to ``embedding_neardup_lsh_np``
     (tests/test_ml_ops.py), which stays in-cap.
   - ``embedding_neardup`` is the brute baseline of the same family.
+  - ``ann_cosine_topk`` is the exact brute baseline that
+    ``ann_ivf_topk`` (in-cap) is recall-tied to
+    (tests/test_ml_ops.py::test_ivf_recall_vs_brute_force); unchanged
+    since its round-3 driver-green row.
 
   The tail rotates each round so every entry is driver-verified at least
   every other round, and every entry whose code changed is verified in the
@@ -48,9 +52,11 @@ _VERIFY_FIRST: list[str] = [
     "text_contamination",
     "multimodal_features",
     "ann_kmeans_topk",
+    "dedup_chunks",
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "ann_cosine_topk",
     "cdc_partial_update_merge",
     "dedup_ngram_jaccard",
     "ann_ivf_topk_matmul",

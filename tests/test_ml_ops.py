@@ -304,3 +304,38 @@ def test_kmeans_ivf_deterministic_and_shaped(spark, sf_dir):
         per_q.setdefault(qid, []).append(rnk)
         assert nid != qid
     assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+
+def test_dedup_chunks_semantics(spark, tmp_path):
+    """Chunk-aligned exact dedup on hand-built docs: the first global
+    occurrence (by doc_id, chunk_idx) survives, later copies drop —
+    across docs, within a doc, and for whole-doc copies; a tail chunk
+    shorter than K is a chunk like any other."""
+    from fao_elt_pipelines_spark.plans.queries_ml import CHUNK_K, q_dedup_chunks
+
+    assert CHUNK_K == 8  # the doc fixtures below are built for K=8
+    A = " ".join(f"a{i}" for i in range(8))   # doc 1 chunk 0
+    B = " ".join(f"b{i}" for i in range(8))   # doc 1 chunk 1
+    C = " ".join(f"c{i}" for i in range(8))   # doc 2's own chunk
+    D = " ".join(f"d{i}" for i in range(8))   # doc 3's repeated chunk
+    rows = [
+        (1, f"{A} {B}"),       # both chunks first -> kept 2
+        (2, f"{A} {C}"),       # chunk A seen in doc 1 -> kept 1 (C)
+        (3, f"{D} {D}"),       # intra-doc duplicate -> kept 1
+        (4, "x0 x1 x2"),       # single short tail chunk -> kept 1
+        (5, f"{A} {B}"),       # exact copy of doc 1 -> kept 0
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_dedup"])
+        for r in q_dedup_chunks(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 2, f"{A} {B}"),
+        2: (2, 1, C),
+        3: (2, 1, D),
+        4: (1, 1, "x0 x1 x2"),
+        5: (2, 0, ""),
+    }

@@ -173,3 +173,22 @@ def test_text_repetition_no_global_sort_no_python(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_chunks_agg_not_window_no_python(spark, sf_dir):
+    """Chunk dedup's first-occurrence pick is a map-side-combinable
+    aggregate + equi-join, NOT a row_number window over the chunk
+    partition (a boilerplate chunk would sort-shuffle every occurrence
+    into one task); the whole plan stays JVM-side and keyed."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_dedup_chunks
+
+    plan = _plan(q_dedup_chunks(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # the only Window is the lead() chunk assembly, partitioned by doc_id
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and set(specs) == {"doc_id"}, specs
+    # first-occurrence min(struct) runs as partial+final (map-side combine)
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
