@@ -127,11 +127,11 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, CHUNK_K)]
-    chunks = (
+    chunks = _managed_persist(
         tr.select("doc_id", "pos", F.concat_ws(" ", F.col("tok"), *leads).alias("chunk"))
         .filter(F.col("pos") % CHUNK_K == 0)
         .select("doc_id", (F.col("pos") / CHUNK_K).cast("int").alias("cidx"), "chunk")
-    )
+    )  # consumed twice (first-occurrence agg + join back): persist, don't re-explode
     firsts = chunks.groupBy("chunk").agg(F.min(F.struct("doc_id", "cidx")).alias("_first"))
     kept = chunks.join(firsts, "chunk").filter(
         (F.col("doc_id") == F.col("_first.doc_id")) & (F.col("cidx") == F.col("_first.cidx"))
