@@ -339,3 +339,40 @@ def test_dedup_chunks_semantics(spark, tmp_path):
         4: (1, 1, "x0 x1 x2"),
         5: (2, 0, ""),
     }
+
+
+def test_dedup_chunks_global_invariants(spark, sf_dir):
+    """Corpus-level bookkeeping on the real fixture: the kept-chunk count
+    equals the number of DISTINCT chunks (each distinct chunk survives
+    exactly once, somewhere), n_kept <= n_chunks per doc, and total chunk
+    count is preserved."""
+    from fao_elt_pipelines_spark.plans.queries_ml import CHUNK_K, q_dedup_chunks
+    from fao_elt_pipelines_spark.functions import text as TX
+
+    out = q_dedup_chunks(spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_chunks").alias("total"), F.sum("n_kept").alias("kept")
+    ).first()
+    assert out.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = TX.tokens(F.col("text"))
+    tr = d.select(F.posexplode(toks).alias("pos", "tok"), "doc_id")
+    n_tokens_chunks = d.select(
+        F.sum(F.ceil(F.size(toks) / F.lit(CHUNK_K))).alias("n")
+    ).first()["n"]
+    assert agg["total"] == n_tokens_chunks
+    # distinct chunk count via an independent formulation: distinct
+    # (chunk text) over the same aligned chunking
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, CHUNK_K)]
+    n_distinct = (
+        tr.select("doc_id", "pos", F.concat_ws(" ", F.col("tok"), *leads).alias("chunk"))
+        .filter(F.col("pos") % CHUNK_K == 0)
+        .select("chunk")
+        .distinct()
+        .count()
+    )
+    assert agg["kept"] == n_distinct
