@@ -102,6 +102,53 @@ CHUNK_K = 8  # tokens per aligned chunk (Lee et al. use 50-token windows;
 # the fixture docs are 10-99 tokens, so 8 keeps several chunks per doc)
 
 
+def _chunk_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-token-ALIGNED chunk rows ``(doc_id, cidx, chunk)`` — the shared
+    assembly for the sub-document dedup family (dedup_chunks,
+    dedup_boilerplate).  tokenize + posexplode + K-1 lead windows stays
+    whole-stage codegen (the _shingle_rows pattern generalized to K leads);
+    one shuffle on doc_id (uniform key, pure map-side before it)."""
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    tr = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, CHUNK_K)]
+    return (
+        tr.select("doc_id", "pos", F.concat_ws(" ", F.col("tok"), *leads).alias("chunk"))
+        .filter(F.col("pos") % CHUNK_K == 0)
+        .select("doc_id", (F.col("pos") / CHUNK_K).cast("int").alias("cidx"), "chunk")
+    )
+
+
+def _reassemble_docs(
+    spark: SparkSession, sf_dir: str, kept: DataFrame, text_alias: str
+) -> DataFrame:
+    """Per-doc ordered reassembly of surviving chunks + left join back onto
+    the full doc list so chunk-less docs survive with empty text.  One
+    shuffle on doc_id; the ordered concat is an in-group array_sort (no
+    global sort)."""
+    d = load(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cidx", "chunk"))), lambda s: s["chunk"]
+            ),
+            " ",
+        ).alias(text_alias),
+    )
+    totals = d.select(
+        "doc_id", F.ceil(F.size(toks) / F.lit(CHUNK_K)).cast("int").alias("n_chunks")
+    )
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce(text_alias, F.lit("")).alias(text_alias),
+    )
+
+
 def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup: drop K-token-ALIGNED chunks whose text was
     already seen earlier in the corpus, keep the first global occurrence
@@ -122,38 +169,13 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     * per-doc reassembly — ordered string agg, one shuffle on doc_id.
     No all-pairs anywhere; every shuffle key is either uniform (doc_id) or
     map-side pre-reduced (chunk)."""
-    d = load(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    tr = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    leads = [F.lead("tok", i).over(w) for i in range(1, CHUNK_K)]
-    chunks = _managed_persist(
-        tr.select("doc_id", "pos", F.concat_ws(" ", F.col("tok"), *leads).alias("chunk"))
-        .filter(F.col("pos") % CHUNK_K == 0)
-        .select("doc_id", (F.col("pos") / CHUNK_K).cast("int").alias("cidx"), "chunk")
-    )  # consumed twice (first-occurrence agg + join back): persist, don't re-explode
+    chunks = _managed_persist(_chunk_rows(spark, sf_dir))
+    # consumed twice (first-occurrence agg + join back): persist, don't re-explode
     firsts = chunks.groupBy("chunk").agg(F.min(F.struct("doc_id", "cidx")).alias("_first"))
     kept = chunks.join(firsts, "chunk").filter(
         (F.col("doc_id") == F.col("_first.doc_id")) & (F.col("cidx") == F.col("_first.cidx"))
     )
-    agg = kept.groupBy("doc_id").agg(
-        F.count("*").cast("int").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("cidx", "chunk"))), lambda s: s["chunk"]
-            ),
-            " ",
-        ).alias("text_dedup"),
-    )
-    totals = d.select(
-        "doc_id", F.ceil(F.size(toks) / F.lit(CHUNK_K)).cast("int").alias("n_chunks")
-    )
-    return totals.join(agg, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
-    )
+    return _reassemble_docs(spark, sf_dir, kept, "text_dedup")
 
 
 SQL_DEDUP_CHUNKS = f"""
