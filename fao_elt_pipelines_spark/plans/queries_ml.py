@@ -178,28 +178,89 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _reassemble_docs(spark, sf_dir, kept, "text_dedup")
 
 
-SQL_DEDUP_CHUNKS = f"""
-WITH toks AS (
+# Shared DuckDB CTE: K-token-aligned chunks (the _chunk_rows twin) and the
+# per-doc reassembly tail (the _reassemble_docs twin, parameterized on the
+# output text alias).  Both sub-document dedup oracles compose these.
+_CHUNK_SQL = f"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 ),
 chunks AS (
   SELECT doc_id, CAST(i AS INT) AS cidx,
          array_to_string(t[(i*{CHUNK_K}+1):((i+1)*{CHUNK_K})], ' ') AS chunk
   FROM toks, unnest(range(0, CAST(ceil(len(t)/{CHUNK_K}.0) AS BIGINT))) AS u(i)
-),
-kept AS (
-  SELECT doc_id, cidx, chunk FROM chunks
-  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) = 1
-),
-agg AS (
+)"""
+
+
+def _reassemble_sql(text_alias: str) -> str:
+    """Oracle tail: aggregate a ``kept`` CTE back to one row per document."""
+    return f"""agg AS (
   SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
-         string_agg(chunk, ' ' ORDER BY cidx) AS text_dedup
+         string_agg(chunk, ' ' ORDER BY cidx) AS {text_alias}
   FROM kept GROUP BY doc_id
 )
 SELECT t.doc_id, CAST(ceil(len(t.t)/{CHUNK_K}.0) AS INT) AS n_chunks,
        COALESCE(a.n_kept, 0) AS n_kept,
-       COALESCE(a.text_dedup, '') AS text_dedup
-FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id
+       COALESCE(a.{text_alias}, '') AS {text_alias}
+FROM toks t LEFT JOIN agg a ON t.doc_id = a.doc_id"""
+
+
+SQL_DEDUP_CHUNKS = f"""
+WITH {_CHUNK_SQL},
+kept AS (
+  SELECT doc_id, cidx, chunk FROM chunks
+  QUALIFY row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cidx) = 1
+),
+{_reassemble_sql("text_dedup")}
+"""
+
+
+BOILERPLATE_DOCS = 3  # a chunk seen in >= this many DISTINCT docs is boilerplate
+
+
+def q_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal, the complement of dedup_chunks: drop EVERY
+    occurrence of a chunk that appears in >= BOILERPLATE_DOCS distinct
+    documents (headers, footers, license banners — CCNet/RefinedWeb-style
+    cross-document boilerplate), keep all other chunks in place.  Where
+    dedup_chunks keeps the FIRST occurrence of every repeated chunk, this
+    op keeps NONE of the widely-repeated ones — the two compose into the
+    usual clean-then-dedup pipeline.
+
+    Scale shape:
+    * chunk assembly — shared _chunk_rows (codegen, one uniform shuffle).
+    * boilerplate set = countDistinct(doc_id) per chunk.  Catalyst plans
+      this as a two-phase distinct agg (partial on (chunk, doc_id), final
+      on chunk), so a banner chunk in 10^7 docs pre-reduces map-side
+      instead of funneling raw occurrences to one reducer.
+    * drop = LEFT ANTI join on chunk.  The boilerplate set is at most
+      |distinct chunks| / BOILERPLATE_DOCS and in practice tiny (128 of
+      33.7k chunk strings at sf0.1), so AQE broadcasts it — no shuffle of
+      the big side at any corpus size where boilerplate stays rare.
+    * per-doc reassembly — shared _reassemble_docs, one shuffle on doc_id.
+    """
+    chunks = _managed_persist(_chunk_rows(spark, sf_dir))
+    # consumed twice (boilerplate agg + anti join): persist, don't re-explode
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BOILERPLATE_DOCS)
+        .select("chunk")
+    )
+    kept = chunks.join(boiler, "chunk", "left_anti")
+    return _reassemble_docs(spark, sf_dir, kept, "text_clean")
+
+
+SQL_DEDUP_BOILERPLATE = f"""
+WITH {_CHUNK_SQL},
+boiler AS (
+  SELECT chunk FROM chunks GROUP BY chunk
+  HAVING count(DISTINCT doc_id) >= {BOILERPLATE_DOCS}
+),
+kept AS (
+  SELECT c.doc_id, c.cidx, c.chunk FROM chunks c
+  ANTI JOIN boiler b ON c.chunk = b.chunk
+),
+{_reassemble_sql("text_clean")}
 """
 
 
@@ -1286,6 +1347,7 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
     "dedup_chunks": (q_dedup_chunks, SQL_DEDUP_CHUNKS),
+    "dedup_boilerplate": (q_dedup_boilerplate, SQL_DEDUP_BOILERPLATE),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),

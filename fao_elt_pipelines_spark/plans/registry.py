@@ -29,6 +29,10 @@ explicitly:
     ``ann_ivf_topk`` (in-cap) is recall-tied to
     (tests/test_ml_ops.py::test_ivf_recall_vs_brute_force); unchanged
     since its round-3 driver-green row.
+  - ``windowed_event_counts`` (tumbling) is the slide=size special case
+    of ``sliding_window_counts``'s operator, equated by
+    tests/test_windows.py::test_tumbling_is_sliding_with_slide_eq_size;
+    unchanged since its round-3 driver-green row.
 
   The tail rotates each round so every entry is driver-verified at least
   every other round, and every entry whose code changed is verified in the
@@ -53,9 +57,11 @@ _VERIFY_FIRST: list[str] = [
     "multimodal_features",
     "ann_kmeans_topk",
     "dedup_chunks",
+    "dedup_boilerplate",
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "windowed_event_counts",
     "ann_cosine_topk",
     "cdc_partial_update_merge",
     "dedup_ngram_jaccard",

@@ -376,3 +376,73 @@ def test_dedup_chunks_global_invariants(spark, sf_dir):
         .count()
     )
     assert agg["kept"] == n_distinct
+
+
+def test_dedup_boilerplate_semantics(spark, tmp_path):
+    """Boilerplate removal on hand-built docs: a chunk in >= 3 distinct
+    docs drops EVERYWHERE (even its first occurrence), a chunk in 2 docs
+    stays in both, and intra-doc repeats count as ONE distinct doc so
+    they all survive — the exact complement of dedup_chunks' keep-first."""
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        BOILERPLATE_DOCS,
+        CHUNK_K,
+        q_dedup_boilerplate,
+    )
+
+    assert (CHUNK_K, BOILERPLATE_DOCS) == (8, 3)  # fixtures built for these
+    A = " ".join(f"a{i}" for i in range(8))  # in docs 1,2,3 -> boilerplate
+    B = " ".join(f"b{i}" for i in range(8))  # in docs 1,2 only -> kept
+    D = " ".join(f"d{i}" for i in range(8))  # twice in doc 3 only -> kept
+    rows = [
+        (1, f"{A} {B}"),
+        (2, f"{A} {B}"),
+        (3, f"{A} {D} {D}"),
+        (4, "x0 x1 x2"),  # unique short tail chunk -> kept
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["text_clean"])
+        for r in q_dedup_boilerplate(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (2, 1, B),
+        2: (2, 1, B),
+        3: (3, 2, f"{D} {D}"),
+        4: (1, 1, "x0 x1 x2"),
+    }
+
+
+def test_dedup_boilerplate_global_invariants(spark, sf_dir):
+    """Corpus-level bookkeeping on the real fixture: one output row per
+    document, total chunk count preserved, and dropped occurrences equal
+    an independent count of occurrences of chunks spanning >=
+    BOILERPLATE_DOCS distinct docs."""
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        BOILERPLATE_DOCS,
+        _chunk_rows,
+        q_dedup_boilerplate,
+    )
+
+    out = q_dedup_boilerplate(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert out.count() == n_docs
+    assert out.filter(F.col("n_kept") > F.col("n_chunks")).count() == 0
+
+    agg = out.agg(F.sum("n_chunks").alias("total"), F.sum("n_kept").alias("kept")).first()
+    chunks = _chunk_rows(spark, sf_dir)
+    stats = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"), F.count("*").alias("occ"))
+        .agg(
+            F.sum("occ").alias("total_occ"),
+            F.sum(F.when(F.col("nd") >= BOILERPLATE_DOCS, F.col("occ")).otherwise(0)).alias(
+                "boiler_occ"
+            ),
+        )
+        .first()
+    )
+    assert agg["total"] == stats["total_occ"]
+    assert stats["boiler_occ"] > 0, "fixture must exercise the drop path"
+    assert agg["kept"] == stats["total_occ"] - stats["boiler_occ"]

@@ -192,3 +192,21 @@ def test_dedup_chunks_agg_not_window_no_python(spark, sf_dir):
     assert specs and set(specs) == {"doc_id"}, specs
     # first-occurrence min(struct) runs as partial+final (map-side combine)
     assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_dedup_boilerplate_broadcast_anti_no_python(spark, sf_dir):
+    """Boilerplate removal's drop step is a broadcast LEFT ANTI equi-join
+    on chunk (the boilerplate set is tiny by construction, so the big side
+    never shuffles for it), the distinct-doc count is a two-phase agg
+    (map-side combine on (chunk, doc_id)), and the plan stays JVM-side."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_dedup_boilerplate
+
+    plan = _plan(q_dedup_boilerplate(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the only Window is the lead() chunk assembly, partitioned by doc_id
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
+    assert specs and set(specs) == {"doc_id"}, specs
