@@ -188,6 +188,53 @@ def bucket_pair_scores(
     return b.groupBy(bucket_col).applyInPandas(score, schema)
 
 
+def shingle_rows(docs_df: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (doc, word-3-gram shingle) rows from a document frame.
+
+    posexplode + lead-window + concat_ws stays inside whole-stage codegen
+    (higher-order-function lambdas evaluate interpreted, measured ~5x
+    slower); one shuffle on the doc key (uniform), pure map-side before
+    it. Shared by the batch dedup queries and the incremental LSH index
+    (which re-derives shingles for CANDIDATE docs only instead of storing
+    the corpus's shingle sets)."""
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    tr = docs_df.select(doc_col, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"))
+    w = Window.partitionBy(doc_col).orderBy("pos")
+    lead1, lead2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
+    return (
+        tr.select(
+            doc_col,
+            F.concat_ws(" ", F.col("tok"), lead1, lead2).alias("shingle"),
+            lead2.isNotNull().alias("_full"),
+        )
+        .filter("_full")
+        .drop("_full")
+        .distinct()
+    )
+
+
+def jaccard_verify(inter: DataFrame, sizes: DataFrame, tau: float) -> DataFrame:
+    """(doc_a, doc_b, |∩| as c) + per-doc shingle counts (doc_id, n) →
+    verified pairs at jaccard >= tau. ONE definition shared by the brute
+    baseline, the batch LSH path, and the incremental index so no caller
+    can silently compute a different "jaccard" (|∩| / (|A|+|B|-|∩|),
+    all-integer inputs, one double division → engine-identical vs the
+    DuckDB oracle)."""
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
 def minhash_signature(sh_df: DataFrame, doc_col: str, shingle_col: str, k: int = 8) -> DataFrame:
     """From exploded distinct (doc, shingle) rows to one row per doc with
     columns h0..h{k-1} (lexicographic-min md5 per permutation)."""

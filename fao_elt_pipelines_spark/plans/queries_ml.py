@@ -37,27 +37,10 @@ sh AS (
 
 
 def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, word-3-gram) rows via posexplode + lead window.
-
-    Equivalent to ``explode(TX.shingles(tokens))`` but ~5x faster here:
-    higher-order-function lambdas evaluate interpreted, while posexplode +
-    lead + concat_ws stay inside whole-stage codegen — worth the extra
-    shuffle on doc_id (uniform key, pure map-side before it)."""
-    d = load(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    tr = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    lead1, lead2 = F.lead("tok", 1).over(w), F.lead("tok", 2).over(w)
-    return (
-        tr.select(
-            "doc_id",
-            F.concat_ws(" ", F.col("tok"), lead1, lead2).alias("shingle"),
-            lead2.isNotNull().alias("_full"),
-        )
-        .filter("_full")
-        .drop("_full")
-        .distinct()
-    )
+    """Distinct (doc_id, word-3-gram) rows over the documents fixture —
+    the (spark, sf_dir) binding of the shared SIM.shingle_rows (see its
+    docstring for the codegen-vs-HOF rationale)."""
+    return SIM.shingle_rows(load(spark, sf_dir, "documents"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,20 +249,9 @@ kept AS (
 
 
 def _jaccard_verify(inter: DataFrame, sizes: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, |∩| as c) + per-doc shingle counts → verified pairs
-    at jaccard >= JACCARD_TAU. ONE definition shared by the brute baseline
-    and the LSH path so the two can never silently compute a different
-    "jaccard" (|∩| / (|A|+|B|-|∩|), all-integer inputs, one double
-    division → engine-identical vs the DuckDB oracle)."""
-    return (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-        .select(
-            "doc_a", "doc_b",
-            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= JACCARD_TAU)
-    )
+    """SIM.jaccard_verify bound to this module's JACCARD_TAU (see its
+    docstring — one shared definition across brute/LSH/incremental)."""
+    return SIM.jaccard_verify(inter, sizes, JACCARD_TAU)
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +310,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     return _jaccard_verify(inter, sizes)
+
+
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup-on-ingest (operators/incremental_dedup.py): the
+    corpus arrives as THREE batches (doc_id % 3 — any split works); each
+    batch is checked against the LSH index built from the previous ones
+    and contributes its band/size rows. The union of per-batch emissions
+    must equal the one-shot batch query's pair set, so this entry SHARES
+    dedup_minhash_lsh's DuckDB oracle — the driver row certifies the
+    incremental path end-to-end against batch-mode SQL.
+
+    Scale notes live on the operator: the index stores bands + sizes (not
+    shingle sets); verification re-shingles CANDIDATE docs only via
+    key-lookup into the corpus."""
+    from ..operators.incremental_dedup import ingest_batch, shingles_from_corpus
+
+    release_caches()
+    corpus = load(spark, sf_dir, "documents")
+    shf = shingles_from_corpus(corpus)
+    index_bands = index_sizes = None
+    out = None
+    for b in range(3):
+        batch = corpus.filter(F.col("doc_id") % 3 == b).select("doc_id", "text")
+        batch_sh = _managed_persist(SIM.shingle_rows(batch))
+        pairs, bands_b, sizes_b = ingest_batch(batch_sh, index_bands, index_sizes, shf,
+                                               k=8, rows_per_band=2, tau=JACCARD_TAU)
+        _managed_persist(bands_b)
+        _managed_persist(sizes_b)
+        out = pairs if out is None else out.unionByName(pairs)
+        index_bands = bands_b if index_bands is None else index_bands.unionByName(bands_b)
+        index_sizes = sizes_b if index_sizes is None else index_sizes.unionByName(sizes_b)
+    return out
 
 
 # shared CTE body: shingles → minhash sigs → bands → verified near-dup
@@ -1350,6 +1354,8 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "dedup_boilerplate": (q_dedup_boilerplate, SQL_DEDUP_BOILERPLATE),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    # incremental ≡ batch by construction; certified by the SAME oracle
+    "dedup_minhash_incremental": (q_dedup_minhash_incremental, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),

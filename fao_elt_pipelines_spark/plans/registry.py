@@ -33,6 +33,19 @@ explicitly:
     of ``sliding_window_counts``'s operator, equated by
     tests/test_windows.py::test_tumbling_is_sliding_with_slide_eq_size;
     unchanged since its round-3 driver-green row.
+  - ``dedup_clusters``'s oracle composes the same _MINHASH_PAIR_CTES as
+    ``dedup_minhash_lsh``/``dedup_minhash_incremental`` (in-cap), and its
+    own contribution (connected components) has dedicated convergence /
+    chain / island tests (tests/test_ml_ops.py); unchanged since its
+    round-3 driver-green row.
+
+  One documented exception to (b): ``dedup_ngram_jaccard`` was touched in
+  round 4 by a delegation-only refactor (its shingle/jaccard helpers now
+  call the shared functions/similarity.py definitions instead of private
+  twins — same plan, same output). Output equality is pinned every pytest
+  run by the in-repo 58-way oracle differential plus its LSH-equivalence
+  twin test, so it keeps its tail seat rather than displacing a
+  never-verified entry from the cap.
 
   The tail rotates each round so every entry is driver-verified at least
   every other round, and every entry whose code changed is verified in the
@@ -58,9 +71,13 @@ _VERIFY_FIRST: list[str] = [
     "ann_kmeans_topk",
     "dedup_chunks",
     "dedup_boilerplate",
+    "dedup_minhash_incremental",
+    "dedup_minhash_lsh",  # round-4 delegation refactor — re-verify
+    "cdc_lww_state",  # round-4 lww_dedup delegation — re-verify
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "dedup_clusters",
     "windowed_event_counts",
     "ann_cosine_topk",
     "cdc_partial_update_merge",

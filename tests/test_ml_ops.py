@@ -446,3 +446,72 @@ def test_dedup_boilerplate_global_invariants(spark, sf_dir):
     assert agg["total"] == stats["total_occ"]
     assert stats["boiler_occ"] > 0, "fixture must exercise the drop path"
     assert agg["kept"] == stats["total_occ"] - stats["boiler_occ"]
+
+
+def _batch_pair_set(df):
+    return {(r["doc_a"], r["doc_b"], round(r["jaccard"], 12)) for r in df.collect()}
+
+
+def test_incremental_lsh_index_matches_batch(spark, sf_dir, tmp_path):
+    """Parquet-backed incremental ingest over an ARBITRARY split (contiguous
+    doc_id ranges — deliberately different from the registry entry's
+    doc_id %% 3) emits, across batches, exactly the batch-mode pair set.
+    Each ingest is a separate action against state re-read from disk, so
+    this also exercises restart survival."""
+    from fao_elt_pipelines_spark.operators.incremental_dedup import (
+        LshIndex,
+        shingles_from_corpus,
+    )
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        JACCARD_TAU,
+        q_dedup_minhash_lsh,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lo, hi = corpus.agg(F.min("doc_id"), F.max("doc_id")).first()
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    splits = [
+        F.col("doc_id") <= t1,
+        (F.col("doc_id") > t1) & (F.col("doc_id") <= t2),
+        F.col("doc_id") > t2,
+    ]
+    idx = LshIndex(spark, str(tmp_path / "lsh"), tau=JACCARD_TAU)
+    shf = shingles_from_corpus(corpus)
+    per_batch = []
+    for i, cond in enumerate(splits):
+        got = idx.ingest(corpus.filter(cond).select("doc_id", "text"), shf, i)
+        per_batch.append(_batch_pair_set(got))
+    want = _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
+    assert _batch_pair_set(idx.all_pairs()) == want
+    # emissions are disjoint per batch (each pair exactly once) and
+    # the later batches DO emit cross-batch pairs (the old_new path runs)
+    assert sum(len(s) for s in per_batch) == len(want)
+    later = {(a, b) for s in per_batch[1:] for (a, b, _) in s}
+    assert any(a <= t2 < b or a <= t1 < b for (a, b) in later), "fixture must exercise old×new"
+
+
+def test_incremental_lsh_index_rerun_idempotent(spark, sf_dir, tmp_path):
+    """Re-running a batch id AFTER its bands/sizes already joined the index
+    (the crash-between-write-and-advance shape) leaves the emitted pair
+    set unchanged: pairs overwrite per batch id, duplicate band rows
+    collapse in the candidate distinct, duplicate size rows dedup on
+    read."""
+    from fao_elt_pipelines_spark.operators.incremental_dedup import (
+        LshIndex,
+        shingles_from_corpus,
+    )
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        JACCARD_TAU,
+        q_dedup_minhash_lsh,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = LshIndex(spark, str(tmp_path / "lsh"), tau=JACCARD_TAU)
+    shf = shingles_from_corpus(corpus)
+    for b in range(2):
+        idx.ingest(corpus.filter(F.col("doc_id") % 2 == b).select("doc_id", "text"), shf, b)
+    before = _batch_pair_set(idx.all_pairs())
+    # crash-rerun: batch 1's bands/sizes are already in the index
+    idx.ingest(corpus.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"), shf, 1)
+    assert _batch_pair_set(idx.all_pairs()) == before
+    assert before == _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))

@@ -210,3 +210,14 @@ def test_dedup_boilerplate_broadcast_anti_no_python(spark, sf_dir):
 
     specs = re.findall(r"windowspecdefinition\((\w+)#", plan)
     assert specs and set(specs) == {"doc_id"}, specs
+
+
+def test_dedup_minhash_incremental_keyed_joins_no_python(spark, sf_dir):
+    """Every join in the incremental ingest plan is keyed — band buckets
+    (band_id, band_val), doc ids, (doc, shingle) — never a cartesian
+    product, and the whole path stays JVM-side."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_dedup_minhash_incremental
+
+    plan = _plan(q_dedup_minhash_incremental(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
