@@ -70,15 +70,20 @@ def ingest_batch(
     k: int = 8,
     rows_per_band: int = 2,
     tau: float = 0.5,
+    persist_fn: Callable[[DataFrame], DataFrame] = lambda df: df,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest step: (batch shingle rows, index so far) → (verified
     pairs whose newest member is in this batch, this batch's band rows,
-    this batch's size rows). Pure plan construction — the caller owns
-    persistence: ``batch_sh`` is consumed twice (signature + sizes) and
-    the returned band frame three times (self-join both sides + index
-    join), so persist both before triggering actions (Spark's cache
-    manager matches by logical plan, so marking them persisted after this
-    returns still dedupes the work)."""
+    this batch's size rows). Plan construction only — the caller owns
+    persistence of its inputs: ``batch_sh`` is consumed twice (signature
+    + sizes) and the returned band frame three times (self-join both
+    sides + index join), so persist both before triggering actions
+    (Spark's cache manager matches by logical plan, so marking them
+    persisted after this returns still dedupes the work). ``persist_fn``
+    is applied to the two intermediates this function branches over
+    internally (the candidate set, consumed 3×, and the looked-up
+    candidate shingles, consumed by both verify joins) — pass a persist
+    wrapper there or the shingle lookup re-runs per reference."""
     sig = SIM.minhash_signature(batch_sh, "doc_id", "shingle", k=k)
     bands_b = SIM.lsh_bands(sig, "doc_id", k=k, rows_per_band=rows_per_band)
     sizes_b = batch_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -97,10 +102,11 @@ def ingest_batch(
         )
         cand = cand.unionByName(old_new).distinct()
 
+    cand = persist_fn(cand)
     ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
         cand.select(F.col("doc_b").alias("doc_id"))
     )
-    sh_needed = shingles_for(ids)
+    sh_needed = persist_fn(shingles_for(ids))
     inter = (
         cand.join(sh_needed.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
         .join(
@@ -150,7 +156,13 @@ class LshIndex:
         """Ingest one batch of (doc_id, text) rows; returns the batch's
         verified near-dup pairs (materialized under pairs/batch=<id>).
         Re-running a batch id is idempotent on the pairs output."""
-        batch_sh = SIM.shingle_rows(batch_docs).persist()
+        cached: list[DataFrame] = []
+
+        def _persist(df: DataFrame) -> DataFrame:
+            cached.append(df.persist())
+            return df
+
+        batch_sh = _persist(SIM.shingle_rows(batch_docs))
         pairs, bands_b, sizes_b = ingest_batch(
             batch_sh,
             self._read_or_none("bands"),
@@ -159,16 +171,17 @@ class LshIndex:
             k=self.k,
             rows_per_band=self.rows_per_band,
             tau=self.tau,
+            persist_fn=_persist,
         )
-        bands_b = bands_b.persist()
+        _persist(bands_b)
         try:
             out = os.path.join(self._dir("pairs"), f"batch={batch_id}")
             pairs.write.mode("overwrite").parquet(out)
             bands_b.write.mode("append").parquet(self._dir("bands"))
             sizes_b.write.mode("append").parquet(self._dir("sizes"))
         finally:
-            bands_b.unpersist()
-            batch_sh.unpersist()
+            for df in cached:
+                df.unpersist()
         return self.spark.read.parquet(out)
 
     def all_pairs(self) -> DataFrame:

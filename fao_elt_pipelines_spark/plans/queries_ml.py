@@ -327,7 +327,9 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.incremental_dedup import ingest_batch, shingles_from_corpus
 
     release_caches()
-    corpus = load(spark, sf_dir, "documents")
+    # the corpus feeds every batch filter AND every candidate lookup
+    # (6 scans over the 3 batches) — persist it once
+    corpus = _managed_persist(load(spark, sf_dir, "documents"))
     shf = shingles_from_corpus(corpus)
     index_bands = index_sizes = None
     out = None
@@ -335,7 +337,8 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = corpus.filter(F.col("doc_id") % 3 == b).select("doc_id", "text")
         batch_sh = _managed_persist(SIM.shingle_rows(batch))
         pairs, bands_b, sizes_b = ingest_batch(batch_sh, index_bands, index_sizes, shf,
-                                               k=8, rows_per_band=2, tau=JACCARD_TAU)
+                                               k=8, rows_per_band=2, tau=JACCARD_TAU,
+                                               persist_fn=_managed_persist)
         _managed_persist(bands_b)
         _managed_persist(sizes_b)
         out = pairs if out is None else out.unionByName(pairs)
