@@ -130,7 +130,19 @@ class LshIndex:
     index, so a crash mid-ingest re-runs the batch with, at worst, its own
     band/size rows already present — which the read paths make harmless
     (pairs overwrite per batch id; duplicate band rows collapse in the
-    candidate ``distinct``; sizes dedup on read by max per doc)."""
+    candidate ``distinct``; sizes dedup on read by max per doc). Within
+    the index append, sizes land BEFORE bands: a doc visible as a
+    candidate (bands present) therefore always has its size row, so a
+    half-appended crash can never silently drop that doc's verified pairs
+    in a later batch — the worst partial state (sizes without bands) is
+    inert.
+
+    Contract: the corpus is append-only and docs are immutable — a doc_id,
+    once ingested, must never be re-offered with DIFFERENT text (the index
+    has no retraction path for its old bands; crash-rerun of the same
+    batch content is fine and tested). The CDC-update form (retract +
+    re-index on content change) would hang a changelog feed in front of
+    this operator; out of scope here."""
 
     spark: SparkSession
     root: str
@@ -177,8 +189,9 @@ class LshIndex:
         try:
             out = os.path.join(self._dir("pairs"), f"batch={batch_id}")
             pairs.write.mode("overwrite").parquet(out)
-            bands_b.write.mode("append").parquet(self._dir("bands"))
+            # sizes BEFORE bands — see the class docstring's crash invariant
             sizes_b.write.mode("append").parquet(self._dir("sizes"))
+            bands_b.write.mode("append").parquet(self._dir("bands"))
         finally:
             for df in cached:
                 df.unpersist()

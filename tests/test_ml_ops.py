@@ -515,3 +515,42 @@ def test_incremental_lsh_index_rerun_idempotent(spark, sf_dir, tmp_path):
     idx.ingest(corpus.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"), shf, 1)
     assert _batch_pair_set(idx.all_pairs()) == before
     assert before == _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
+
+
+def test_incremental_lsh_index_half_append_is_inert(spark, sf_dir, tmp_path):
+    """The worst mid-ingest crash state (a batch's SIZES appended, bands
+    not — the write order guarantees bands-without-sizes can't happen)
+    must be inert: a later batch over different docs verifies exactly the
+    pairs of the docs whose bands ARE present, never silently dropping or
+    inventing pairs because of the orphan size rows."""
+    from fao_elt_pipelines_spark.operators.incremental_dedup import (
+        LshIndex,
+        shingles_from_corpus,
+    )
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        JACCARD_TAU,
+        q_dedup_minhash_lsh,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = LshIndex(spark, str(tmp_path / "lsh"), tau=JACCARD_TAU)
+    shf = shingles_from_corpus(corpus)
+    b0 = corpus.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    b1 = corpus.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    b2 = corpus.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    idx.ingest(b0, shf, 0)
+    # simulate the crash: batch 1's sizes land, bands never do
+    from fao_elt_pipelines_spark.functions import similarity as SIM
+
+    SIM.shingle_rows(b1).groupBy("doc_id").agg(F.count("*").alias("n")).write.mode(
+        "append"
+    ).parquet(str(tmp_path / "lsh" / "sizes"))
+    idx.ingest(b2, shf, 2)
+    got = _batch_pair_set(idx.all_pairs())
+    want_all = _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
+    b1_ids = {r["doc_id"] for r in b1.select("doc_id").collect()}
+    want_visible = {(a, b, j) for (a, b, j) in want_all if a not in b1_ids and b not in b1_ids}
+    assert got == want_visible
+    # recovery: re-run the crashed batch; the full set is restored
+    idx.ingest(b1, shf, 1)
+    assert _batch_pair_set(idx.all_pairs()) == want_all
