@@ -106,6 +106,10 @@ def ingest_batch(
     ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
         cand.select(F.col("doc_b").alias("doc_id"))
     )
+    # one lookup covers BOTH sides' candidate docs (a batch-side/old-side
+    # split reusing batch_sh for the new side was measured slower — the
+    # extra semi/anti/union stages cost more than the saved re-shingle,
+    # and the corpus key-join scans the same files either way)
     sh_needed = persist_fn(shingles_for(ids))
     inter = (
         cand.join(sh_needed.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
