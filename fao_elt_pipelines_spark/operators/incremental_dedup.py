@@ -30,9 +30,12 @@ Scale design (what the index stores, and what it does NOT):
   verify (O(|candidate docs| · avg_shingles)). Nothing touches
   non-candidate history; per-batch cost scales with the batch and its
   collision neighborhood, not with corpus size.
-* Emission is exactly-once per pair by construction: a pair surfaces only
-  in the batch of its newer member (new×index) or their shared batch
-  (new×new), never again — no cross-batch dedup of emissions is needed.
+* Emission is exactly-once per pair: a pair surfaces only in the batch of
+  its newer member (new×index) or their shared batch (new×new). Docs the
+  index already knows are anti-joined out of the incoming batch before
+  anything else, so an at-least-once upstream re-offering an ingested doc
+  (same text — see LshIndex's contract) contributes nothing new and never
+  re-emits its historical pairs.
 """
 
 from __future__ import annotations
@@ -71,6 +74,7 @@ def ingest_batch(
     rows_per_band: int = 2,
     tau: float = 0.5,
     persist_fn: Callable[[DataFrame], DataFrame] = lambda df: df,
+    assume_disjoint: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest step: (batch shingle rows, index so far) → (verified
     pairs whose newest member is in this batch, this batch's band rows,
@@ -84,6 +88,15 @@ def ingest_batch(
     internally (the candidate set, consumed 3×, and the looked-up
     candidate shingles, consumed by both verify joins) — pass a persist
     wrapper there or the shingle lookup re-runs per reference."""
+    if index_bands is not None and not assume_disjoint:
+        # drop docs the index already knows (anti on the band rows' doc
+        # ids — no distinct needed for an anti join): an at-least-once
+        # upstream re-offering an ingested doc must be a no-op, not a
+        # re-emission of all its historical pairs. ``assume_disjoint``
+        # skips this pass-through scan when the CALLER partitions the
+        # stream (exactly-once upstream / key-ranged batches) — with
+        # overlapping input it would re-emit, so LshIndex never sets it.
+        batch_sh = batch_sh.join(index_bands.select("doc_id"), "doc_id", "left_anti")
     sig = SIM.minhash_signature(batch_sh, "doc_id", "shingle", k=k)
     bands_b = SIM.lsh_bands(sig, "doc_id", k=k, rows_per_band=rows_per_band)
     sizes_b = batch_sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -120,33 +133,44 @@ def ingest_batch(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
-    sizes_all = sizes_b if index_sizes is None else index_sizes.unionByName(sizes_b)
+    # batch rows win on overlap: after a sizes-landed-bands-didn't crash
+    # the rerun batch's docs exist in index_sizes too, and a plain union
+    # would give them TWO size rows — jaccard_verify's inner joins would
+    # then fan every such pair out 2-4x (duplicate pair ROWS, set-equal
+    # but multiset-wrong)
+    sizes_all = (
+        sizes_b
+        if index_sizes is None
+        else index_sizes.join(sizes_b.select("doc_id"), "doc_id", "left_anti").unionByName(
+            sizes_b
+        )
+    )
     pairs = SIM.jaccard_verify(inter, sizes_all, tau)
     return pairs, bands_b, sizes_b
 
 
 @dataclass
 class LshIndex:
-    """Parquet-backed LSH index: survives process restarts, appends one
-    file-set per batch (bands/, sizes/, pairs/batch=<id>/). Write order
-    mirrors the lake's write-then-advance discipline at miniature scale:
-    a batch's pairs are fully materialized BEFORE its bands/sizes join the
-    index, so a crash mid-ingest re-runs the batch with, at worst, its own
-    band/size rows already present — which the read paths make harmless
-    (pairs overwrite per batch id; duplicate band rows collapse in the
-    candidate ``distinct``; sizes dedup on read by max per doc). Within
-    the index append, sizes land BEFORE bands: a doc visible as a
-    candidate (bands present) therefore always has its size row, so a
-    half-appended crash can never silently drop that doc's verified pairs
-    in a later batch — the worst partial state (sizes without bands) is
-    inert.
+    """Parquet-backed LSH index: survives process restarts; per batch it
+    OVERWRITES three dirs (pairs/batch=<id>, sizes/batch=<id>,
+    bands/batch=<id>) and then atomically drops a commit marker
+    (commits/<id>, temp-write + rename). Reads — both the candidate index
+    inside ingest and ``all_pairs`` — see COMMITTED batches only, so every
+    crash state is simply invisible: a rerun of an uncommitted batch
+    recomputes against the same committed index and overwrites the partial
+    dirs; a rerun of a committed batch short-circuits to its existing
+    pairs. This is the lake's write-then-advance discipline (lake/
+    table.py) at miniature scale, and it makes the pairs output exact as
+    a MULTISET (no duplicate rows under any rerun), not just as a set.
 
     Contract: the corpus is append-only and docs are immutable — a doc_id,
-    once ingested, must never be re-offered with DIFFERENT text (the index
-    has no retraction path for its old bands; crash-rerun of the same
-    batch content is fine and tested). The CDC-update form (retract +
-    re-index on content change) would hang a changelog feed in front of
-    this operator; out of scope here."""
+    once committed, must never be re-offered with DIFFERENT text (the
+    index has no retraction path for its old bands). Re-offering with the
+    SAME text under a new batch id is a no-op for that doc (ingest_batch
+    anti-joins known docs out), so an at-least-once upstream never
+    re-emits a pair. The CDC-update form (retract + re-index on content
+    change) would hang a changelog feed in front of this operator; out of
+    scope here."""
 
     spark: SparkSession
     root: str
@@ -154,24 +178,35 @@ class LshIndex:
     rows_per_band: int = 2
     tau: float = 0.5
 
-    def _dir(self, name: str) -> str:
-        return os.path.join(self.root, name)
+    def _dir(self, *parts: str) -> str:
+        return os.path.join(self.root, *parts)
 
-    def _read_or_none(self, name: str) -> DataFrame | None:
-        path = self._dir(name)
-        if not any(f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs):
+    def _committed(self) -> list[str]:
+        path = self._dir("commits")
+        if not os.path.isdir(path):
+            return []
+        return sorted(os.listdir(path))
+
+    def _mark_committed(self, batch_id: int) -> None:
+        os.makedirs(self._dir("commits"), exist_ok=True)
+        tmp = self._dir("commits", f".{batch_id}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("committed\n")
+        os.rename(tmp, self._dir("commits", str(batch_id)))
+
+    def _read_committed(self, name: str) -> DataFrame | None:
+        dirs = [self._dir(name, f"batch={b}") for b in self._committed()]
+        dirs = [d for d in dirs if os.path.isdir(d)]
+        if not dirs:
             return None
-        df = self.spark.read.parquet(path)
-        if name == "sizes":
-            # idempotent under a crash-rerun double append: per-doc shingle
-            # counts are immutable, so max == the single true value
-            df = df.groupBy("doc_id").agg(F.max("n").alias("n"))
-        return df
+        return self.spark.read.parquet(*dirs)
 
     def ingest(self, batch_docs: DataFrame, shingles_for: ShinglesFor, batch_id: int) -> DataFrame:
         """Ingest one batch of (doc_id, text) rows; returns the batch's
-        verified near-dup pairs (materialized under pairs/batch=<id>).
-        Re-running a batch id is idempotent on the pairs output."""
+        verified near-dup pairs. Idempotent per batch id: a committed id
+        short-circuits, an uncommitted rerun recomputes and overwrites."""
+        if str(batch_id) in self._committed():
+            return self.spark.read.parquet(self._dir("pairs", f"batch={batch_id}"))
         cached: list[DataFrame] = []
 
         def _persist(df: DataFrame) -> DataFrame:
@@ -181,8 +216,8 @@ class LshIndex:
         batch_sh = _persist(SIM.shingle_rows(batch_docs))
         pairs, bands_b, sizes_b = ingest_batch(
             batch_sh,
-            self._read_or_none("bands"),
-            self._read_or_none("sizes"),
+            self._read_committed("bands"),
+            self._read_committed("sizes"),
             shingles_for,
             k=self.k,
             rows_per_band=self.rows_per_band,
@@ -191,15 +226,18 @@ class LshIndex:
         )
         _persist(bands_b)
         try:
-            out = os.path.join(self._dir("pairs"), f"batch={batch_id}")
+            out = self._dir("pairs", f"batch={batch_id}")
             pairs.write.mode("overwrite").parquet(out)
-            # sizes BEFORE bands — see the class docstring's crash invariant
-            sizes_b.write.mode("append").parquet(self._dir("sizes"))
-            bands_b.write.mode("append").parquet(self._dir("bands"))
+            sizes_b.write.mode("overwrite").parquet(self._dir("sizes", f"batch={batch_id}"))
+            bands_b.write.mode("overwrite").parquet(self._dir("bands", f"batch={batch_id}"))
+            self._mark_committed(batch_id)
         finally:
             for df in cached:
                 df.unpersist()
         return self.spark.read.parquet(out)
 
     def all_pairs(self) -> DataFrame:
-        return self.spark.read.parquet(self._dir("pairs")).drop("batch")
+        pairs = self._read_committed("pairs")
+        if pairs is None:
+            raise ValueError("LshIndex.all_pairs: no committed batches")
+        return pairs

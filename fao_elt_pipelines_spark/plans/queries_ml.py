@@ -336,9 +336,12 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(3):
         batch = corpus.filter(F.col("doc_id") % 3 == b).select("doc_id", "text")
         batch_sh = _managed_persist(SIM.shingle_rows(batch))
+        # doc_id % 3 batches are disjoint by construction, so the
+        # redelivery anti-join may be skipped (ingest_batch's contract)
         pairs, bands_b, sizes_b = ingest_batch(batch_sh, index_bands, index_sizes, shf,
                                                k=8, rows_per_band=2, tau=JACCARD_TAU,
-                                               persist_fn=_managed_persist)
+                                               persist_fn=_managed_persist,
+                                               assume_disjoint=True)
         _managed_persist(bands_b)
         _managed_persist(sizes_b)
         out = pairs if out is None else out.unionByName(pairs)

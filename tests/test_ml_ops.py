@@ -483,6 +483,7 @@ def test_incremental_lsh_index_matches_batch(spark, sf_dir, tmp_path):
         per_batch.append(_batch_pair_set(got))
     want = _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
     assert _batch_pair_set(idx.all_pairs()) == want
+    assert idx.all_pairs().count() == len(want)  # multiset: no duplicate rows
     # emissions are disjoint per batch (each pair exactly once) and
     # the later batches DO emit cross-batch pairs (the old_new path runs)
     assert sum(len(s) for s in per_batch) == len(want)
@@ -490,12 +491,15 @@ def test_incremental_lsh_index_matches_batch(spark, sf_dir, tmp_path):
     assert any(a <= t2 < b or a <= t1 < b for (a, b) in later), "fixture must exercise old×new"
 
 
-def test_incremental_lsh_index_rerun_idempotent(spark, sf_dir, tmp_path):
-    """Re-running a batch id AFTER its bands/sizes already joined the index
-    (the crash-between-write-and-advance shape) leaves the emitted pair
-    set unchanged: pairs overwrite per batch id, duplicate band rows
-    collapse in the candidate distinct, duplicate size rows dedup on
-    read."""
+def test_incremental_lsh_index_rerun_is_multiset_exact(spark, sf_dir, tmp_path):
+    """Reruns must leave the pairs output exact as a MULTISET, not just a
+    set: (a) re-running a COMMITTED batch id short-circuits; (b) re-running
+    an UNCOMMITTED batch (crash shape: data dirs written, marker missing)
+    recomputes against the committed index and overwrites its partial
+    output. Row counts are asserted so duplicate-row fanout can't hide
+    behind set comparison."""
+    import os
+
     from fao_elt_pipelines_spark.operators.incremental_dedup import (
         LshIndex,
         shingles_from_corpus,
@@ -510,19 +514,25 @@ def test_incremental_lsh_index_rerun_idempotent(spark, sf_dir, tmp_path):
     shf = shingles_from_corpus(corpus)
     for b in range(2):
         idx.ingest(corpus.filter(F.col("doc_id") % 2 == b).select("doc_id", "text"), shf, b)
-    before = _batch_pair_set(idx.all_pairs())
-    # crash-rerun: batch 1's bands/sizes are already in the index
+    want = _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
+    assert _batch_pair_set(idx.all_pairs()) == want
+    assert idx.all_pairs().count() == len(want)  # multiset: no duplicate rows
+    # (a) committed rerun: short-circuit, nothing changes
     idx.ingest(corpus.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"), shf, 1)
-    assert _batch_pair_set(idx.all_pairs()) == before
-    assert before == _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
+    assert idx.all_pairs().count() == len(want)
+    assert _batch_pair_set(idx.all_pairs()) == want
+    # (b) uncommitted rerun: drop batch 1's marker (crash just before
+    # commit — its pairs/sizes/bands dirs all exist) and re-ingest
+    os.remove(str(tmp_path / "lsh" / "commits" / "1"))
+    idx.ingest(corpus.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"), shf, 1)
+    assert idx.all_pairs().count() == len(want)
+    assert _batch_pair_set(idx.all_pairs()) == want
 
 
-def test_incremental_lsh_index_half_append_is_inert(spark, sf_dir, tmp_path):
-    """The worst mid-ingest crash state (a batch's SIZES appended, bands
-    not — the write order guarantees bands-without-sizes can't happen)
-    must be inert: a later batch over different docs verifies exactly the
-    pairs of the docs whose bands ARE present, never silently dropping or
-    inventing pairs because of the orphan size rows."""
+def test_incremental_lsh_index_uncommitted_batch_is_invisible(spark, sf_dir, tmp_path):
+    """A crashed batch (data dirs fully written, commit marker missing)
+    must be INVISIBLE to later batches — the index reads committed batches
+    only — and re-ingesting it under its id restores the full pair set."""
     from fao_elt_pipelines_spark.operators.incremental_dedup import (
         LshIndex,
         shingles_from_corpus,
@@ -539,18 +549,50 @@ def test_incremental_lsh_index_half_append_is_inert(spark, sf_dir, tmp_path):
     b1 = corpus.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
     b2 = corpus.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text")
     idx.ingest(b0, shf, 0)
-    # simulate the crash: batch 1's sizes land, bands never do
-    from fao_elt_pipelines_spark.functions import similarity as SIM
+    # simulate the crash: batch 1 writes everything but never commits
+    import os
 
-    SIM.shingle_rows(b1).groupBy("doc_id").agg(F.count("*").alias("n")).write.mode(
-        "append"
-    ).parquet(str(tmp_path / "lsh" / "sizes"))
+    idx.ingest(b1, shf, 1)
+    os.remove(str(tmp_path / "lsh" / "commits" / "1"))
     idx.ingest(b2, shf, 2)
-    got = _batch_pair_set(idx.all_pairs())
     want_all = _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
     b1_ids = {r["doc_id"] for r in b1.select("doc_id").collect()}
     want_visible = {(a, b, j) for (a, b, j) in want_all if a not in b1_ids and b not in b1_ids}
-    assert got == want_visible
-    # recovery: re-run the crashed batch; the full set is restored
+    assert _batch_pair_set(idx.all_pairs()) == want_visible
+    assert idx.all_pairs().count() == len(want_visible)
+    # recovery: re-run the crashed batch; the full multiset is restored
     idx.ingest(b1, shf, 1)
     assert _batch_pair_set(idx.all_pairs()) == want_all
+    assert idx.all_pairs().count() == len(want_all)
+
+
+def test_incremental_lsh_reoffered_doc_is_noop(spark, sf_dir, tmp_path):
+    """An at-least-once upstream re-offering ALREADY-COMMITTED docs under a
+    NEW batch id must contribute nothing: no re-emission of historical
+    pairs, no duplicate rows, and genuinely-new docs in the same batch
+    still pair against the re-offered ones through the index."""
+    from fao_elt_pipelines_spark.operators.incremental_dedup import (
+        LshIndex,
+        shingles_from_corpus,
+    )
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        JACCARD_TAU,
+        q_dedup_minhash_lsh,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = LshIndex(spark, str(tmp_path / "lsh"), tau=JACCARD_TAU)
+    shf = shingles_from_corpus(corpus)
+    b0 = corpus.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    b1 = corpus.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    idx.ingest(b0, shf, 0)
+    # batch 1 redelivers every batch-0 doc alongside the new ones
+    emitted = idx.ingest(b0.unionByName(b1), shf, 1)
+    want = _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
+    assert _batch_pair_set(idx.all_pairs()) == want
+    assert idx.all_pairs().count() == len(want)
+    # the redelivered docs' old pairs (batch-0-internal) were NOT re-emitted
+    b0_ids = {r["doc_id"] for r in b0.select("doc_id").collect()}
+    assert all(
+        not (a in b0_ids and b in b0_ids) for (a, b, _) in _batch_pair_set(emitted)
+    )
