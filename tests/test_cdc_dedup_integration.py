@@ -1,0 +1,64 @@
+"""End-to-end composition of the engine's two halves: CDC ingest (lake
+MERGE) and incremental near-dup detection riding the same epochs.
+
+Documents arrive as insert change-events in three epochs; each epoch (a)
+MERGEs into a bucketed LakeTable exactly-once and (b) feeds the
+incremental LSH index, whose candidate verification reads document text
+FROM THE LAKE TABLE (the at-scale shape: the corpus lives in the lake,
+candidate lookups are key-joins into it — lookup_join's file-skipping
+applies). After the last epoch the accumulated pair emissions equal the
+one-shot batch query over the source fixture, row-for-row.
+"""
+
+from pyspark.sql import functions as F
+
+from fao_elt_pipelines_spark.lake.table import LakeTable
+from fao_elt_pipelines_spark.operators.incremental_dedup import (
+    LshIndex,
+    shingles_from_corpus,
+)
+from fao_elt_pipelines_spark.plans.queries_ml import JACCARD_TAU, q_dedup_minhash_lsh
+from scripts.replay_job import STATE_SCHEMA
+
+
+def test_cdc_ingest_with_incremental_dedup(spark, sf_dir, tmp_path):
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = corpus.count()
+    table = LakeTable.create(spark, str(tmp_path / "docs_state"), STATE_SCHEMA, n_buckets=8)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), tau=JACCARD_TAU)
+
+    def as_events(batch):
+        return batch.select(
+            F.concat(F.lit("repo_"), (F.col("doc_id") % 16).cast("string")).alias("repo"),
+            F.concat(F.lit("docs/"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("c0").alias("commit"),
+            F.coalesce("lang", F.lit("und")).alias("lang"),
+            F.col("text").alias("content"),
+            F.col("doc_id").alias("seq"),
+            F.lit("upsert").alias("op"),
+        )
+
+    for e in range(3):
+        batch = corpus.filter(F.col("doc_id") % 3 == e)
+        table.merge_changes(as_events(batch), epoch_id=e)
+        # candidate verification reads the LAKE, not the source fixture
+        lake_docs = table.read().select(
+            F.split("path", "/").getItem(1).cast("long").alias("doc_id"),
+            F.col("content").alias("text"),
+        )
+        idx.ingest(batch.select("doc_id", "text"), shingles_from_corpus(lake_docs), e)
+
+    assert table.read().count() == n_docs
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))
+        for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    got_rows = idx.all_pairs().collect()
+    got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 12)) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(want)  # multiset-exact
+    # exactly-once replay-skip still holds on the doc table: re-merging an
+    # epoch is a no-op (same snapshot id back)
+    before = table.snapshots()[-1]["snapshot_id"]
+    table.merge_changes(as_events(corpus.filter(F.col("doc_id") % 3 == 1)), epoch_id=1)
+    assert table.snapshots()[-1]["snapshot_id"] == before
