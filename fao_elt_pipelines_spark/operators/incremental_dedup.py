@@ -40,7 +40,10 @@ Scale design (what the index stores, and what it does NOT):
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import shutil
 from dataclasses import dataclass
 from typing import Callable
 
@@ -153,24 +156,36 @@ def ingest_batch(
 class LshIndex:
     """Parquet-backed LSH index: survives process restarts; per batch it
     OVERWRITES three dirs (pairs/batch=<id>, sizes/batch=<id>,
-    bands/batch=<id>) and then atomically drops a commit marker
-    (commits/<id>, temp-write + rename). Reads — both the candidate index
-    inside ingest and ``all_pairs`` — see COMMITTED batches only, so every
-    crash state is simply invisible: a rerun of an uncommitted batch
-    recomputes against the same committed index and overwrites the partial
-    dirs; a rerun of a committed batch short-circuits to its existing
-    pairs. This is the lake's write-then-advance discipline (lake/
-    table.py) at miniature scale, and it makes the pairs output exact as
-    a MULTISET (no duplicate rows under any rerun), not just as a set.
+    bands/batch=<id>) and then atomically swaps the commit manifest
+    (commits/MANIFEST.json, temp-write + rename — the lake's VERSION-
+    pointer pattern at miniature scale). Reads — both the candidate index
+    inside ingest and ``all_pairs`` — see MANIFESTED batches only, so
+    every crash state is simply invisible: a rerun of an uncommitted
+    batch recomputes against the same committed index and overwrites the
+    partial dirs; a rerun of a committed batch short-circuits to its
+    existing pairs. This makes the pairs output exact as a MULTISET (no
+    duplicate rows under any rerun), not just as a set.
 
-    Contract: the corpus is append-only and docs are immutable — a doc_id,
-    once committed, must never be re-offered with DIFFERENT text (the
-    index has no retraction path for its old bands). Re-offering with the
-    SAME text under a new batch id is a no-op for that doc (ingest_batch
-    anti-joins known docs out), so an at-least-once upstream never
-    re-emits a pair. The CDC-update form (retract + re-index on content
-    change) would hang a changelog feed in front of this operator; out of
-    scope here."""
+    ``compact()`` bounds the file-listing cost of a long-lived index: at
+    one ingest per epoch, a 10^10-event replay would otherwise accumulate
+    thousands of batch dirs whose per-dir open cost eventually dominates
+    the candidate join. Compaction consolidates all committed batches
+    into one generation dir per dataset and swaps the manifest to point
+    at it — the same crash discipline (consolidated dirs are invisible
+    until the manifest swap; a crashed compaction leaves the old manifest
+    in force) — then best-effort GCs the superseded dirs.
+
+    Single-writer contract (like the lake's driver-side commit path): one
+    process ingests/compacts a given index root at a time.
+
+    Data contract: the corpus is append-only and docs are immutable — a
+    doc_id, once committed, must never be re-offered with DIFFERENT text
+    (the index has no retraction path for its old bands). Re-offering
+    with the SAME text under a new batch id is a no-op for that doc
+    (ingest_batch anti-joins known docs out), so an at-least-once
+    upstream never re-emits a pair. The CDC-update form (retract +
+    re-index on content change) would hang a changelog feed in front of
+    this operator; out of scope here."""
 
     spark: SparkSession
     root: str
@@ -181,18 +196,29 @@ class LshIndex:
     def _dir(self, *parts: str) -> str:
         return os.path.join(self.root, *parts)
 
-    def _committed(self) -> list[str]:
-        path = self._dir("commits")
-        if not os.path.isdir(path):
-            return []
-        return sorted(os.listdir(path))
+    def _manifest_path(self) -> str:
+        return self._dir("commits", "MANIFEST.json")
 
-    def _mark_committed(self, batch_id: int) -> None:
+    def _committed(self) -> list[str]:
+        try:
+            with open(self._manifest_path()) as fh:
+                return list(json.load(fh)["committed"])
+        except FileNotFoundError:
+            return []
+
+    def _swap_manifest(self, committed: list[str]) -> None:
         os.makedirs(self._dir("commits"), exist_ok=True)
-        tmp = self._dir("commits", f".{batch_id}.tmp")
+        tmp = self._dir("commits", ".manifest.tmp")
         with open(tmp, "w") as fh:
-            fh.write("committed\n")
-        os.rename(tmp, self._dir("commits", str(batch_id)))
+            json.dump({"committed": committed}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._manifest_path())
+
+    def _mark_committed(self, batch_id: int | str) -> None:
+        committed = self._committed()
+        if str(batch_id) not in committed:
+            self._swap_manifest([*committed, str(batch_id)])
 
     def _read_committed(self, name: str) -> DataFrame | None:
         dirs = [self._dir(name, f"batch={b}") for b in self._committed()]
@@ -241,3 +267,27 @@ class LshIndex:
         if pairs is None:
             raise ValueError("LshIndex.all_pairs: no committed batches")
         return pairs
+
+    def compact(self) -> int:
+        """Consolidate every committed batch's bands/sizes/pairs into one
+        generation dir per dataset and atomically repoint the manifest at
+        it; best-effort GC the superseded dirs afterwards. Returns the
+        number of batch dirs consolidated (0 = nothing to do).
+
+        The generation id is a hash of the committed-id list, so a
+        compaction that crashed mid-write is re-run idempotently (same
+        inputs → same gen dirs, overwritten) while the old manifest stays
+        in force until the swap — the exact ingest crash discipline."""
+        committed = self._committed()
+        if len(committed) <= 1:
+            return 0
+        gen = "c-" + hashlib.sha256("|".join(committed).encode()).hexdigest()[:12]
+        for name in ("pairs", "sizes", "bands"):
+            df = self._read_committed(name)
+            if df is not None:
+                df.write.mode("overwrite").parquet(self._dir(name, f"batch={gen}"))
+        self._swap_manifest([gen])
+        for b in committed:
+            for name in ("pairs", "sizes", "bands"):
+                shutil.rmtree(self._dir(name, f"batch={b}"), ignore_errors=True)
+        return len(committed)

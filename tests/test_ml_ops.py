@@ -448,6 +448,20 @@ def test_dedup_boilerplate_global_invariants(spark, sf_dir):
     assert agg["kept"] == stats["total_occ"] - stats["boiler_occ"]
 
 
+def _drop_commit(root, batch_id):
+    """Simulate a crash-just-before-commit: remove the id from the index
+    manifest (its data dirs stay on disk, exactly the pre-swap state)."""
+    import json
+    import os
+
+    mp = os.path.join(str(root), "commits", "MANIFEST.json")
+    with open(mp) as fh:
+        m = json.load(fh)
+    m["committed"] = [b for b in m["committed"] if b != str(batch_id)]
+    with open(mp, "w") as fh:
+        json.dump(m, fh)
+
+
 def _batch_pair_set(df):
     return {(r["doc_a"], r["doc_b"], round(r["jaccard"], 12)) for r in df.collect()}
 
@@ -523,7 +537,7 @@ def test_incremental_lsh_index_rerun_is_multiset_exact(spark, sf_dir, tmp_path):
     assert _batch_pair_set(idx.all_pairs()) == want
     # (b) uncommitted rerun: drop batch 1's marker (crash just before
     # commit — its pairs/sizes/bands dirs all exist) and re-ingest
-    os.remove(str(tmp_path / "lsh" / "commits" / "1"))
+    _drop_commit(tmp_path / "lsh", 1)
     idx.ingest(corpus.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text"), shf, 1)
     assert idx.all_pairs().count() == len(want)
     assert _batch_pair_set(idx.all_pairs()) == want
@@ -553,7 +567,7 @@ def test_incremental_lsh_index_uncommitted_batch_is_invisible(spark, sf_dir, tmp
     import os
 
     idx.ingest(b1, shf, 1)
-    os.remove(str(tmp_path / "lsh" / "commits" / "1"))
+    _drop_commit(tmp_path / "lsh", 1)
     idx.ingest(b2, shf, 2)
     want_all = _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
     b1_ids = {r["doc_id"] for r in b1.select("doc_id").collect()}
@@ -596,3 +610,63 @@ def test_incremental_lsh_reoffered_doc_is_noop(spark, sf_dir, tmp_path):
     assert all(
         not (a in b0_ids and b in b0_ids) for (a, b, _) in _batch_pair_set(emitted)
     )
+
+
+def test_incremental_lsh_index_compaction(spark, sf_dir, tmp_path):
+    """compact() consolidates committed batches into one generation,
+    preserves the pair MULTISET and the index's candidate state exactly
+    (a post-compaction ingest still pairs against pre-compaction docs),
+    GCs superseded dirs, and a compaction that crashed before the
+    manifest swap leaves the old state fully in force."""
+    import json
+    import os
+
+    from fao_elt_pipelines_spark.operators.incremental_dedup import (
+        LshIndex,
+        shingles_from_corpus,
+    )
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        JACCARD_TAU,
+        q_dedup_minhash_lsh,
+    )
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = LshIndex(spark, str(tmp_path / "lsh"), tau=JACCARD_TAU)
+    shf = shingles_from_corpus(corpus)
+    for b in range(2):
+        idx.ingest(corpus.filter(F.col("doc_id") % 3 == b).select("doc_id", "text"), shf, b)
+    mid = _batch_pair_set(idx.all_pairs())
+
+    # crashed compaction: gen dirs may exist but the manifest still lists
+    # the originals → state unchanged
+    committed_before = idx._committed()
+    # run the consolidation writes by hand up to (not including) the swap
+    import hashlib
+
+    gen = "c-" + hashlib.sha256("|".join(committed_before).encode()).hexdigest()[:12]
+    for name in ("pairs", "sizes", "bands"):
+        df = idx._read_committed(name)
+        df.write.mode("overwrite").parquet(str(tmp_path / "lsh" / name / f"batch={gen}"))
+    assert idx._committed() == committed_before  # manifest never swapped
+    assert _batch_pair_set(idx.all_pairs()) == mid
+
+    # real compaction: same gen id (idempotent re-run), dirs GCed
+    n = idx.compact()
+    assert n == 2
+    assert idx._committed() == [gen]
+    for b in range(2):
+        assert not os.path.isdir(str(tmp_path / "lsh" / "bands" / f"batch={b}"))
+    assert _batch_pair_set(idx.all_pairs()) == mid
+    assert idx.all_pairs().count() == len(mid)
+
+    # the compacted index still carries full candidate state: batch 2
+    # pairs against batches 0 and 1 exactly as without compaction
+    idx.ingest(corpus.filter(F.col("doc_id") % 3 == 2).select("doc_id", "text"), shf, 2)
+    want = _batch_pair_set(q_dedup_minhash_lsh(spark, sf_dir))
+    assert _batch_pair_set(idx.all_pairs()) == want
+    assert idx.all_pairs().count() == len(want)
+    # a second compaction merges (gen, batch 2); state still exact
+    assert idx.compact() == 2
+    assert _batch_pair_set(idx.all_pairs()) == want
+    # and with one committed entry left, compact is a no-op
+    assert idx.compact() == 0
