@@ -199,26 +199,45 @@ class LshIndex:
     def _manifest_path(self) -> str:
         return self._dir("commits", "MANIFEST.json")
 
-    def _committed(self) -> list[str]:
+    def _manifest(self) -> dict:
         try:
             with open(self._manifest_path()) as fh:
-                return list(json.load(fh)["committed"])
+                return json.load(fh)
         except FileNotFoundError:
-            return []
+            commits = self._dir("commits")
+            if os.path.isdir(commits) and any(
+                not e.startswith(".") for e in os.listdir(commits)
+            ):
+                raise RuntimeError(
+                    "LshIndex: commits/ holds entries but no MANIFEST.json — "
+                    "refusing to silently treat a foreign or corrupted index "
+                    "as empty (re-ingesting over it would re-emit pairs and "
+                    "orphan its history)"
+                )
+            return {"committed": [], "ingested": []}
 
-    def _swap_manifest(self, committed: list[str]) -> None:
+    def _committed(self) -> list[str]:
+        return list(self._manifest()["committed"])
+
+    def _ingested(self) -> list[str]:
+        return list(self._manifest()["ingested"])
+
+    def _swap_manifest(self, committed: list[str], ingested: list[str]) -> None:
         os.makedirs(self._dir("commits"), exist_ok=True)
         tmp = self._dir("commits", ".manifest.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"committed": committed}, fh)
+            json.dump({"committed": committed, "ingested": ingested}, fh)
             fh.flush()
             os.fsync(fh.fileno())
-        os.rename(tmp, self._manifest_path())
+        os.replace(tmp, self._manifest_path())
 
     def _mark_committed(self, batch_id: int | str) -> None:
-        committed = self._committed()
-        if str(batch_id) not in committed:
-            self._swap_manifest([*committed, str(batch_id)])
+        m = self._manifest()
+        if str(batch_id) not in m["committed"]:
+            self._swap_manifest(
+                [*m["committed"], str(batch_id)],
+                sorted({*m["ingested"], str(batch_id)}),
+            )
 
     def _read_committed(self, name: str) -> DataFrame | None:
         dirs = [self._dir(name, f"batch={b}") for b in self._committed()]
@@ -227,12 +246,22 @@ class LshIndex:
             return None
         return self.spark.read.parquet(*dirs)
 
+    def _pairs_of(self, batch_id: int) -> DataFrame:
+        """A committed batch's pairs, attribution-preserving: pair rows
+        carry their emitting batch id, so this works identically before
+        and after compaction folds the per-batch dirs away."""
+        return self.all_pairs(with_batch=True).filter(
+            F.col("batch") == int(batch_id)
+        ).drop("batch")
+
     def ingest(self, batch_docs: DataFrame, shingles_for: ShinglesFor, batch_id: int) -> DataFrame:
         """Ingest one batch of (doc_id, text) rows; returns the batch's
-        verified near-dup pairs. Idempotent per batch id: a committed id
-        short-circuits, an uncommitted rerun recomputes and overwrites."""
-        if str(batch_id) in self._committed():
-            return self.spark.read.parquet(self._dir("pairs", f"batch={batch_id}"))
+        verified near-dup pairs. Idempotent per batch id: an already-
+        ingested id short-circuits to its recorded pairs (also after
+        compaction — emissions carry their batch id), an uncommitted
+        rerun recomputes and overwrites."""
+        if str(batch_id) in self._ingested():
+            return self._pairs_of(batch_id)
         cached: list[DataFrame] = []
 
         def _persist(df: DataFrame) -> DataFrame:
@@ -253,31 +282,39 @@ class LshIndex:
         _persist(bands_b)
         try:
             out = self._dir("pairs", f"batch={batch_id}")
-            pairs.write.mode("overwrite").parquet(out)
+            pairs.withColumn("batch", F.lit(int(batch_id))).write.mode("overwrite").parquet(out)
             sizes_b.write.mode("overwrite").parquet(self._dir("sizes", f"batch={batch_id}"))
             bands_b.write.mode("overwrite").parquet(self._dir("bands", f"batch={batch_id}"))
             self._mark_committed(batch_id)
         finally:
             for df in cached:
                 df.unpersist()
-        return self.spark.read.parquet(out)
+        return self._pairs_of(batch_id)
 
-    def all_pairs(self) -> DataFrame:
+    def all_pairs(self, with_batch: bool = False) -> DataFrame:
         pairs = self._read_committed("pairs")
         if pairs is None:
             raise ValueError("LshIndex.all_pairs: no committed batches")
-        return pairs
+        return pairs if with_batch else pairs.drop("batch")
 
     def compact(self) -> int:
         """Consolidate every committed batch's bands/sizes/pairs into one
         generation dir per dataset and atomically repoint the manifest at
-        it; best-effort GC the superseded dirs afterwards. Returns the
-        number of batch dirs consolidated (0 = nothing to do).
+        it (the ``ingested`` id list is preserved, so idempotent
+        short-circuits survive compaction); then GC every dataset dir the
+        new manifest does not reference — superseded batches AND orphans
+        from earlier crashed compactions or abandoned ingests. Returns
+        the number of batch dirs consolidated (0 = nothing to do).
 
         The generation id is a hash of the committed-id list, so a
         compaction that crashed mid-write is re-run idempotently (same
         inputs → same gen dirs, overwritten) while the old manifest stays
-        in force until the swap — the exact ingest crash discipline."""
+        in force until the swap — the exact ingest crash discipline.
+
+        Same-process hazard (like the lake's snapshot expiry): DataFrames
+        returned by earlier ``ingest``/``all_pairs`` calls are lazy plans
+        over the pre-compaction dirs — materialize them before calling
+        this, and re-call ``all_pairs()`` after."""
         committed = self._committed()
         if len(committed) <= 1:
             return 0
@@ -286,8 +323,11 @@ class LshIndex:
             df = self._read_committed(name)
             if df is not None:
                 df.write.mode("overwrite").parquet(self._dir(name, f"batch={gen}"))
-        self._swap_manifest([gen])
-        for b in committed:
-            for name in ("pairs", "sizes", "bands"):
-                shutil.rmtree(self._dir(name, f"batch={b}"), ignore_errors=True)
+        self._swap_manifest([gen], self._ingested())
+        live = {gen}
+        for name in ("pairs", "sizes", "bands"):
+            base = self._dir(name)
+            for entry in os.listdir(base) if os.path.isdir(base) else []:
+                if entry.startswith("batch=") and entry.removeprefix("batch=") not in live:
+                    shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
         return len(committed)

@@ -457,7 +457,8 @@ def _drop_commit(root, batch_id):
     mp = os.path.join(str(root), "commits", "MANIFEST.json")
     with open(mp) as fh:
         m = json.load(fh)
-    m["committed"] = [b for b in m["committed"] if b != str(batch_id)]
+    for key in ("committed", "ingested"):
+        m[key] = [b for b in m[key] if b != str(batch_id)]
     with open(mp, "w") as fh:
         json.dump(m, fh)
 
@@ -633,8 +634,12 @@ def test_incremental_lsh_index_compaction(spark, sf_dir, tmp_path):
     corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
     idx = LshIndex(spark, str(tmp_path / "lsh"), tau=JACCARD_TAU)
     shf = shingles_from_corpus(corpus)
-    for b in range(2):
-        idx.ingest(corpus.filter(F.col("doc_id") % 3 == b).select("doc_id", "text"), shf, b)
+    emitted = [
+        _batch_pair_set(
+            idx.ingest(corpus.filter(F.col("doc_id") % 3 == b).select("doc_id", "text"), shf, b)
+        )
+        for b in range(2)
+    ]
     mid = _batch_pair_set(idx.all_pairs())
 
     # crashed compaction: gen dirs may exist but the manifest still lists
@@ -658,6 +663,14 @@ def test_incremental_lsh_index_compaction(spark, sf_dir, tmp_path):
         assert not os.path.isdir(str(tmp_path / "lsh" / "bands" / f"batch={b}"))
     assert _batch_pair_set(idx.all_pairs()) == mid
     assert idx.all_pairs().count() == len(mid)
+
+    # redelivery of a committed id AFTER compaction still short-circuits
+    # to that batch's own emissions (pair rows carry their batch id)
+    redelivered = idx.ingest(
+        corpus.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text"), shf, 0
+    )
+    assert _batch_pair_set(redelivered) == emitted[0]
+    assert idx._committed() == [gen]  # no junk manifest entry, no recompute
 
     # the compacted index still carries full candidate state: batch 2
     # pairs against batches 0 and 1 exactly as without compaction
