@@ -202,7 +202,11 @@ class LshIndex:
     def _manifest(self) -> dict:
         try:
             with open(self._manifest_path()) as fh:
-                return json.load(fh)
+                m = json.load(fh)
+                # manifests written before the ingested-id list existed:
+                # everything committed had been ingested
+                m.setdefault("ingested", list(m.get("committed", [])))
+                return m
         except FileNotFoundError:
             commits = self._dir("commits")
             if os.path.isdir(commits) and any(
@@ -289,7 +293,9 @@ class LshIndex:
         finally:
             for df in cached:
                 df.unpersist()
-        return self._pairs_of(batch_id)
+        # fresh path: read the one dir just written (O(1) listing) — the
+        # all-committed-dirs batch-filter read is only for short-circuits
+        return self.spark.read.parquet(out).drop("batch")
 
     def all_pairs(self, with_batch: bool = False) -> DataFrame:
         pairs = self._read_committed("pairs")
@@ -316,18 +322,21 @@ class LshIndex:
         over the pre-compaction dirs — materialize them before calling
         this, and re-call ``all_pairs()`` after."""
         committed = self._committed()
-        if len(committed) <= 1:
-            return 0
-        gen = "c-" + hashlib.sha256("|".join(committed).encode()).hexdigest()[:12]
-        for name in ("pairs", "sizes", "bands"):
-            df = self._read_committed(name)
-            if df is not None:
-                df.write.mode("overwrite").parquet(self._dir(name, f"batch={gen}"))
-        self._swap_manifest([gen], self._ingested())
-        live = {gen}
+        if len(committed) > 1:
+            gen = "c-" + hashlib.sha256("|".join(committed).encode()).hexdigest()[:12]
+            for name in ("pairs", "sizes", "bands"):
+                df = self._read_committed(name)
+                if df is not None:
+                    df.write.mode("overwrite").parquet(self._dir(name, f"batch={gen}"))
+            self._swap_manifest([gen], self._ingested())
+            live, consolidated = {gen}, len(committed)
+        else:
+            # nothing to consolidate — but still sweep orphans below (a
+            # crashed never-redelivered ingest, a crashed prior gen)
+            live, consolidated = set(committed), 0
         for name in ("pairs", "sizes", "bands"):
             base = self._dir(name)
             for entry in os.listdir(base) if os.path.isdir(base) else []:
                 if entry.startswith("batch=") and entry.removeprefix("batch=") not in live:
                     shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
-        return len(committed)
+        return consolidated

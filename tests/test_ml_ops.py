@@ -681,5 +681,9 @@ def test_incremental_lsh_index_compaction(spark, sf_dir, tmp_path):
     # a second compaction merges (gen, batch 2); state still exact
     assert idx.compact() == 2
     assert _batch_pair_set(idx.all_pairs()) == want
-    # and with one committed entry left, compact is a no-op
+    # with one committed entry left there is nothing to consolidate, but
+    # the orphan sweep still runs (a crashed never-redelivered ingest)
+    os.makedirs(str(tmp_path / "lsh" / "bands" / "batch=99"), exist_ok=True)
     assert idx.compact() == 0
+    assert not os.path.isdir(str(tmp_path / "lsh" / "bands" / "batch=99"))
+    assert _batch_pair_set(idx.all_pairs()) == want
