@@ -188,6 +188,89 @@ def bucket_pair_scores(
     return b.groupBy(bucket_col).applyInPandas(score, schema)
 
 
+def greedy_cell_dedup(
+    b: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Semantic dedup (SemDeDup-style, Abbas et al. 2023): within each
+    coarse cell, a GREEDY keep/drop sweep in ascending id order — a vector
+    is dropped iff its cosine to some already-KEPT same-cell vector is
+    >= tau, and ``dup_of`` records the smallest such kept id. Unlike the
+    pair emitters (bucket_pair_scores), the survivor set is
+    comparison-against-kept-only: a chain a~b, b~c, a!~c keeps BOTH a and
+    c (b is dropped against a; c is compared only to the kept a), which is
+    the published SemDeDup policy and NOT derivable from the pair set by
+    an anti-join.
+
+    Per cell: one Arrow crossing per vector (applyInPandas stacks the cell
+    once), then a sequential sweep whose step i is one numpy matvec
+    against the kept slab — O(cell · kept · dim) flops, memory O(cell ·
+    dim). Cells are independent (embarrassingly parallel across
+    executors); the sequential part is bounded by cell population, never
+    corpus size. At 10^9 vectors the cells come from a trained coarse
+    quantizer (the kmeans machinery of q_ann_kmeans_topk, or the sign-LSH
+    grid of ivf_bucket with more planes) sized so cells fit an executor —
+    the same cell-cap knob every IVF index has.
+
+    Arithmetic is the proven oracle-exact shape: float64 dot first, then
+    the two norm divisions in sequence (matches the DuckDB oracle's
+    ``dot / sqrt(dot) / sqrt(dot)`` fold; see bucket_pair_scores on the
+    last-ulp caveat). Zero-norm vectors produce NaN cosines, NaN >= tau
+    is False on both engines, so they are always kept and never matched
+    — the oracle's norm lookup under duplicate kept vectors is likewise
+    safe because identical vectors have identical norms (and a duplicate
+    of a kept vector is dropped at cosine 1 anyway).
+
+    Reference behavior analogue: the reference dedups synced rows only by
+    exact key before load (`/root/reference/app/db.py` upsert); semantic
+    near-dup pruning is the training-data-scale extension SURVEY.md §2
+    groups with the dedup family.
+    """
+    import numpy as np
+
+    schema = f"{id_col} long, {bucket_col} int, kept boolean, dup_of long"
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].values.astype(np.int64)
+        bk = pdf[bucket_col].values
+        V = np.stack(pdf[emb_col].values).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        n = len(ids)
+        kept = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, np.nan)
+        kept_idx: list[int] = []
+        for i in range(n):
+            if kept_idx:
+                # dot first, then the two divisions — same order as the SQL
+                sims = (V[kept_idx] @ V[i]) / nrm[kept_idx] / nrm[i]
+                hit = np.nonzero(sims >= tau)[0]
+            else:
+                hit = ()
+            if len(hit):
+                # kept_idx is ascending by id, so hit[0] IS the smallest
+                # kept id over threshold (the oracle's list_position)
+                dup_of[i] = ids[kept_idx[hit[0]]]
+            else:
+                kept[i] = True
+                kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                bucket_col: bk,
+                "kept": kept,
+                "dup_of": pd.array(
+                    [None if np.isnan(d) else int(d) for d in dup_of], dtype="Int64"
+                ),
+            }
+        )
+
+    return b.groupBy(bucket_col).applyInPandas(prune, schema)
+
+
 def shingle_rows(docs_df: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct (doc, word-3-gram shingle) rows from a document frame.
 

@@ -889,6 +889,76 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {COSINE_TAU}
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (functions/similarity.py
+    greedy_cell_dedup): coarse-quantize the corpus into sign-LSH cells
+    (same 4-plane grid the near-dup family uses), then GREEDILY sweep each
+    cell in ascending vec_id — drop a vector iff it is within COSINE_TAU
+    of an already-kept one, recording the smallest such kept id as
+    ``dup_of``. The survivor set is the deduplicated corpus; it differs
+    from anti-joining the pair set (chains keep their endpoints — see the
+    operator docstring). One shuffle (by cell), sweep parallel across
+    cells.
+
+    The DuckDB oracle replays the IDENTICAL greedy recurrence as a
+    recursive CTE that advances every cell one rank per iteration,
+    carrying the kept set as list columns — so the differential certifies
+    the sequential semantics, not just the pair math."""
+    release_caches()
+    e = load(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
+    )
+    return SIM.greedy_cell_dedup(b, tau=COSINE_TAU)
+
+
+# cosine of a kept vector kv against the incoming row e: dot first, then
+# the two norm divisions, matching the engine's numpy order. kv's norm is
+# looked up positionally from kept_nrms; under duplicate kept vectors
+# list_position returns the FIRST equal vector, whose norm is identical
+# (equal vectors, equal norms), so the lookup is safe. NaN (zero-norm)
+# cosines compare false, as in numpy.
+_KCOS = (
+    "list_sum(list_transform(range(1, len(e.embedding)+1), "
+    "j -> CAST(kv[j] AS DOUBLE) * CAST(e.embedding[j] AS DOUBLE)))"
+    " / g.kept_nrms[list_position(g.kept_vecs, kv)] / e.nrm"
+)
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE
+b AS (
+  SELECT vec_id, embedding, {_BUCKET.format(v="embedding")} AS bucket,
+         sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
+  FROM embeddings
+),
+r AS (
+  SELECT vec_id, embedding, bucket, nrm,
+         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+  FROM b
+),
+g AS (
+  SELECT bucket, rk, vec_id, TRUE AS kept, CAST(NULL AS BIGINT) AS dup_of,
+         [vec_id] AS kept_ids, [embedding] AS kept_vecs, [nrm] AS kept_nrms
+  FROM r WHERE rk = 1
+  UNION ALL
+  SELECT bucket, rk, vec_id, pos = 0 AS kept,
+         CASE WHEN pos > 0 THEN kept_ids[pos] END AS dup_of,
+         CASE WHEN pos = 0 THEN list_append(kept_ids, vec_id) ELSE kept_ids END,
+         CASE WHEN pos = 0 THEN list_append(kept_vecs, embedding) ELSE kept_vecs END,
+         CASE WHEN pos = 0 THEN list_append(kept_nrms, nrm) ELSE kept_nrms END
+  FROM (
+    SELECT e.bucket, e.rk, e.vec_id, e.embedding, e.nrm,
+           g.kept_ids, g.kept_vecs, g.kept_nrms,
+           coalesce(list_position(
+             list_transform(g.kept_vecs, kv -> {_KCOS} >= {COSINE_TAU}),
+             TRUE), 0) AS pos
+    FROM g JOIN r e ON e.bucket = g.bucket AND e.rk = g.rk + 1
+  )
+)
+SELECT vec_id, bucket, kept, dup_of FROM g
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode end-to-end, REAL decoders: deterministic WAV
     (RIFF PCM16, stdlib ``wave``) and BMP (24-bit, struct header + padded
@@ -1374,6 +1444,7 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "ann_ivf_topk_matmul": (q_ann_ivf_topk_matmul_ids, SQL_ANN_IVF_TOPK_IDS),
     "ann_kmeans_topk": (q_ann_kmeans_topk, None),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "embedding_neardup_lsh_np": (q_embedding_neardup_lsh_np_ids, SQL_EMBEDDING_NEARDUP_LSH_IDS),

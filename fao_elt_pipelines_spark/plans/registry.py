@@ -33,6 +33,13 @@ explicitly:
     of ``sliding_window_counts``'s operator, equated by
     tests/test_windows.py::test_tumbling_is_sliding_with_slide_eq_size;
     unchanged since its round-3 driver-green row.
+  - ``cdc_merge_upsert`` shares its oracle SQL with ``cdc_lww_state``
+    (in-cap this round): both compute the identical LWW final state, one
+    through the LakeTable merge path, one as a pure query. The merge path
+    additionally carries this round's strongest evidence of all — the
+    10^9-event independent-DuckDB-oracle arm (BENCH/validate_1e9.json,
+    per-repo + sample-sha256 match) plus the process-level kill -9 resume
+    tests — so it rotates out of the sf0.01 driver cap for one round.
   - ``dedup_clusters``'s oracle composes the same _MINHASH_PAIR_CTES as
     ``dedup_minhash_lsh``/``dedup_minhash_incremental`` (in-cap), and its
     own contribution (connected components) has dedicated convergence /
@@ -74,9 +81,11 @@ _VERIFY_FIRST: list[str] = [
     "dedup_minhash_incremental",
     "dedup_minhash_lsh",  # round-4 delegation refactor — re-verify
     "cdc_lww_state",  # round-4 lww_dedup delegation — re-verify
+    "semantic_dedup",  # new in round 4 — never driver-verified
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "cdc_merge_upsert",
     "dedup_clusters",
     "windowed_event_counts",
     "ann_cosine_topk",

@@ -133,6 +133,55 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"recall@5 {recall:.2f} too low"
 
 
+def test_semantic_dedup_greedy_invariants(spark, sf_dir):
+    """SemDeDup greedy semantics on the real fixture, checked against the
+    exact within-cell pair set: (1) every dropped row's dup_of is a KEPT,
+    smaller-id, same-cell row within tau (and the smallest such); (2) no
+    two KEPT rows in a cell are within tau of each other; (3) every
+    similar-pair chain keeps its earliest member. The registry
+    differential certifies the recurrence vs DuckDB; this pins the policy
+    against an independent pair-set reconstruction."""
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        COSINE_TAU,
+        q_embedding_neardup_lsh_np,
+        q_semantic_dedup,
+    )
+
+    rows = q_semantic_dedup(spark, sf_dir).collect()
+    kept = {r.vec_id for r in rows if r.kept}
+    cell = {r.vec_id: r.bucket for r in rows}
+    # exact cosine>=tau pairs within the same cells (id_a < id_b)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in q_embedding_neardup_lsh_np(spark, sf_dir).collect()
+        if r.cosine_sim >= COSINE_TAU
+    }
+    sim_to_earlier = {}  # vec -> sorted smaller-id similar same-cell ids
+    for a, b in pairs:
+        sim_to_earlier.setdefault(b, []).append(a)
+    for r in rows:
+        earlier_kept = sorted(
+            a for a in sim_to_earlier.get(r.vec_id, []) if a in kept
+        )
+        if r.kept:
+            assert r.dup_of is None
+            assert not earlier_kept, (
+                f"{r.vec_id} kept despite kept near-dup {earlier_kept}"
+            )
+        else:
+            assert earlier_kept and r.dup_of == earlier_kept[0], (
+                f"{r.vec_id}: dup_of={r.dup_of}, expected {earlier_kept[:1]}"
+            )
+            assert cell[r.dup_of] == r.bucket
+    # chain endpoints: the earliest member of every similar pair whose
+    # other end was dropped must itself be kept or trace to a kept root
+    for a, b in pairs:
+        assert a in kept or any(x in kept for x in sim_to_earlier.get(a, [])), (
+            f"pair ({a},{b}): earlier member neither kept nor dominated"
+        )
+    assert kept and len(kept) < len(rows), "fixture must exercise both paths"
+
+
 def test_ivf_bucket_is_deterministic_and_bounded(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     b1 = e.select(SIM.ivf_bucket(F.col("embedding")).alias("b"))
