@@ -116,7 +116,13 @@ def ingest_batch(
             )
             .distinct()
         )
-        cand = cand.unionByName(old_new).distinct()
+        # no distinct over the union: candidate_pairs and old_new are each
+        # internally distinct, and the two sets cannot overlap — a new×new
+        # pair has BOTH members in this batch's band rows, an old×new pair
+        # has exactly one member from the index, and index docs are
+        # disjoint from batch docs (anti-joined above, or guaranteed by
+        # the assume_disjoint contract)
+        cand = cand.unionByName(old_new)
 
     cand = persist_fn(cand)
     ids = cand.select(F.col("doc_a").alias("doc_id")).unionByName(
@@ -141,13 +147,16 @@ def ingest_batch(
     # would give them TWO size rows — jaccard_verify's inner joins would
     # then fan every such pair out 2-4x (duplicate pair ROWS, set-equal
     # but multiset-wrong)
-    sizes_all = (
-        sizes_b
-        if index_sizes is None
-        else index_sizes.join(sizes_b.select("doc_id"), "doc_id", "left_anti").unionByName(
-            sizes_b
-        )
-    )
+    if index_sizes is None:
+        sizes_all = sizes_b
+    elif assume_disjoint:
+        # disjoint batches can't overlap the index — plain union, no
+        # dedup join needed
+        sizes_all = index_sizes.unionByName(sizes_b)
+    else:
+        sizes_all = index_sizes.join(
+            sizes_b.select("doc_id"), "doc_id", "left_anti"
+        ).unionByName(sizes_b)
     pairs = SIM.jaccard_verify(inter, sizes_all, tau)
     return pairs, bands_b, sizes_b
 
