@@ -218,9 +218,12 @@ def greedy_cell_dedup(
     Arithmetic is the proven oracle-exact shape: float64 dot first, then
     the two norm divisions in sequence (matches the DuckDB oracle's
     ``dot / sqrt(dot) / sqrt(dot)`` fold; see bucket_pair_scores on the
-    last-ulp caveat). Zero-norm vectors produce NaN cosines, NaN >= tau
-    is False on both engines, so they are always kept and never matched
-    — the oracle's norm lookup under duplicate kept vectors is likewise
+    last-ulp caveat). Zero-norm vectors are "never similar → always
+    kept" on BOTH engines, through different mechanics: numpy yields NaN
+    cosines and ``NaN >= tau`` is False; DuckDB yields NULL for 0.0/0.0
+    and ``list_position(…, TRUE)`` skips NULL elements (pinned by
+    tests/test_ml_ops.py::test_semantic_dedup_zero_norm_alignment).
+    The oracle's norm lookup under duplicate kept vectors is likewise
     safe because identical vectors have identical norms (and a duplicate
     of a kept vector is dropped at cosine 1 anyway).
 

@@ -182,6 +182,52 @@ def test_semantic_dedup_greedy_invariants(spark, sf_dir):
     assert kept and len(kept) < len(rows), "fixture must exercise both paths"
 
 
+def test_semantic_dedup_zero_norm_alignment(spark):
+    """Zero-norm vectors must be 'never similar → always kept' on BOTH
+    engines: numpy produces NaN cosines (NaN >= tau is False); DuckDB
+    produces NULL for 0.0/0.0 and list_position skips NULL elements. Run
+    the ACTUAL oracle SQL against a tiny corpus containing a zero vector
+    as seed, a zero vector mid-cell, and a genuine near-dup, and demand
+    row-for-row agreement with greedy_cell_dedup."""
+    import duckdb
+
+    from fao_elt_pipelines_spark.plans.queries_ml import SQL_SEMANTIC_DEDUP
+
+    # vec 0: zero vector (cell seed in its bucket). vec 1/2: near-identical
+    # (cos ~1). vec 3: another zero vector. vec 4: orthogonal-ish survivor.
+    vecs = [
+        (0, [0.0] * 64),
+        (1, [1.0, 2.0] + [0.5] * 62),
+        (2, [1.0, 2.0] + [0.5] * 62),
+        (3, [0.0] * 64),
+        (4, [1.0, -2.0] + [0.5, -0.5] * 31),
+    ]
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs], "vec_id long, embedding array<float>"
+    )
+    b = sdf.select(
+        "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
+    )
+    got = {
+        r.vec_id: (r.bucket, r.kept, r.dup_of)
+        for r in SIM.greedy_cell_dedup(b, tau=0.3).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        __import__("pandas").DataFrame(
+            {"vec_id": [i for i, _ in vecs], "embedding": [v for _, v in vecs]}
+        ),
+    )
+    want = {
+        row[0]: (row[1], row[2], row[3])
+        for row in con.execute(SQL_SEMANTIC_DEDUP).fetchall()
+    }
+    assert got == want, f"engine/oracle divergence: {got} vs {want}"
+    # both zero vectors kept (never matched), and the duplicate dropped
+    assert got[0][1] and got[3][1] and not got[2][1] and got[2][2] == 1
+
+
 def test_ivf_bucket_is_deterministic_and_bounded(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     b1 = e.select(SIM.ivf_bucket(F.col("embedding")).alias("b"))

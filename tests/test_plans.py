@@ -143,6 +143,21 @@ def test_minhash_lsh_no_cartesian(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
+def test_semantic_dedup_single_cell_shuffle(spark, sf_dir):
+    """The greedy survivor sweep is ONE hashpartitioning exchange on the
+    cell id feeding one FlatMapGroupsInPandas — no joins, no cartesian,
+    no extra shuffle: cells are independent and the sequential part never
+    leaves a cell."""
+    from fao_elt_pipelines_spark.plans.queries_ml import q_semantic_dedup
+    from plan_utils import n_nodes
+
+    plan = _plan(q_semantic_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert n_nodes(plan, "Exchange") == 1, plan
+    assert n_nodes(plan, "FlatMapGroupsInPandas") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_pack_sequences_no_single_partition_exchange(spark, sf_dir):
     """Sequence packing's global running total must use the two-phase
     cumsum, never a single-partition window over the whole corpus."""
