@@ -232,46 +232,132 @@ def greedy_cell_dedup(
     near-dup pruning is the training-data-scale extension SURVEY.md §2
     groups with the dedup family.
     """
-    import numpy as np
-
     schema = f"{id_col} long, {bucket_col} int, kept boolean, dup_of long"
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(id_col)
-        ids = pdf[id_col].values.astype(np.int64)
-        bk = pdf[bucket_col].values
-        V = np.stack(pdf[emb_col].values).astype(np.float64)
-        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
-        n = len(ids)
-        kept = np.zeros(n, dtype=bool)
-        dup_of = np.full(n, np.nan)
-        kept_idx: list[int] = []
-        for i in range(n):
-            if kept_idx:
-                # dot first, then the two divisions — same order as the SQL
-                sims = (V[kept_idx] @ V[i]) / nrm[kept_idx] / nrm[i]
-                hit = np.nonzero(sims >= tau)[0]
-            else:
-                hit = ()
-            if len(hit):
-                # kept_idx is ascending by id, so hit[0] IS the smallest
-                # kept id over threshold (the oracle's list_position)
-                dup_of[i] = ids[kept_idx[hit[0]]]
-            else:
-                kept[i] = True
-                kept_idx.append(i)
-        return pd.DataFrame(
-            {
-                id_col: ids,
-                bucket_col: bk,
-                "kept": kept,
-                "dup_of": pd.array(
-                    [None if np.isnan(d) else int(d) for d in dup_of], dtype="Int64"
-                ),
-            }
-        )
+        return _sweep_frame(pdf, None, tau, id_col, emb_col, bucket_col)
 
     return b.groupBy(bucket_col).applyInPandas(prune, schema)
+
+
+def _sweep_frame(
+    pdf: pd.DataFrame,
+    seed_pdf: pd.DataFrame | None,
+    tau: float,
+    id_col: str,
+    emb_col: str,
+    bucket_col: str,
+) -> pd.DataFrame:
+    """Shared greedy core for the batch and incremental sweeps: process
+    ``pdf``'s rows ascending by id against a kept slab seeded from
+    ``seed_pdf`` (prior survivors, all ids below the batch — asserted),
+    appending new survivors as it goes. dot first, then the two norm
+    divisions — same order as the SQL oracle; kept slab stays ascending
+    by id so the first hit IS the smallest kept id over threshold (the
+    oracle's list_position)."""
+    import numpy as np
+
+    pdf = pdf.sort_values(id_col)
+    ids = pdf[id_col].values.astype(np.int64)
+    bk = pdf[bucket_col].values
+    V = np.stack(pdf[emb_col].values).astype(np.float64)
+    if seed_pdf is not None and len(seed_pdf):
+        seed_pdf = seed_pdf.sort_values(id_col)
+        seed_ids = seed_pdf[id_col].values.astype(np.int64)
+        if len(ids) and ids[0] <= seed_ids[-1]:
+            raise ValueError(
+                "semantic ingest contract violated: batch ids must all be "
+                f"greater than every indexed id (batch min {ids[0]} <= "
+                f"index max {seed_ids[-1]})"
+            )
+        SV = np.stack(seed_pdf[emb_col].values).astype(np.float64)
+        M = np.vstack([SV, V])
+        all_ids = np.concatenate([seed_ids, ids])
+        n_seed = len(seed_ids)
+    else:
+        M, all_ids, n_seed = V, ids, 0
+    nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
+    n = len(ids)
+    kept = np.zeros(n, dtype=bool)
+    dup_of = np.full(n, np.nan)
+    kept_idx: list[int] = list(range(n_seed))
+    for i in range(n):
+        j = n_seed + i
+        if kept_idx:
+            sims = (M[kept_idx] @ M[j]) / nrm[kept_idx] / nrm[j]
+            hit = np.nonzero(sims >= tau)[0]
+        else:
+            hit = ()
+        if len(hit):
+            dup_of[i] = all_ids[kept_idx[hit[0]]]
+        else:
+            kept[i] = True
+            kept_idx.append(j)
+    return pd.DataFrame(
+        {
+            id_col: ids,
+            bucket_col: bk,
+            "kept": kept,
+            "dup_of": pd.array(
+                [None if np.isnan(d) else int(d) for d in dup_of], dtype="Int64"
+            ),
+        }
+    )
+
+
+def greedy_cell_dedup_incremental(
+    batch: DataFrame,
+    kept_index: DataFrame | None,
+    tau: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """One SemDeDup INGEST step: decide the incoming batch against the
+    survivor index built from prior batches — the online form of
+    greedy_cell_dedup for the engine's epoch-by-epoch CDC arrival.
+
+    Contract: batches arrive as ascending id ranges (every id in batch k
+    exceeds every id in batches < k — the binlog's seq order gives this
+    for free). Under it the union of per-batch decisions is IDENTICAL to
+    the one-shot batch sweep by the prefix property: greedy processes ids
+    ascending, so decisions for a prefix never depend on later ids.
+    Equivalence is pytest-pinned (tests/test_ml_ops.py) against the
+    oracle-anchored batch entry under multiple splits; the contract is
+    enforced distributed, per cell, inside the sweep (zero extra
+    actions) — a violating batch raises rather than silently diverging
+    from batch-mode.
+
+    Plan shape: one cogroup (both sides exchange-partitioned on the cell
+    id) feeding FlatMapCoGroupsInPandas; per-batch cost scales with the
+    batch and its cells' survivor populations, never the corpus. The
+    caller owns the index: new index = old index ∪ (batch ⋉ kept
+    decisions); only SURVIVORS are indexed, so the index grows with the
+    deduplicated corpus, not the raw stream."""
+    schema = f"{id_col} long, {bucket_col} int, kept boolean, dup_of long"
+
+    def sweep(batch_pdf: pd.DataFrame, index_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch_pdf):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    bucket_col: pd.Series([], dtype="int32"),
+                    "kept": pd.Series([], dtype="bool"),
+                    "dup_of": pd.array([], dtype="Int64"),
+                }
+            )
+        return _sweep_frame(batch_pdf, index_pdf, tau, id_col, emb_col, bucket_col)
+
+    if kept_index is None:
+        return batch.groupBy(bucket_col).applyInPandas(
+            lambda pdf: _sweep_frame(pdf, None, tau, id_col, emb_col, bucket_col),
+            schema,
+        )
+    return (
+        batch.groupBy(bucket_col)
+        .cogroup(kept_index.select(id_col, emb_col, bucket_col).groupBy(bucket_col))
+        .applyInPandas(lambda _k, b_pdf, i_pdf: sweep(b_pdf, i_pdf), schema)
+    )
 
 
 def shingle_rows(docs_df: DataFrame, doc_col: str = "doc_id", text_col: str = "text") -> DataFrame:

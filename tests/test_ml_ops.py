@@ -182,6 +182,58 @@ def test_semantic_dedup_greedy_invariants(spark, sf_dir):
     assert kept and len(kept) < len(rows), "fixture must exercise both paths"
 
 
+@pytest.mark.parametrize("cuts", [(170, 340), (100, 400), (499, 500)])
+def test_semantic_dedup_incremental_matches_batch(spark, sf_dir, cuts):
+    """Id-range batches through greedy_cell_dedup_incremental must union
+    to EXACTLY the one-shot batch sweep's decisions (the prefix property
+    the operator's contract buys), for uneven splits and a degenerate
+    near-empty third batch. The index is survivors-only."""
+    from fao_elt_pipelines_spark.plans.queries_ml import COSINE_TAU, q_semantic_dedup
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = e.select(
+        "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
+    )
+    want = {
+        r.vec_id: (r.bucket, r.kept, r.dup_of)
+        for r in q_semantic_dedup(spark, sf_dir).collect()
+    }
+    lo = 0
+    index = None
+    got = {}
+    for hi in (*cuts, None):
+        batch = b.filter(F.col("vec_id") >= lo)
+        if hi is not None:
+            batch = batch.filter(F.col("vec_id") < hi)
+        decisions = SIM.greedy_cell_dedup_incremental(batch, index, tau=COSINE_TAU)
+        rows = decisions.collect()
+        got.update({r.vec_id: (r.bucket, r.kept, r.dup_of) for r in rows})
+        kept_ids = [r.vec_id for r in rows if r.kept]
+        newly_kept = batch.filter(F.col("vec_id").isin(kept_ids))
+        index = newly_kept if index is None else index.unionByName(newly_kept)
+        lo = hi
+    assert got == want
+
+
+def test_semantic_dedup_incremental_contract_violation_raises(spark, sf_dir):
+    """A batch whose ids do not all exceed the index's must raise (the
+    silent alternative diverges from batch-mode) — enforced per cell
+    inside the sweep, no extra action."""
+    from fao_elt_pipelines_spark.plans.queries_ml import COSINE_TAU
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = e.select(
+        "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
+    )
+    first = b.filter(F.col("vec_id") >= 250)  # ingest the HIGH range first
+    d1 = SIM.greedy_cell_dedup_incremental(first, None, tau=COSINE_TAU)
+    kept_ids = [r.vec_id for r in d1.collect() if r.kept]
+    index = first.filter(F.col("vec_id").isin(kept_ids))
+    stale = b.filter(F.col("vec_id") < 250)  # lower ids arrive late
+    with pytest.raises(Exception, match="semantic ingest contract violated"):
+        SIM.greedy_cell_dedup_incremental(stale, index, tau=COSINE_TAU).collect()
+
+
 def test_semantic_dedup_zero_norm_alignment(spark):
     """Zero-norm vectors must be 'never similar → always kept' on BOTH
     engines: numpy produces NaN cosines (NaN >= tau is False); DuckDB
