@@ -5,7 +5,7 @@ Image/audio/video payloads are ``binary`` columns with a ``kind`` tag and a
 partition-preserving mapInPandas, Arrow batch shapes, deterministic
 batching — is real and tested.
 
-Decode is REAL for two formats, implemented on the stdlib alone (the
+Decode is REAL for three formats, implemented on the stdlib alone (the
 sandbox ships no PIL/librosa/pyav):
 
 * **WAV** (RIFF PCM16 mono) — parsed with stdlib ``wave`` + numpy; emits
@@ -15,11 +15,18 @@ sandbox ships no PIL/librosa/pyav):
   ``struct``, pixel array decoded with numpy including the 4-byte row
   padding and bottom-up row order; emits width / height / per-channel
   pixel sums from the actual decoded pixels.
+* **AVI** (RIFF ``AVI `` with uncompressed ``DIB `` BGR24 frames) — the
+  RIFF chunk tree is walked with ``struct`` (``avih`` main header,
+  ``strh`` stream header, ``movi`` frame list); every k-th ``00db`` frame
+  is decoded like a BMP pixel array (padded, bottom-up) — **frame
+  sampling**, the op a training pipeline runs on video; emits width /
+  height / n_frames / fps / n_frames_sampled / per-channel pixel sums
+  over the sampled frames.
 
-Video decode stays gated at the codec seam (``NotImplementedError`` inside
-``decode_media_features`` for ``kind='video'`` rows): no stdlib video
-codec exists. The legacy deterministic fake path (byte statistics) remains
-for the video plumbing tests.
+Only *compressed* video stays gated at the codec seam
+(``NotImplementedError`` when the AVI stream handler is anything but raw
+``DIB ``): no stdlib codec can inflate H.264/VP9. The legacy deterministic
+fake path (byte statistics) remains for the plumbing tests.
 
 At scale: mapInPandas streams Arrow batches (bounded memory per task
 regardless of payload size); binary payloads never pass through the driver;
@@ -96,6 +103,9 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("px_sum_r", T.LongType()),
         T.StructField("px_sum_g", T.LongType()),
         T.StructField("px_sum_b", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("n_frames_sampled", T.IntegerType()),
     ]
 )
 
@@ -171,38 +181,178 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, int, int, int]:
     return w, abs(h), int(sums[2]), int(sums[1]), int(sums[0])
 
 
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    # RIFF chunks are word-aligned: odd-length data gets a pad byte that is
+    # NOT counted in the stored size
+    return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def _frame_pixels(asset_id: int, w: int, h: int, f: int) -> np.ndarray:
+    """Frame ``f``'s BGR pixel block under the deterministic formula
+    r=(x+y+f+id)%256, g=(x+2y+2f+id)%256, b=(3x+y+3f+id)%256."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    r = (xs + ys + f + asset_id) % 256
+    g = (xs + 2 * ys + 2 * f + asset_id) % 256
+    b = (3 * xs + ys + 3 * f + asset_id) % 256
+    return np.stack([b, g, r], axis=-1).astype(np.uint8)
+
+
+def avi_bytes(asset_id: int) -> bytes:
+    """Deterministic uncompressed AVI (RIFF ``AVI ``, one ``vids`` stream,
+    raw ``DIB `` BGR24 bottom-up frames with BMP-style 4-byte row padding)
+    for ``asset_id``: ``n_frames = id%6+2`` frames of the
+    :func:`_frame_pixels` formula at ``fps = id%15+5``. Real file — the
+    chunk tree (avih / strl(strh,strf) / movi 00db) follows the published
+    AVI RIFF layout, any AVI demuxer can read it."""
+    w = int(asset_id % 7) + 2
+    h = int(asset_id % 5) + 2
+    nf = int(asset_id % 6) + 2
+    fps = int(asset_id % 15) + 5
+    stride = (w * 3 + 3) // 4 * 4
+    frames = []
+    for f in range(nf):
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = _frame_pixels(asset_id, w, h, f).reshape(h, w * 3)
+        frames.append(rows[::-1].tobytes())  # bottom-up row order
+    frame_bytes = stride * h
+    # MainAVIHeader: usec/frame, maxbytes/sec, padding, flags, total frames,
+    # initial frames, streams, suggested buffer, width, height, reserved[4]
+    avih = _riff_chunk(
+        b"avih",
+        struct.pack(
+            "<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10,
+            nf, 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+        ),
+    )
+    # AVISTREAMHEADER: type, handler, flags, prio+lang, initial, scale,
+    # rate, start, length, suggested buffer, quality, sample size, rcFrame
+    strh = _riff_chunk(
+        b"strh",
+        struct.pack(
+            "<4s4sIHHIIIIIIii4H", b"vids", b"DIB ", 0, 0, 0, 0,
+            1, fps, 0, nf, frame_bytes, -1, 0, 0, 0, w, h,
+        ),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0),
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi = _riff_list(b"movi", b"".join(_riff_chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _riff_walk(payload: bytes, start: int, end: int):
+    """Yield ``(fourcc, data_start, data_len)`` for each chunk in a RIFF
+    span; for LIST chunks the fourcc is the list type and the span excludes
+    the 4-byte type tag, so callers recurse naturally."""
+    pos = start
+    while pos + 8 <= end:
+        fourcc, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        data = pos + 8
+        if data + size > end:
+            raise ValueError("truncated RIFF chunk")
+        if fourcc == b"LIST":
+            yield payload[data : data + 4], data + 4, size - 4
+        else:
+            yield fourcc, data, size
+        pos = data + size + (size % 2)  # word alignment
+
+
+def _decode_avi(
+    payload: bytes, frame_stride: int = 2
+) -> tuple[int, int, int, int, int, int, int, int]:
+    """Decode an uncompressed DIB-in-AVI payload, sampling every
+    ``frame_stride``-th frame (frame 0 always included). Returns
+    (width, height, n_frames, fps, n_frames_sampled, px_r, px_g, px_b)
+    with the pixel sums taken over the SAMPLED frames only. A non-``DIB ``
+    stream handler raises ``NotImplementedError`` — the honest codec seam:
+    parsing the container needs only struct, inflating H.264 does not."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    w = h = nf = fps = None
+    frames: list[bytes] = []
+
+    def visit(fourcc: bytes, start: int, size: int) -> None:
+        nonlocal w, h, nf, fps
+        if fourcc in (b"hdrl", b"strl", b"movi"):
+            for sub in _riff_walk(payload, start, start + size):
+                visit(*sub)
+        elif fourcc == b"avih":
+            vals = struct.unpack_from("<14I", payload, start)
+            nf, w, h = vals[4], vals[8], vals[9]
+        elif fourcc == b"strh":
+            stype, handler = struct.unpack_from("<4s4s", payload, start)
+            if stype == b"vids":
+                if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                    raise NotImplementedError(
+                        f"AVI video codec {handler!r} requires a codec library "
+                        "(pyav) absent from this environment; uncompressed "
+                        "DIB frames decode for real"
+                    )
+                scale, rate = struct.unpack_from("<II", payload, start + 20)
+                if scale <= 0:
+                    raise ValueError("expected positive strh dwScale")
+                fps = rate // scale
+        elif fourcc in (b"00db", b"00dc"):
+            frames.append(payload[start : start + size])
+
+    for sub in _riff_walk(payload, 12, len(payload)):
+        visit(*sub)
+    if w is None or fps is None:
+        raise ValueError("AVI missing avih/strh headers")
+    if nf != len(frames):
+        raise ValueError(f"avih declares {nf} frames, movi carries {len(frames)}")
+    if frame_stride <= 0:
+        raise ValueError("frame_stride must be positive")
+    stride = (w * 3 + 3) // 4 * 4
+    sums = np.zeros(3, dtype=np.int64)  # BGR accumulation order
+    sampled = frames[::frame_stride]
+    for fr in sampled:
+        rows = np.frombuffer(fr, dtype=np.uint8, count=h * stride)
+        img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
+        sums += img.astype(np.int64).sum(axis=(0, 1))
+    return w, h, nf, fps, len(sampled), int(sums[2]), int(sums[1]), int(sums[0])
+
+
 def synthesize_media_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real media asset table derived deterministically from ``documents``:
-    even doc_ids carry a genuine WAV payload, odd ones a genuine BMP.
-    Payload construction runs distributed (Arrow-batched mapInPandas) —
-    bytes never pass through the driver."""
+    doc_id % 3 picks the format — 0 → genuine WAV, 1 → genuine BMP,
+    2 → genuine uncompressed AVI. Payload construction runs distributed
+    (Arrow-batched mapInPandas) — bytes never pass through the driver."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    _KIND = {0: ("audio", "wav", wav_bytes), 1: ("image", "bmp", bmp_bytes),
+             2: ("video", "avi", avi_bytes)}
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].astype("int64")
-            kinds = np.where(ids % 2 == 0, "audio", "image")
-            payloads = [
-                wav_bytes(i) if i % 2 == 0 else bmp_bytes(i) for i in ids
-            ]
+            picks = [_KIND[int(i) % 3] for i in ids]
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
-                    "kind": kinds,
-                    "payload": payloads,
-                    "meta": [
-                        {"format": "wav" if i % 2 == 0 else "bmp"} for i in ids
-                    ],
+                    "kind": [p[0] for p in picks],
+                    "payload": [p[2](int(i)) for i, p in zip(ids, picks)],
+                    "meta": [{"format": p[1]} for p in picks],
                 }
             )
 
     return d.mapInPandas(synth, ASSET_SCHEMA)
 
 
-def decode_media_features(assets: DataFrame) -> DataFrame:
+def decode_media_features(assets: DataFrame, frame_stride: int = 2) -> DataFrame:
     """REAL per-asset media decode over mapInPandas (Arrow-batched):
-    WAV via stdlib ``wave``, BMP via ``struct`` + numpy. ``kind='video'``
-    rows raise at the codec seam — no stdlib video codec exists.
+    WAV via stdlib ``wave``, BMP and uncompressed AVI via ``struct`` +
+    numpy. Video frames are SAMPLED (every ``frame_stride``-th frame,
+    frame 0 always kept) before the pixel pass — the standard
+    training-pipeline move that keeps per-asset decode cost bounded by
+    n_frames/stride instead of n_frames. Compressed AVI streams raise at
+    the codec seam — no stdlib codec can inflate them.
 
     Analogue of the reference's multi-format ingest dispatch
     (app/file_client.py:58-161, per-extension reader selection), re-done
@@ -233,11 +383,19 @@ def decode_media_features(assets: DataFrame) -> DataFrame:
                         row["px_sum_g"],
                         row["px_sum_b"],
                     ) = _decode_bmp(payload)
+                elif kind == "video":
+                    (
+                        row["width"],
+                        row["height"],
+                        row["n_frames"],
+                        row["fps"],
+                        row["n_frames_sampled"],
+                        row["px_sum_r"],
+                        row["px_sum_g"],
+                        row["px_sum_b"],
+                    ) = _decode_avi(payload, frame_stride)
                 else:
-                    raise NotImplementedError(
-                        "video decode requires a codec library (pyav) absent "
-                        "from this environment; WAV and BMP decode are real"
-                    )
+                    raise ValueError(f"unknown media kind {kind!r}")
                 for k, v in row.items():
                     out[k].append(v)
             int_cols = {
@@ -245,6 +403,8 @@ def decode_media_features(assets: DataFrame) -> DataFrame:
                 "duration_ms": "Int32", "amp_sum": "Int64",
                 "amp_max": "Int32", "width": "Int32", "height": "Int32",
                 "px_sum_r": "Int64", "px_sum_g": "Int64", "px_sum_b": "Int64",
+                "n_frames": "Int32", "fps": "Int32",
+                "n_frames_sampled": "Int32",
             }
             pdf_out = pd.DataFrame(out)
             for c, t in int_cols.items():

@@ -961,13 +961,16 @@ SELECT vec_id, bucket, kept, dup_of FROM g
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode end-to-end, REAL decoders: deterministic WAV
-    (RIFF PCM16, stdlib ``wave``) and BMP (24-bit, struct header + padded
-    bottom-up pixel rows) payloads are synthesized distributed, then decoded
-    distributed over Arrow-batched mapInPandas (functions/multimodal.py).
-    Oracle-checked: the waveform and pixel formulas are closed-form in the
-    asset id, so DuckDB recomputes every decoded value (sample counts,
-    amplitude sum/max, per-channel pixel sums) without touching the bytes —
-    the Spark side must actually parse the WAV/BMP payloads to match.
+    (RIFF PCM16, stdlib ``wave``), BMP (24-bit, struct header + padded
+    bottom-up pixel rows), and uncompressed AVI (RIFF chunk walk, raw DIB
+    frames, every-2nd-frame sampling) payloads are synthesized distributed,
+    then decoded distributed over Arrow-batched mapInPandas
+    (functions/multimodal.py). Oracle-checked: the waveform, pixel, and
+    per-frame formulas are closed-form in the asset id, so DuckDB
+    recomputes every decoded value (sample counts, amplitude sum/max,
+    frame counts, per-channel pixel sums over the SAMPLED frames) without
+    touching the bytes — the Spark side must actually parse the
+    WAV/BMP/AVI payloads, including the frame-sampling stride, to match.
     Reference analogue: multi-format ingest dispatch
     (app/file_client.py:58-161)."""
     from ..functions import multimodal as MM
@@ -979,11 +982,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MULTIMODAL_FEATURES = """
 WITH b AS (
   SELECT doc_id AS asset_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'audio'
+              WHEN 1 THEN 'image' ELSE 'video' END AS kind,
          8000 + (doc_id % 2) * 8000 AS sr,
          1000 + (doc_id % 50) * 100 AS ns,
          (doc_id % 7) + 2 AS w,
-         (doc_id % 5) + 2 AS h
+         (doc_id % 5) + 2 AS h,
+         (doc_id % 6) + 2 AS nf,
+         (doc_id % 15) + 5 AS fps
   FROM documents
 )
 SELECT asset_id, kind,
@@ -994,14 +1000,29 @@ SELECT asset_id, kind,
     i -> (7 * i + asset_id) % 401 - 200)) AS BIGINT) END AS amp_sum,
   CASE WHEN kind = 'audio' THEN CAST(list_max(list_transform(range(ns),
     i -> (7 * i + asset_id) % 401 - 200)) AS INTEGER) END AS amp_max,
-  CASE WHEN kind = 'image' THEN CAST(w AS INTEGER) END AS width,
-  CASE WHEN kind = 'image' THEN CAST(h AS INTEGER) END AS height,
+  CASE WHEN kind IN ('image', 'video') THEN CAST(w AS INTEGER) END AS width,
+  CASE WHEN kind IN ('image', 'video') THEN CAST(h AS INTEGER) END AS height,
   CASE WHEN kind = 'image' THEN CAST(list_sum(list_transform(range(w * h),
-    i -> (i % w + i // w + asset_id) % 256)) AS BIGINT) END AS px_sum_r,
+    i -> (i % w + i // w + asset_id) % 256)) AS BIGINT)
+       WHEN kind = 'video' THEN CAST(list_sum(list_transform(range(nf), f ->
+    CASE WHEN f % 2 = 0 THEN list_sum(list_transform(range(w * h),
+      i -> (i % w + i // w + f + asset_id) % 256)) ELSE 0 END)) AS BIGINT)
+  END AS px_sum_r,
   CASE WHEN kind = 'image' THEN CAST(list_sum(list_transform(range(w * h),
-    i -> (i % w + 2 * (i // w) + asset_id) % 256)) AS BIGINT) END AS px_sum_g,
+    i -> (i % w + 2 * (i // w) + asset_id) % 256)) AS BIGINT)
+       WHEN kind = 'video' THEN CAST(list_sum(list_transform(range(nf), f ->
+    CASE WHEN f % 2 = 0 THEN list_sum(list_transform(range(w * h),
+      i -> (i % w + 2 * (i // w) + 2 * f + asset_id) % 256)) ELSE 0 END)) AS BIGINT)
+  END AS px_sum_g,
   CASE WHEN kind = 'image' THEN CAST(list_sum(list_transform(range(w * h),
-    i -> (3 * (i % w) + i // w + asset_id) % 256)) AS BIGINT) END AS px_sum_b
+    i -> (3 * (i % w) + i // w + asset_id) % 256)) AS BIGINT)
+       WHEN kind = 'video' THEN CAST(list_sum(list_transform(range(nf), f ->
+    CASE WHEN f % 2 = 0 THEN list_sum(list_transform(range(w * h),
+      i -> (3 * (i % w) + i // w + 3 * f + asset_id) % 256)) ELSE 0 END)) AS BIGINT)
+  END AS px_sum_b,
+  CASE WHEN kind = 'video' THEN CAST(nf AS INTEGER) END AS n_frames,
+  CASE WHEN kind = 'video' THEN CAST(fps AS INTEGER) END AS fps,
+  CASE WHEN kind = 'video' THEN CAST((nf + 1) // 2 AS INTEGER) END AS n_frames_sampled
 FROM b
 """
 

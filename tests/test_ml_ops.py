@@ -56,9 +56,10 @@ def test_multimodal_plumbing(spark, sf_dir):
 
 
 def test_multimodal_real_decode_roundtrip():
-    """WAV and BMP decoders read back exactly what the synthesizers wrote,
-    for ids covering every width/height/rate/length residue class."""
-    for aid in range(0, 71):
+    """WAV, BMP, and AVI decoders read back exactly what the synthesizers
+    wrote, for ids covering every width/height/rate/length/frame-count
+    residue class."""
+    for aid in range(0, 211):
         sr, n, dur, s_sum, s_max = MM._decode_wav(MM.wav_bytes(aid))
         assert sr == 8000 + (aid % 2) * 8000
         assert n == 1000 + (aid % 50) * 100
@@ -70,6 +71,36 @@ def test_multimodal_real_decode_roundtrip():
         assert pr == sum((x + y + aid) % 256 for y in range(h) for x in range(w))
         assert pg == sum((x + 2 * y + aid) % 256 for y in range(h) for x in range(w))
         assert pb == sum((3 * x + y + aid) % 256 for y in range(h) for x in range(w))
+        w, h, nf, fps, ns, vr, vg, vb = MM._decode_avi(MM.avi_bytes(aid))
+        assert (w, h, nf, fps) == (aid % 7 + 2, aid % 5 + 2, aid % 6 + 2, aid % 15 + 5)
+        assert ns == (nf + 1) // 2  # stride-2 sampling keeps frames 0,2,4,…
+        sampled = range(0, nf, 2)
+        assert vr == sum((x + y + f + aid) % 256
+                         for f in sampled for y in range(h) for x in range(w))
+        assert vg == sum((x + 2 * y + 2 * f + aid) % 256
+                         for f in sampled for y in range(h) for x in range(w))
+        assert vb == sum((3 * x + y + 3 * f + aid) % 256
+                         for f in sampled for y in range(h) for x in range(w))
+
+
+def test_multimodal_avi_frame_sampling_strides():
+    """stride=1 sums every frame; a stride beyond n_frames keeps only frame
+    0; stride-2 totals equal the per-frame sums of the sampled frames."""
+    aid = 9  # nf = 5
+    w, h, nf, _fps, ns_all, r_all, g_all, b_all = MM._decode_avi(MM.avi_bytes(aid), frame_stride=1)
+    assert ns_all == nf == 5
+    _, _, _, _, ns_one, r_one, _, _ = MM._decode_avi(MM.avi_bytes(aid), frame_stride=100)
+    assert ns_one == 1
+    assert r_one == sum((x + y + aid) % 256 for y in range(h) for x in range(w))
+    per_frame = [
+        sum((x + y + f + aid) % 256 for y in range(h) for x in range(w))
+        for f in range(nf)
+    ]
+    assert r_all == sum(per_frame)
+    _, _, _, _, ns2, r2, _, _ = MM._decode_avi(MM.avi_bytes(aid), frame_stride=2)
+    assert ns2 == 3 and r2 == per_frame[0] + per_frame[2] + per_frame[4]
+    with pytest.raises(ValueError, match="frame_stride"):
+        MM._decode_avi(MM.avi_bytes(aid), frame_stride=0)
 
 
 def test_multimodal_real_decode_guards(spark, sf_dir):
@@ -78,29 +109,51 @@ def test_multimodal_real_decode_guards(spark, sf_dir):
         MM._decode_bmp(b"XX" + b"\x00" * 60)
     with pytest.raises(Exception):
         MM._decode_wav(b"RIFFgarbage")
-    # the video codec seam is explicit and raises at evaluation
+    with pytest.raises(ValueError, match="not an AVI"):
+        MM._decode_avi(b"RIFFxxxxWAVE")
+    # a frame-count mismatch between avih and movi surfaces
+    import struct as _s
+
+    payload = bytearray(MM.avi_bytes(4))
+    i = payload.find(b"avih") + 8
+    declared = _s.unpack_from("<I", payload, i + 16)[0]
+    _s.pack_into("<I", payload, i + 16, declared + 1)
+    with pytest.raises(ValueError, match="movi carries"):
+        MM._decode_avi(bytes(payload))
+    # the codec seam is explicit: compressed streams raise, uncompressed
+    # DIB frames decode for real
+    compressed = bytearray(MM.avi_bytes(4))
+    j = compressed.find(b"vids") + 4
+    compressed[j : j + 4] = b"H264"
     video = spark.createDataFrame(
-        [(1, "video", bytearray(b"frames"), {"format": "raw"})],
+        [(1, "video", bytes(compressed), {"format": "avi"})],
         MM.ASSET_SCHEMA,
     )
-    with pytest.raises(Exception, match="video decode requires"):
+    with pytest.raises(Exception, match="codec .* requires a codec library"):
         MM.decode_media_features(video).collect()
 
 
 def test_multimodal_distributed_decode(spark, sf_dir):
     """End-to-end distributed path: synth → decode over mapInPandas, with
-    audio and image rows carrying their own feature columns."""
+    audio, image, and video rows carrying their own feature columns."""
     feats = MM.decode_media_features(MM.synthesize_media_assets(spark, sf_dir))
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     rows = feats.collect()
     assert len(rows) == n_docs
-    for r in rows[:50]:
+    kinds = {r["kind"] for r in rows}
+    assert kinds == {"audio", "image", "video"}
+    for r in rows[:60]:
         if r["kind"] == "audio":
             assert r["sample_rate"] in (8000, 16000) and r["width"] is None
             assert r["amp_max"] is not None and r["amp_max"] <= 200
-        else:
+        elif r["kind"] == "image":
             assert r["width"] is not None and r["sample_rate"] is None
+            assert r["n_frames"] is None and r["px_sum_r"] is not None
             assert 2 <= r["width"] <= 8 and 2 <= r["height"] <= 6
+        else:
+            assert 2 <= r["n_frames"] <= 7 and 5 <= r["fps"] <= 19
+            assert r["n_frames_sampled"] == (r["n_frames"] + 1) // 2
+            assert r["px_sum_r"] is not None and r["sample_rate"] is None
 
 
 def test_windowed_op_counts_batch_parity(spark):
