@@ -1470,6 +1470,65 @@ FROM b GROUP BY repo, path
 """
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal enrichment via the distributed as-of join
+    (operators/asof.py): every 'view' event gains the user's latest
+    'purchase' at-or-before it — the "state as of the event" lookup that
+    equi-joins can't express. Same-(user, ts) purchase ties resolve to the
+    max event_id through the operator's ``tiebreak`` ordering — inside the
+    ONE union-window shuffle, no dedup pre-aggregation pass. Oracle:
+    DuckDB's native ASOF LEFT JOIN over an arg_max-deduped history — an
+    independent implementation of the same semantics (the explicit dedup
+    the engine gets implicitly from the tiebreak), inclusive bound and
+    all."""
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", F.col("value").alias("view_value")
+    )
+    hist = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    j = asof_join(probe, hist, on=["user_id"], left_ts="ts", right_ts="ts",
+                  tiebreak="purchase_event_id")
+    return j.select(
+        "event_id",
+        "user_id",
+        "view_value",
+        "asof_purchase_event_id",
+        "asof_purchase_value",
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("asof_ts").cast("timestamp"))
+        ).alias("usec_since_purchase"),  # NTZ→TZ cast is exact (session TZ pinned UTC)
+    )
+
+
+SQL_ASOF_JOIN_EVENTS = """
+WITH probe AS (
+  SELECT event_id, user_id, ts, value AS view_value
+  FROM events WHERE event_type = 'view'
+),
+hist AS (
+  SELECT user_id, ts,
+         max(event_id) AS purchase_event_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id, p.view_value,
+       h.purchase_event_id AS asof_purchase_event_id,
+       h.purchase_value AS asof_purchase_value,
+       CAST(epoch_us(p.ts) - epoch_us(h.ts) AS BIGINT) AS usec_since_purchase
+FROM probe p
+ASOF LEFT JOIN hist h ON p.user_id = h.user_id AND p.ts >= h.ts
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_quarantine": (q_cdc_quarantine, SQL_CDC_QUARANTINE),
     "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
@@ -1504,4 +1563,5 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "case_custom_sort": (q_case_custom_sort, SQL_CASE_CUSTOM_SORT),
     "gold_formatted_report": (q_gold_formatted_report, SQL_GOLD_FORMATTED_REPORT),
     "source_excel_scan": (q_source_excel_scan, SQL_SOURCE_EXCEL_SCAN),
+    "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
 }

@@ -40,6 +40,12 @@ explicitly:
     10^9-event independent-DuckDB-oracle arm (BENCH/validate_1e9.json,
     per-repo + sample-sha256 match) plus the process-level kill -9 resume
     tests — so it rotates out of the sf0.01 driver cap for one round.
+  - ``ann_ivf_topk`` rotates out for the round that adds
+    ``asof_join_events`` (the cap is zero-sum): driver-green r3, unchanged
+    since (verified against the r3 tree), equated to ``ann_ivf_topk_matmul``
+    by tests/test_ml_ops.py and recall-tied to the brute ``ann_cosine_topk``
+    — and the whole ANN family is still pinned every pytest run by the
+    in-repo oracle differential. It rotates back in next round.
   - ``dedup_clusters``'s oracle composes the same _MINHASH_PAIR_CTES as
     ``dedup_minhash_lsh``/``dedup_minhash_incremental`` (in-cap), and its
     own contribution (connected components) has dedicated convergence /
@@ -82,9 +88,11 @@ _VERIFY_FIRST: list[str] = [
     "dedup_minhash_lsh",  # round-4 delegation refactor — re-verify
     "cdc_lww_state",  # round-4 lww_dedup delegation — re-verify
     "semantic_dedup",  # new in round 4 — never driver-verified
+    "asof_join_events",  # new in round 4 — never driver-verified
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "ann_ivf_topk",
     "cdc_merge_upsert",
     "dedup_clusters",
     "windowed_event_counts",
