@@ -1529,6 +1529,54 @@ ASOF LEFT JOIN hist h ON p.user_id = h.user_id AND p.ts >= h.ts
 """
 
 
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history (operators/scd.py) over the derived
+    binlog: per (repo, path), one row per distinct (lang, band) version
+    with its half-open validity interval in seq-time, is_current, and a
+    per-key version number. Attributes are deliberately coarse (lang =
+    event_type, band = seq % 3) so change suppression genuinely fires —
+    consecutive same-attribute events collapse into one version — and
+    delete → re-insert re-opens even an attribute-identical version.
+    The reference's silver models full-refresh away this history
+    (dbt_project/models/silver/*.sql); this is the operator that keeps it.
+    Oracle: an independent lag/lead/row_number formulation in DuckDB."""
+    from ..operators.scd import scd2_history
+
+    src = _derived_binlog(spark, sf_dir).select(
+        "seq", "repo", "path", "op", "lang", (F.col("seq") % 3).alias("band")
+    )
+    return scd2_history(src, keys=["repo", "path"], attrs=["lang", "band"])
+
+
+SQL_CDC_SCD2_HISTORY = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+src AS (
+  SELECT seq, repo, path, op, lang, seq % 3 AS band FROM binlog
+),
+lagged AS (
+  SELECT *, lag(op) OVER w AS p_op, lag(lang) OVER w AS p_lang,
+         lag(band) OVER w AS p_band
+  FROM src WINDOW w AS (PARTITION BY repo, path ORDER BY seq)
+),
+survivors AS (
+  SELECT * FROM lagged
+  WHERE NOT (op <> 'delete' AND p_op IS NOT NULL AND p_op <> 'delete'
+             AND p_lang IS NOT DISTINCT FROM lang
+             AND p_band IS NOT DISTINCT FROM band)
+),
+versions AS (
+  SELECT repo, path, lang, band, op, seq AS valid_from_seq,
+         lead(seq) OVER (PARTITION BY repo, path ORDER BY seq) AS valid_to_seq
+  FROM survivors
+)
+SELECT repo, path, lang, band, valid_from_seq, valid_to_seq,
+       (valid_to_seq IS NULL) AS is_current,
+       CAST(row_number() OVER (PARTITION BY repo, path ORDER BY valid_from_seq)
+            AS BIGINT) AS version_num
+FROM versions WHERE op <> 'delete'
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_quarantine": (q_cdc_quarantine, SQL_CDC_QUARANTINE),
     "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
@@ -1564,4 +1612,5 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "gold_formatted_report": (q_gold_formatted_report, SQL_GOLD_FORMATTED_REPORT),
     "source_excel_scan": (q_source_excel_scan, SQL_SOURCE_EXCEL_SCAN),
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
+    "cdc_scd2_history": (q_cdc_scd2_history, SQL_CDC_SCD2_HISTORY),
 }

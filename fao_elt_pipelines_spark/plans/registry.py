@@ -46,6 +46,12 @@ explicitly:
     by tests/test_ml_ops.py and recall-tied to the brute ``ann_cosine_topk``
     — and the whole ANN family is still pinned every pytest run by the
     in-repo oracle differential. It rotates back in next round.
+  - ``topk_orders`` rotates out for the round that adds
+    ``cdc_scd2_history`` (zero-sum again): driver-green r1–r3, its body
+    unchanged since r1, and now twin-tied to the distributed rank path by
+    tests/test_rank.py::test_topk_orders_equals_global_rank_topk
+    (TakeOrderedAndProject top-k ≡ filter(global_rank ≤ k) + total order
+    over the tiny survivor set). It rotates back in next round.
   - ``dedup_clusters``'s oracle composes the same _MINHASH_PAIR_CTES as
     ``dedup_minhash_lsh``/``dedup_minhash_incremental`` (in-cap), and its
     own contribution (connected components) has dedicated convergence /
@@ -89,9 +95,11 @@ _VERIFY_FIRST: list[str] = [
     "cdc_lww_state",  # round-4 lww_dedup delegation — re-verify
     "semantic_dedup",  # new in round 4 — never driver-verified
     "asof_join_events",  # new in round 4 — never driver-verified
+    "cdc_scd2_history",  # new in round 4 — never driver-verified
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "topk_orders",
     "ann_ivf_topk",
     "cdc_merge_upsert",
     "dedup_clusters",

@@ -70,3 +70,27 @@ def test_global_cumsum_empty(spark):
 
     df = spark.createDataFrame([], "k long, v long")
     assert global_cumsum(df, "k", "v", "cum").count() == 0
+
+
+def test_topk_orders_equals_global_rank_topk(spark, sf_dir):
+    """Registry twin-tie: q_topk_orders (TakeOrderedAndProject ORDER BY +
+    LIMIT) equals filter(global_rank <= k) + the same total order applied
+    to that by-construction-tiny survivor set. Justifies topk_orders'
+    _ROTATION_TAIL seat: the top-k semantics stay pinned every pytest run
+    through the distributed-rank path that IS in-cap machinery
+    (pack_sequences' cumsum, gold ranks)."""
+    from fao_elt_pipelines_spark.operators.rank import global_rank
+    from fao_elt_pipelines_spark.plans.queries import load, q_topk_orders
+
+    want = [
+        (r.o_orderkey, r.o_custkey, r.o_totalprice, r.o_orderpriority)
+        for r in q_topk_orders(spark, sf_dir).collect()
+    ]
+
+    ranked = global_rank(load(spark, sf_dir, "orders"), "o_totalprice", "rnk")
+    survivors = ranked.filter("rnk <= 10").collect()  # ties: tiny, >= 10 rows
+    got = [
+        (r.o_orderkey, r.o_custkey, r.o_totalprice, r.o_orderpriority)
+        for r in sorted(survivors, key=lambda r: (-r.o_totalprice, r.o_orderkey))
+    ][:10]
+    assert got == want
