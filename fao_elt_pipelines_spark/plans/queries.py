@@ -1577,6 +1577,55 @@ FROM versions WHERE op <> 'delete'
 """
 
 
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless range join (operators/range_join.py): every event matched to
+    every 6-hour "incident window" (opened by each error event whose id is
+    ≡ 0 mod 101) whose half-open span contains it — windows overlap, so an
+    event can land in several (the multi-match semantics the as-of join
+    deliberately doesn't have). No equality key at all: the naive plan is a
+    nested-loop; this one is a bin equi-join (bin = the 6h window length →
+    every interval explodes to ≤ 2 bins), plan-audited no-cartesian in
+    tests/test_range_join.py. Oracle: DuckDB's inequality join (IEJoin)
+    over the same derived windows. NTZ→TZ cast is exact (session TZ pinned
+    UTC)."""
+    from ..operators.range_join import interval_point_join
+
+    ev = load(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    win_us = 6 * 3600 * 1_000_000
+    pts = ev.select("event_id", "user_id", "event_type", ts_us.alias("ts_us"))
+    inc = ev.filter((F.col("event_type") == "error") & (F.col("event_id") % 101 == 0)).select(
+        F.col("event_id").alias("incident_id"),
+        ts_us.alias("start_us"),
+        (ts_us + win_us).alias("end_us"),
+    )
+    j = interval_point_join(
+        pts, inc, point_col="ts_us", start_col="start_us", end_col="end_us",
+        bin_width=win_us,
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("rj_incident_id").alias("incident_id"),
+        (F.col("ts_us") - F.col("rj_start_us")).alias("usec_into_incident"),
+    )
+
+
+SQL_RANGE_JOIN_EVENTS = """
+WITH inc AS (
+  SELECT event_id AS incident_id,
+         epoch_us(ts) AS start_us,
+         epoch_us(ts) + 21600000000 AS end_us
+  FROM events WHERE event_type = 'error' AND event_id % 101 = 0
+)
+SELECT e.event_id, e.user_id, e.event_type, i.incident_id,
+       epoch_us(e.ts) - i.start_us AS usec_into_incident
+FROM events e JOIN inc i
+  ON epoch_us(e.ts) >= i.start_us AND epoch_us(e.ts) < i.end_us
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_quarantine": (q_cdc_quarantine, SQL_CDC_QUARANTINE),
     "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
@@ -1613,4 +1662,5 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "source_excel_scan": (q_source_excel_scan, SQL_SOURCE_EXCEL_SCAN),
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
     "cdc_scd2_history": (q_cdc_scd2_history, SQL_CDC_SCD2_HISTORY),
+    "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
 }

@@ -66,6 +66,15 @@ explicitly:
   twin test, so it keeps its tail seat rather than displacing a
   never-verified entry from the cap.
 
+  - ``union_projections`` rotates out for the round that adds
+    ``range_join_events`` (zero-sum): driver-green r1–r3, its body
+    byte-unchanged since the original registry commit (fc12500, verified
+    with ``git log -L``), and — like every tail entry — still pinned every
+    pytest run by the in-repo oracle differential
+    (tests/test_entry_oracle.py parametrizes ALL entries through the same
+    rows+schema+hash compare the driver runs). It rotates back in next
+    round.
+
   The tail rotates each round so every entry is driver-verified at least
   every other round, and every entry whose code changed is verified in the
   round it changed.
@@ -96,9 +105,11 @@ _VERIFY_FIRST: list[str] = [
     "semantic_dedup",  # new in round 4 — never driver-verified
     "asof_join_events",  # new in round 4 — never driver-verified
     "cdc_scd2_history",  # new in round 4 — never driver-verified
+    "range_join_events",  # new in round 4 — never driver-verified
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "union_projections",
     "topk_orders",
     "ann_ivf_topk",
     "cdc_merge_upsert",
