@@ -418,11 +418,13 @@ def decode_features(assets: DataFrame, real_decode: bool = False, frame_stride: 
     """Per-asset feature extraction over mapInPandas (Arrow-batched).
 
     ``real_decode=True`` routes to :func:`decode_media_features` (real WAV
-    and BMP decoding); the default path is the deterministic byte-statistic
-    fake used by the video plumbing tests.
+    and BMP decoding) with the SAME ``frame_stride`` the caller passed (the
+    real decoder's own default is 2 — callers relying on this wrapper's 16
+    get 16 on both paths); the default path is the deterministic
+    byte-statistic fake used by the video plumbing tests.
     """
     if real_decode:
-        return decode_media_features(assets)
+        return decode_media_features(assets, frame_stride=frame_stride)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -279,7 +279,9 @@ def _sweep_frame(
     nrm = np.sqrt(np.einsum("ij,ij->i", M, M))
     n = len(ids)
     kept = np.zeros(n, dtype=bool)
-    dup_of = np.full(n, np.nan)
+    # int64 end-to-end: routing ids through float64 would silently corrupt
+    # ids above 2^53 (snowflake-style ids) — dup_of is valid iff NOT kept
+    dup_of = np.zeros(n, dtype=np.int64)
     kept_idx: list[int] = list(range(n_seed))
     for i in range(n):
         j = n_seed + i
@@ -299,7 +301,7 @@ def _sweep_frame(
             bucket_col: bk,
             "kept": kept,
             "dup_of": pd.array(
-                [None if np.isnan(d) else int(d) for d in dup_of], dtype="Int64"
+                [None if k else int(d) for k, d in zip(kept, dup_of)], dtype="Int64"
             ),
         }
     )

@@ -25,7 +25,7 @@ JVM-side, one shuffle:
 
 Physical plan: two scans → Union → ONE Exchange (hashpartitioning on the
 keys) → per-partition Sort → Window → Filter/Project. No cartesian
-product, no per-row Python; asserted by tests/test_plans.py.
+product, no per-row Python; asserted by tests/test_asof.py's plan audit.
 
 Scale notes: the window partitions by the equality keys, so one key's
 full event+history timeline lands in one task — the correct layout while
@@ -87,16 +87,21 @@ def asof_join(
     left_type = T.StructType([left.schema[c] for c in left.columns])
     state = F.struct(*[F.col(c) for c in payload_cols])
     if tiebreak:
-        tie = F.col(tiebreak)
+        if tiebreak not in right.columns:
+            raise ValueError(f"right side lacks tiebreak column {tiebreak!r}")
+        # keep the caller's type — casting to long would truncate doubles
+        # (1.9 vs 1.2 both -> 1) and NULL out strings, silently breaking
+        # the documented largest-wins contract for non-integral tiebreaks
+        tie, tie_type = F.col(tiebreak), right.schema[tiebreak].dataType
     elif payload_cols:
-        tie = F.xxhash64(state)
+        tie, tie_type = F.xxhash64(state), T.LongType()
     else:  # payload-less right side: only the matched timestamp is emitted
-        tie = F.lit(0)
+        tie, tie_type = F.lit(0), T.LongType()
     r = right.select(
         *keys,
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_TAG),
-        tie.cast("long").alias(_TIE),
+        tie.alias(_TIE),
         state.alias(_STATE),
         F.lit(None).cast(left_type).alias(_LEFT),
     )
@@ -104,7 +109,7 @@ def asof_join(
         *keys,
         F.col(left_ts).alias(_TS),
         F.lit(1).alias(_TAG),
-        F.lit(None).cast("long").alias(_TIE),
+        F.lit(None).cast(tie_type).alias(_TIE),
         F.lit(None).cast(state_type).alias(_STATE),
         F.struct(*[F.col(c) for c in left.columns]).alias(_LEFT),
     )

@@ -8,7 +8,11 @@ with a cartesian product:
   keys). The "which incident windows was this event inside" lookup; unlike
   the as-of join (operators/asof.py) a point may match MANY intervals.
 * ``interval_overlap_join`` — every pair of intervals (one per side) whose
-  half-open spans overlap: ``l.start < r.end AND r.start < l.end``.
+  half-open spans have a NON-EMPTY intersection:
+  ``greatest(l.start, r.start) < least(l.end, r.end)``. (For non-empty
+  intervals that is the familiar ``l.start < r.end AND r.start < l.end``;
+  an empty interval ``[x, x)`` is the empty set and overlaps nothing, even
+  where the naive two-clause predicate would claim it does.)
 
 The reference's SQL surface never needed one at its ~600-row scale, but a
 CDC/events pipeline correlating facts against validity windows does
@@ -44,8 +48,9 @@ Scale notes: cost is (rows × bins-per-interval) exploded rows on the
 interval side(s); choose ``W`` near the typical interval length so that is
 O(1) per interval (the registry query uses W = the window length → ≤ 2
 bins each). A pathologically long interval explodes to span/W rows — cap
-it with ``max_bins`` (default 4096: raises at plan-build time via a
-count on the metadata-cheap aggregate rather than corrupting results).
+it with ``max_bins`` (default 4096: a per-row ``raise_error`` branch that
+fails the job the moment the interval side is first scanned — at
+execution, not plan-build — rather than silently exploding the shuffle).
 Bin ids are computed as ``floor(x / W)`` in double precision — exact for
 ``|x| < 2^53``, which covers epoch micros until year ~2255.
 """
@@ -128,9 +133,13 @@ def interval_point_join(
     if point_col not in points.columns:
         raise ValueError(f"point side lacks column {point_col!r}")
     ipay = [c for c in intervals.columns if c not in keys]
-    collisions = [f"{prefix}{c}" for c in ipay if f"{prefix}{c}" in points.columns]
+    collisions = [f"{prefix}{c}" for c in ipay if f"{prefix}{c}" in points.columns] + [
+        f"{prefix}{c}"
+        for c in ipay
+        if f"{prefix}{c}" != c and f"{prefix}{c}" in intervals.columns
+    ]
     if collisions:
-        raise ValueError(f"prefixed interval columns collide with points: {collisions}")
+        raise ValueError(f"prefixed interval columns collide: {sorted(set(collisions))}")
 
     iv = _prefixed(
         _explode_bins(intervals, start_col, end_col, bin_width, max_bins), ipay, prefix
@@ -160,17 +169,35 @@ def interval_overlap_join(
     r_prefix: str = "r_",
     max_bins: int | None = 4096,
 ) -> DataFrame:
-    """Inner join of two interval tables on half-open span overlap
-    (``l.start < r.end AND r.start < l.end``, plus equal ``on`` keys).
-    Every overlapping pair appears EXACTLY once — matched only in the bin
+    """Inner join of two interval tables on non-empty half-open span
+    intersection (``greatest(l.start, r.start) < least(l.end, r.end)``,
+    plus equal ``on`` keys; empty intervals overlap nothing). Every
+    overlapping pair appears EXACTLY once — matched only in the bin
     containing ``greatest(l.start, r.start)``. All columns come back
     prefixed (keys keep the left side's values, unprefixed)."""
     keys = list(on or [])
-    for c, side in ((l_start, left), (l_end, left), (r_start, right), (r_end, right)):
+    for c, side, name in (
+        (l_start, left, "left"),
+        (l_end, left, "left"),
+        (r_start, right, "right"),
+        (r_end, right, "right"),
+        *[(k, left, "left") for k in keys],
+        *[(k, right, "right") for k in keys],
+    ):
         if c not in side.columns:
-            raise ValueError(f"side lacks column {c!r}")
+            raise ValueError(f"{name} side lacks column {c!r}")
     lpay = [c for c in left.columns if c not in keys]
     rpay = [c for c in right.columns if c not in keys]
+    out_names = [*keys, *(f"{l_prefix}{c}" for c in lpay), *(f"{r_prefix}{c}" for c in rpay)]
+    dupes = sorted({n for n in out_names if out_names.count(n) > 1})
+    side_clash = [
+        f"{p}{c}"
+        for p, pay, side in ((l_prefix, lpay, left), (r_prefix, rpay, right))
+        for c in pay
+        if f"{p}{c}" != c and f"{p}{c}" in side.columns
+    ]
+    if dupes or side_clash:
+        raise ValueError(f"prefixed columns collide: {sorted({*dupes, *side_clash})}")
     l = _prefixed(_explode_bins(left, l_start, l_end, bin_width, max_bins), lpay, l_prefix)  # noqa: E741
     r = _prefixed(_explode_bins(right, r_start, r_end, bin_width, max_bins), rpay, r_prefix)
     ls, le = F.col(f"{l_prefix}{l_start}"), F.col(f"{l_prefix}{l_end}")

@@ -132,6 +132,27 @@ def test_tiebreak_picks_largest(spark):
     assert (r["asof_seq"], r["asof_v"]) == (9, 999.0)
 
 
+def test_tiebreak_keeps_caller_type(spark):
+    """Non-integral tiebreaks must win by their OWN ordering — a long cast
+    would truncate 1.9 and 1.2 to the same 1 (arbitrary winner) and NULL
+    out strings entirely."""
+    left = _mk(spark, [("u", 10, 1)], ["k", "t", "i"])
+    right = _mk(
+        spark,
+        [("u", 10, 1.2, "low"), ("u", 10, 1.9, "high")],
+        ["k", "t", "score", "label"],
+    )
+    r = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                  tiebreak="score").collect()[0]
+    assert (r["asof_score"], r["asof_label"]) == (1.9, "high")
+    r2 = asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                   tiebreak="label").collect()[0]
+    assert r2["asof_label"] == "low"  # lexicographically largest wins
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="t",
+                  tiebreak="nope")
+
+
 def test_permutation_invariance(spark, sides):
     left, right = sides
     base = sorted(

@@ -287,6 +287,25 @@ def test_semantic_dedup_incremental_contract_violation_raises(spark, sf_dir):
         SIM.greedy_cell_dedup_incremental(stale, index, tau=COSINE_TAU).collect()
 
 
+def test_semantic_dedup_huge_ids_exact(spark):
+    """dup_of must survive snowflake-scale ids (> 2^53): a float64 hop
+    would round-trip 2^60+1 to a NEARBY BUT DIFFERENT id — the emitted
+    dup_of would point at a vector that doesn't exist."""
+    base = 1 << 60
+    rows = [
+        (base + 1, 0, [1.0, 0.0]),
+        (base + 3, 0, [1.0, 1e-9]),  # near-dup of base+1 → dropped
+        (base + 5, 0, [0.0, 1.0]),   # orthogonal → kept
+    ]
+    b = spark.createDataFrame(rows, ["vec_id", "bucket", "embedding"])
+    got = {r.vec_id: (r.kept, r.dup_of) for r in SIM.greedy_cell_dedup(b, tau=0.9).collect()}
+    assert got == {
+        base + 1: (True, None),
+        base + 3: (False, base + 1),  # exact, not float-rounded
+        base + 5: (True, None),
+    }
+
+
 def test_semantic_dedup_zero_norm_alignment(spark):
     """Zero-norm vectors must be 'never similar → always kept' on BOTH
     engines: numpy produces NaN cosines (NaN >= tau is False); DuckDB
