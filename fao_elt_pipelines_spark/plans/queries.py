@@ -1626,6 +1626,54 @@ FROM events e JOIN inc i
 """
 
 
+def q_rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup cascade (operators/rollup.py): the DAY level of a
+    minute → hour → day continuous-aggregate cascade over events — each
+    level re-aggregated from the one below, the raw table touched once.
+    Sum rides a decimal column so re-association across levels cannot
+    change it; avg is derived at read time from sum/count (averages don't
+    re-aggregate). The oracle aggregates DAILY DIRECTLY FROM RAW — matching
+    it is precisely the claim that two coarsening steps lost nothing."""
+    from ..operators.rollup import rollup_cascade
+
+    ev = load(spark, sf_dir, "events")
+    cascade = rollup_cascade(
+        ev,
+        ts_col="ts",
+        resolutions=["1 minute", "1 hour", "1 day"],
+        group_cols=["event_type"],
+        measures={
+            "total_value": ("sum", dec("value")),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        count_col="events",
+    )
+    day = cascade["1 day"]
+    return day.select(
+        F.col("window_start").alias("day_start"),
+        "event_type",
+        "events",
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+        (F.col("total_value").cast("double") / F.col("events")).alias("avg_value"),
+    )
+
+
+SQL_ROLLUP_CASCADE_DAILY = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS day_start,
+       event_type,
+       count(*) AS events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_quarantine": (q_cdc_quarantine, SQL_CDC_QUARANTINE),
     "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
@@ -1663,4 +1711,5 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "asof_join_events": (q_asof_join_events, SQL_ASOF_JOIN_EVENTS),
     "cdc_scd2_history": (q_cdc_scd2_history, SQL_CDC_SCD2_HISTORY),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
+    "rollup_cascade_daily": (q_rollup_cascade_daily, SQL_ROLLUP_CASCADE_DAILY),
 }

@@ -66,14 +66,14 @@ explicitly:
   twin test, so it keeps its tail seat rather than displacing a
   never-verified entry from the cap.
 
-  - ``union_projections`` rotates out for the round that adds
-    ``range_join_events`` (zero-sum): driver-green r1–r3, its body
-    byte-unchanged since the original registry commit (fc12500, verified
-    with ``git log -L``), and — like every tail entry — still pinned every
-    pytest run by the in-repo oracle differential
-    (tests/test_entry_oracle.py parametrizes ALL entries through the same
-    rows+schema+hash compare the driver runs). It rotates back in next
-    round.
+  - ``union_projections`` and ``case_custom_sort`` rotate out for the
+    round that adds ``range_join_events`` and ``rollup_cascade_daily``
+    (zero-sum): both driver-green r1–r3, their bodies byte-unchanged since
+    the original registry commit (fc12500, verified with ``git log -L``),
+    and — like every tail entry — still pinned every pytest run by the
+    in-repo oracle differential (tests/test_entry_oracle.py parametrizes
+    ALL entries through the same rows+schema+hash compare the driver
+    runs). They rotate back in next round.
 
   The tail rotates each round so every entry is driver-verified at least
   every other round, and every entry whose code changed is verified in the
@@ -106,9 +106,11 @@ _VERIFY_FIRST: list[str] = [
     "asof_join_events",  # new in round 4 — never driver-verified
     "cdc_scd2_history",  # new in round 4 — never driver-verified
     "range_join_events",  # new in round 4 — never driver-verified
+    "rollup_cascade_daily",  # new in round 4 — never driver-verified
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "case_custom_sort",
     "union_projections",
     "topk_orders",
     "ann_ivf_topk",
