@@ -1674,6 +1674,43 @@ GROUP BY 1, 2
 """
 
 
+def q_gold_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (holistic) ordered-set aggregates: per-group median and tail
+    percentiles with linear interpolation — the one aggregate class that
+    is NOT a hash-agg monoid (exact quantiles need the group's sorted
+    values; Spark plans ObjectHashAggregate/SortAggregate). Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the
+    ``(n-1)·p`` position + ``lo + (hi-lo)·frac`` interpolation, verified
+    bit-exact on this data — no rounding crutch. At 100 TB the EXACT form
+    is the bounded-cardinality path (group count is small; each group's
+    values stream through one aggregation buffer); for high-cardinality
+    groups the scale twin is ``approx_percentile`` (t-digest, mergeable,
+    map-side combined) — property-tested against this exact form in
+    tests/test_percentiles.py rather than oracle-hashed, since sketches
+    are legitimately engine-specific."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.median("value").alias("median_value"),
+            F.percentile("value", 0.9).alias("p90_value"),
+            F.percentile("value", 0.99).alias("p99_value"),
+        )
+    )
+
+
+SQL_GOLD_PERCENTILES = """
+SELECT event_type,
+       count(*) AS n,
+       median(value) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value,
+       quantile_cont(value, 0.99) AS p99_value
+FROM events
+GROUP BY event_type
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_quarantine": (q_cdc_quarantine, SQL_CDC_QUARANTINE),
     "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
@@ -1712,4 +1749,5 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_scd2_history": (q_cdc_scd2_history, SQL_CDC_SCD2_HISTORY),
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "rollup_cascade_daily": (q_rollup_cascade_daily, SQL_ROLLUP_CASCADE_DAILY),
+    "gold_percentiles": (q_gold_percentiles, SQL_GOLD_PERCENTILES),
 }

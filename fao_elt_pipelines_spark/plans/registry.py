@@ -66,10 +66,11 @@ explicitly:
   twin test, so it keeps its tail seat rather than displacing a
   never-verified entry from the cap.
 
-  - ``union_projections`` and ``case_custom_sort`` rotate out for the
-    round that adds ``range_join_events`` and ``rollup_cascade_daily``
-    (zero-sum): both driver-green r1–r3, their bodies byte-unchanged since
-    the original registry commit (fc12500, verified with ``git log -L``),
+  - ``union_projections``, ``case_custom_sort`` and ``gold_string_agg``
+    rotate out for the round that adds ``range_join_events``,
+    ``rollup_cascade_daily`` and ``gold_percentiles`` (zero-sum): all
+    three driver-green r1–r3, their bodies byte-unchanged since the
+    original registry commit (fc12500, verified with ``git log -L``),
     and — like every tail entry — still pinned every pytest run by the
     in-repo oracle differential (tests/test_entry_oracle.py parametrizes
     ALL entries through the same rows+schema+hash compare the driver
@@ -107,9 +108,11 @@ _VERIFY_FIRST: list[str] = [
     "cdc_scd2_history",  # new in round 4 — never driver-verified
     "range_join_events",  # new in round 4 — never driver-verified
     "rollup_cascade_daily",  # new in round 4 — never driver-verified
+    "gold_percentiles",  # new in round 4 — never driver-verified
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "gold_string_agg",
     "case_custom_sort",
     "union_projections",
     "topk_orders",
