@@ -1711,6 +1711,39 @@ GROUP BY event_type
 """
 
 
+def q_gold_cube_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional grouping sets: CUBE over (event_type, day) — all
+    four grouping combinations (both, by-type, by-day, grand total) in ONE
+    pass via Catalyst's Expand operator, with ``grouping_id`` tagging which
+    dims are rolled up. Spark's Expand replicates each input row once per
+    grouping set BEFORE the shuffle, so partial aggregation still combines
+    map-side — the same single-shuffle shape as a plain groupBy, just a
+    4× wider map input; the alternative (4 separate aggregates + union)
+    scans raw 4 times. Bit-exact vs DuckDB's GROUP BY CUBE, including the
+    leftmost-is-MSB GROUPING() convention. NTZ→TZ cast exact (UTC)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day_start", F.date_trunc("day", F.col("ts").cast("timestamp")))
+        .cube("event_type", "day_start")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+SQL_GOLD_CUBE_DAILY = """
+SELECT event_type,
+       date_trunc('day', ts) AS day_start,
+       GROUPING(event_type, day_start) AS gid,
+       count(*) AS events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, day_start)
+"""
+
+
 _BASE_REGISTRY: dict[str, QuerySpec] = {
     "cdc_quarantine": (q_cdc_quarantine, SQL_CDC_QUARANTINE),
     "windowed_event_counts": (q_windowed_event_counts, SQL_WINDOWED_EVENT_COUNTS),
@@ -1750,4 +1783,5 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "range_join_events": (q_range_join_events, SQL_RANGE_JOIN_EVENTS),
     "rollup_cascade_daily": (q_rollup_cascade_daily, SQL_ROLLUP_CASCADE_DAILY),
     "gold_percentiles": (q_gold_percentiles, SQL_GOLD_PERCENTILES),
+    "gold_cube_daily": (q_gold_cube_daily, SQL_GOLD_CUBE_DAILY),
 }

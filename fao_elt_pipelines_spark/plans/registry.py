@@ -66,10 +66,11 @@ explicitly:
   twin test, so it keeps its tail seat rather than displacing a
   never-verified entry from the cap.
 
-  - ``union_projections``, ``case_custom_sort`` and ``gold_string_agg``
-    rotate out for the round that adds ``range_join_events``,
-    ``rollup_cascade_daily`` and ``gold_percentiles`` (zero-sum): all
-    three driver-green r1–r3, their bodies byte-unchanged since the
+  - ``union_projections``, ``case_custom_sort``, ``gold_string_agg`` and
+    ``anti_join_required`` rotate out for the round that adds
+    ``range_join_events``, ``rollup_cascade_daily``, ``gold_percentiles``
+    and ``gold_cube_daily`` (zero-sum): all four driver-green r1–r3,
+    their bodies byte-unchanged since the
     original registry commit (fc12500, verified with ``git log -L``),
     and — like every tail entry — still pinned every pytest run by the
     in-repo oracle differential (tests/test_entry_oracle.py parametrizes
@@ -109,9 +110,11 @@ _VERIFY_FIRST: list[str] = [
     "range_join_events",  # new in round 4 — never driver-verified
     "rollup_cascade_daily",  # new in round 4 — never driver-verified
     "gold_percentiles",  # new in round 4 — never driver-verified
+    "gold_cube_daily",  # new in round 4 — never driver-verified
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "anti_join_required",
     "gold_string_agg",
     "case_custom_sort",
     "union_projections",

@@ -236,3 +236,16 @@ def test_dedup_minhash_incremental_keyed_joins_no_python(spark, sf_dir):
     plan = _plan(q_dedup_minhash_incremental(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_cube_single_shuffle_expand(spark, sf_dir):
+    """CUBE must be ONE pass: Catalyst's Expand (4 grouping sets) feeding a
+    map-side-combined aggregate over a single shuffle — never 4 scans or
+    4 exchanges unioned."""
+    from fao_elt_pipelines_spark.plans.queries import q_gold_cube_daily
+
+    plan = _plan(q_gold_cube_daily(spark, sf_dir))
+    assert _n_nodes(plan, "Expand") == 1, plan
+    assert _n_nodes(plan, "Scan parquet") == 1, plan
+    assert _n_nodes(plan, "Exchange") == 1, plan
+    assert _n_nodes(plan, "HashAggregate") == 2, plan  # partial + final
