@@ -739,14 +739,22 @@ class LakeTable:
 
     # -------------------------------------------------------------- write
     def _write_data_files(
-        self, df: DataFrame, source_epoch: int | None, kind: str = "base"
+        self,
+        df: DataFrame,
+        source_epoch: int | None,
+        kind: str = "base",
+        stats_cols: tuple[str, ...] = ("last_seq", "repo"),
+        max_records_per_file: int = 4_000_000,
     ) -> list[dict[str, Any]]:
         """Write df (must carry ``_bucket``) as bucket-partitioned parquet,
         return manifest entries with per-file stats (lineage grain:
-        one entry per (file, bucket)). ``kind`` is base or delta (MOR)."""
+        one entry per (file, bucket)). ``kind`` is base or delta (MOR).
+        ``stats_cols`` extends the footer-bounds collection beyond the
+        defaults (cluster() records its clustering columns so scan_where
+        can prune on them)."""
         commit_dir = os.path.join(self.data_dir, f"commit-{uuid.uuid4().hex[:12]}")
         (
-            df.write.option("maxRecordsPerFile", 4_000_000)
+            df.write.option("maxRecordsPerFile", max_records_per_file)
             .partitionBy("_bucket")
             .parquet(commit_dir)
         )
@@ -766,7 +774,7 @@ class LakeTable:
                 # under point lookups / key-range reads (files are
                 # key-sorted within a bucket under the sorted-merge
                 # strategy, so bounds are tight there).
-                for col in ("last_seq", "repo"):
+                for col in stats_cols:
                     if col not in idx:
                         continue
                     j = idx[col]
@@ -1648,6 +1656,148 @@ class LakeTable:
         if metrics:
             summary.update(metrics)
         return self._commit("rebucket", new_entries, [], None, summary, base=(meta, base_v))
+
+    def cluster(
+        self,
+        cols: list[str],
+        bins: int = 1024,
+        strategy: str = "zorder",
+        max_records_per_file: int = 4_000_000,
+        sample_fraction: float | None = None,
+        metrics: dict[str, Any] | None = None,
+    ) -> int | None:
+        """Rewrite the BASE files with a multi-dimensional clustering
+        layout (Delta ``OPTIMIZE ZORDER BY`` / Iceberg sort-order z
+        transform) and record per-file min/max bounds for ``cols`` in the
+        manifest, so ``scan_where`` prunes files on ANY clustering column
+        — not just the leading sort key.
+
+        ``strategy='zorder'`` sorts within each bucket by the Morton code
+        of the rank-binned columns (every file covers a small
+        hyper-rectangle: bounds tight on all cols at once);
+        ``strategy='linear'`` sorts lexicographically by ``cols`` (tight
+        on the leading column only — kept as the honest A/B baseline,
+        measured in tests/test_zorder.py).
+
+        MOR-safe by construction: only base entries are rewritten — the
+        exact same physical rows (tombstones included), reordered — and
+        delta entries are kept verbatim, so read-time LWW is unchanged.
+        Row preservation is asserted in tests. Bucket layout is untouched
+        (files stay bucket-partitioned; the bucket remains the merge/
+        lookup unit).
+
+        Scale shape: one repartition on ``_bucket`` + per-partition sort +
+        write — the same single-shuffle cost as compact(); the z-value is
+        a vectorized Arrow-batched UDF applied once per rewrite, never on
+        reads. At 100 TB this runs per-partition/incrementally like any
+        OPTIMIZE job; here it is whole-table because tables are
+        snapshot-bounded."""
+        from . import zorder as _z
+
+        if strategy not in ("zorder", "linear"):
+            raise ValueError(f"strategy must be zorder|linear, got {strategy!r}")
+        t0 = time.time()
+        meta, base_v = self._load_versioned()
+        sid = meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+        base_entries = [e for e in snap["manifest"] if e.get("kind") != "delta"]
+        delta_entries = [e for e in snap["manifest"] if e.get("kind") == "delta"]
+        if not base_entries:
+            return None
+        n_buckets = meta["n_buckets"]
+        phys = self._read_entries(base_entries, include_tombstones=True, merged=False)
+        missing = [c for c in cols if c not in phys.columns]
+        if missing:
+            raise ValueError(f"clustering columns not in table schema: {missing}")
+        df = phys.withColumn("_bucket", bucket_expr(n_buckets))
+        cuts: dict[str, list[Any]] | None = None
+        if strategy == "zorder":
+            total = sum(e["rows"] for e in base_entries)
+            frac = sample_fraction or min(1.0, 200_000 / max(1, total))
+            cuts = _z.sample_cutpoints(phys, cols, bins, frac)
+            df = df.withColumn("_zv", _z.zvalue_column(cols, cuts, bins))
+            sort_cols = ["_bucket", "_zv"]
+        else:
+            sort_cols = ["_bucket", *cols]
+        out = (
+            df.repartition(n_buckets, "_bucket")
+            .sortWithinPartitions(*sort_cols)
+            .drop("_zv")
+        )
+        new_entries = self._write_data_files(
+            out,
+            None,
+            kind="base",
+            stats_cols=("last_seq", "repo", *[c for c in cols if c != "repo"]),
+            max_records_per_file=max_records_per_file,
+        )
+        summary = {
+            "clustering": {"cols": cols, "strategy": strategy, "bins": bins},
+            "files_rewritten": len(base_entries),
+            "files_written": len(new_entries),
+            "rows_written": sum(e["rows"] for e in new_entries),
+            "duration_sec": round(time.time() - t0, 3),
+        }
+        if metrics:
+            summary.update(metrics)
+        return self._commit(
+            "cluster", new_entries, delta_entries, None, summary, base=(meta, base_v)
+        )
+
+    def scan_where(
+        self,
+        bounds: dict[str, tuple[Any, Any]],
+        include_tombstones: bool = False,
+        with_stats: bool = False,
+    ):
+        """Read the current snapshot with manifest-stats FILE pruning on
+        ``bounds`` ({col: (lo, hi)}, either side None for open), then the
+        same bounds re-applied as row filters (pushed to the parquet scan).
+
+        Pruning is exact under MOR: buckets that carry ANY delta file are
+        exempt from file pruning (their base+delta rows must all reach the
+        read-time LWW — dropping a file could resurrect a stale or deleted
+        row whose newer image lives in the pruned file), and the row
+        filter runs AFTER the merge. Buckets with no deltas prune freely:
+        there a file's rows are final, so bounds-disjoint files cannot
+        contribute. Files lacking stats for a bounded column are kept.
+
+        ``with_stats=True`` returns ``(df, files_pruned, files_total)`` —
+        the measure tests/test_zorder.py uses for the layout A/B."""
+        meta = self._load_metadata()
+        sid = meta["current_snapshot_id"]
+        snap = (
+            next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+            if sid is not None
+            else None
+        )
+        entries = snap["manifest"] if snap else []
+        delta_buckets = {e["bucket"] for e in entries if e.get("kind") == "delta"}
+
+        def keep(e: dict[str, Any]) -> bool:
+            if e["bucket"] in delta_buckets:
+                return True
+            st = e.get("stats") or {}
+            for c, (lo, hi) in bounds.items():
+                if c not in st:
+                    continue
+                smin, smax = st[c]
+                if (hi is not None and smin > hi) or (lo is not None and smax < lo):
+                    return False
+            return True
+
+        kept = [e for e in entries if keep(e)]
+        df = self._read_entries(kept, include_tombstones)
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.filter(F.col(c) <= F.lit(hi))
+        if with_stats:
+            return df, len(entries) - len(kept), len(entries)
+        return df
 
 
 def _state_schema_for(payload_schema: T.StructType, seq_col: str) -> T.StructType:

@@ -1,0 +1,125 @@
+"""Z-order clustering + manifest-stats pruning (lake/zorder.py,
+LakeTable.cluster / scan_where).
+
+The claim under test is twofold: (1) CORRECTNESS — clustering rewrites
+the exact same physical rows (any strategy, tombstones included) and
+scan_where returns exactly read()+filter under every layout, including
+with MOR deltas present (delta buckets exempt from pruning); (2) the
+LAYOUT EFFECT — under linear (repo, path) order a path-range predicate
+prunes ~nothing, under z-order it prunes files on BOTH dimensions.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fao_elt_pipelines_spark import binlog
+from fao_elt_pipelines_spark.lake.table import LakeTable
+from scripts.replay_job import STATE_SCHEMA
+
+N_EVENTS = 40_000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # repo = user % n_repos and path = id % paths_per_repo are independent
+    # dimensions — the shape where single-key sorting can't serve both
+    return binlog.change_events(
+        spark, N_EVENTS, n_repos=48, paths_per_repo=96,
+        events_per_epoch=N_EVENTS, num_partitions=8,
+    ).persist()
+
+
+def _mk_table(spark, tmp_path, events, name):
+    t = LakeTable.create(spark, str(tmp_path / name), STATE_SCHEMA, n_buckets=4)
+    t.merge_changes(events, epoch_id=0)
+    return t
+
+
+def _state(df):
+    return {
+        (r["repo"], r["path"]): (r["content_sha256"], r["last_seq"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("strategy", ["zorder", "linear"])
+def test_cluster_preserves_state_exactly(spark, tmp_path, events, strategy):
+    t = _mk_table(spark, tmp_path, events, f"t_{strategy}")
+    before = _state(t.read())
+    sid = t.cluster(["repo", "path"], bins=64, strategy=strategy,
+                    max_records_per_file=500)
+    assert sid is not None
+    assert _state(t.read()) == before
+    # physical row multiset preserved too (tombstones included)
+    snap = t.current_snapshot()
+    assert snap["operation"] == "cluster"
+    assert snap["summary"]["rows_written"] == sum(
+        e["rows"] for e in snap["manifest"]
+    )
+
+
+def test_scan_where_exact_and_prunes_by_layout(spark, tmp_path, events):
+    """The A/B: identical rows, two layouts; a path-range scan must prune
+    materially more files under z-order than under linear (repo, path)
+    order, and both must return exactly read()+filter."""
+    results = {}
+    for strategy in ("zorder", "linear"):
+        t = _mk_table(spark, tmp_path, events, f"ab_{strategy}")
+        t.cluster(["repo", "path"], bins=64, strategy=strategy,
+                  max_records_per_file=150)
+        bounds = {"path": ("src/dir_3/", "src/dir_5/")}
+        df, pruned, total = t.scan_where(bounds, with_stats=True)
+        expected = t.read().filter(
+            F.col("path").between("src/dir_3/", "src/dir_5/")
+        )
+        assert _state(df) == _state(expected)
+        assert total > 20  # the layout genuinely split into many files
+        results[strategy] = (pruned, total)
+    z_pruned, z_total = results["zorder"]
+    l_pruned, l_total = results["linear"]
+    assert z_total == l_total
+    # linear (repo, path) order leaves path bounds ~full-width per file;
+    # z-order must prune a material fraction AND beat linear clearly
+    assert z_pruned >= z_total // 3, results
+    assert z_pruned > l_pruned * 2, results
+
+
+def test_scan_where_repo_still_prunes_after_zorder(spark, tmp_path, events):
+    """Z-ordering trades a LITTLE leading-key tightness — repo-range scans
+    must still prune under z-order (bounds stay recorded per file)."""
+    t = _mk_table(spark, tmp_path, events, "t_repo")
+    t.cluster(["repo", "path"], bins=64, max_records_per_file=500)
+    df, pruned, total = t.scan_where(
+        {"repo": ("repo_00010", "repo_00020")}, with_stats=True
+    )
+    expected = t.read().filter(F.col("repo").between("repo_00010", "repo_00020"))
+    assert _state(df) == _state(expected)
+    assert pruned > 0, (pruned, total)
+
+
+def test_scan_where_mor_delta_buckets_exempt(spark, tmp_path, events):
+    """With MOR deltas present, delta-carrying buckets must NOT be file-
+    pruned (a pruned base file could resurrect a stale row through the
+    read-time LWW) — and the result still equals read()+filter."""
+    t = _mk_table(spark, tmp_path, events, "t_mor")
+    t.cluster(["repo", "path"], bins=64, max_records_per_file=500)
+    # second epoch lands as MOR deltas over a subset of keys
+    upd = binlog.change_events(
+        spark, 2_000, n_repos=48, paths_per_repo=96,
+        events_per_epoch=2_000, num_partitions=4,
+    ).withColumn("seq", F.col("seq") + N_EVENTS)
+    t.merge_changes(upd, epoch_id=1, mode="mor")
+    bounds = {"path": ("src/dir_3/", "src/dir_5/")}
+    df, pruned, total = t.scan_where(bounds, with_stats=True)
+    expected = t.read().filter(
+        F.col("path").between("src/dir_3/", "src/dir_5/")
+    )
+    assert _state(df) == _state(expected)
+
+
+def test_cluster_guards(spark, tmp_path, events):
+    t = _mk_table(spark, tmp_path, events, "t_guard")
+    with pytest.raises(ValueError, match="strategy"):
+        t.cluster(["repo"], strategy="hilbert")
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.cluster(["no_such_col"])
