@@ -155,6 +155,17 @@ def main() -> None:
     p_mv.add_argument("--full", action="store_true")
     p_rb = sub.add_parser("rebucket")
     p_rb.add_argument("--n-buckets", type=int, required=True)
+    p_cl = sub.add_parser("cluster", help="rewrite base files z-ordered (or "
+                          "linear) on the given columns; records per-file "
+                          "bounds for scan-where pruning")
+    p_cl.add_argument("--cols", required=True, help="comma-separated columns")
+    p_cl.add_argument("--strategy", default="zorder", choices=["zorder", "linear"])
+    p_cl.add_argument("--bins", type=int, default=1024)
+    p_sw = sub.add_parser("scan-where", help="stats-pruned range scan: "
+                          "--where col:lo:hi (repeatable)")
+    p_sw.add_argument("--where", action="append", required=True,
+                      metavar="COL:LO:HI")
+    p_sw.add_argument("--limit", type=int, default=20)
     p_chg = sub.add_parser("changes")
     p_chg.add_argument("--from-snapshot", type=int, default=None)
     p_chg.add_argument("--to-snapshot", type=int, default=None)
@@ -240,6 +251,20 @@ def main() -> None:
     elif args.cmd == "rebucket":
         sid = table.rebucket(args.n_buckets)
         print(json.dumps({"rebucket_snapshot_id": sid, "n_buckets": args.n_buckets}))
+    elif args.cmd == "cluster":
+        cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+        sid = table.cluster(cols, bins=args.bins, strategy=args.strategy)
+        print(json.dumps({"cluster_snapshot_id": sid, "cols": cols,
+                          "strategy": args.strategy}))
+    elif args.cmd == "scan-where":
+        bounds = {}
+        for spec in args.where:
+            col, lo, hi = spec.split(":", 2)
+            bounds[col] = (lo or None, hi or None)
+        df, pruned, total = table.scan_where(bounds, with_stats=True)
+        rows = [r.asDict() for r in df.limit(args.limit).collect()]
+        print(json.dumps({"files_pruned": pruned, "files_total": total,
+                          "rows": rows}, default=str))
     elif args.cmd == "expire":
         print(json.dumps(table.expire_snapshots(
             keep_last=args.keep_last,

@@ -123,3 +123,34 @@ def test_cluster_guards(spark, tmp_path, events):
         t.cluster(["repo"], strategy="hilbert")
     with pytest.raises(ValueError, match="not in table schema"):
         t.cluster(["no_such_col"])
+
+
+def test_cli_cluster_and_scan_where_process_level(spark, tmp_path, events):
+    """Drive the ops surface in a separate process: `table_tool cluster`
+    commits a cluster snapshot, `table_tool scan-where` prunes files and
+    returns in-range rows only."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo_root = __file__.rsplit("/tests/", 1)[0]
+    tool = f"{repo_root}/scripts/table_tool.py"
+    t = _mk_table(spark, tmp_path, events, "t_cli")
+    out = subprocess.run(
+        [_sys.executable, tool, "--table", t.path, "--cores", "4",
+         "cluster", "--cols", "repo,path", "--bins", "64"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.splitlines()[-1])["cluster_snapshot_id"] is not None
+    out = subprocess.run(
+        [_sys.executable, tool, "--table", t.path, "--cores", "4",
+         "scan-where", "--where", "path:src/dir_3/:src/dir_5/", "--limit", "500"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.splitlines()[-1])
+    assert payload["files_total"] > 0
+    assert payload["rows"] and all(
+        "src/dir_3/" <= r["path"] <= "src/dir_5/" for r in payload["rows"]
+    )
