@@ -112,7 +112,8 @@ def _stats_overlap(entry: dict[str, Any], col: str, lo: Any, hi: Any) -> bool:
     rng = (entry.get("stats") or {}).get(col)
     if not rng:
         return True
-    return rng[0] <= hi and rng[1] >= lo
+    # open bounds (None) never exclude on that side
+    return (hi is None or rng[0] <= hi) and (lo is None or rng[1] >= lo)
 
 
 def _stats_may_contain(entry: dict[str, Any], col: str, value: Any) -> bool:
@@ -789,7 +790,14 @@ class LakeTable:
                                 hi = hi.decode("utf-8", "surrogateescape")
                             mins.append(lo)
                             maxs.append(hi)
-                    if mins:
+                    # manifests are JSON: timestamp/date/decimal footer
+                    # stats would crash _commit's json.dump AFTER data
+                    # files are written — skip them (no pruning on that
+                    # column, never a crash; pruning is an optimization)
+                    if mins and all(
+                        isinstance(v, (int, float, str, bool))
+                        for v in (*mins, *maxs)
+                    ):
                         stats[col] = [min(mins), max(maxs)]
             except Exception:  # stats are an optimization, never fatal
                 pass
@@ -1779,14 +1787,9 @@ class LakeTable:
         def keep(e: dict[str, Any]) -> bool:
             if e["bucket"] in delta_buckets:
                 return True
-            st = e.get("stats") or {}
-            for c, (lo, hi) in bounds.items():
-                if c not in st:
-                    continue
-                smin, smax = st[c]
-                if (hi is not None and smin > hi) or (lo is not None and smax < lo):
-                    return False
-            return True
+            return all(
+                _stats_overlap(e, c, lo, hi) for c, (lo, hi) in bounds.items()
+            )
 
         kept = [e for e in entries if keep(e)]
         df = self._read_entries(kept, include_tombstones)

@@ -40,6 +40,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -70,6 +71,14 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def to_cents(values: np.ndarray) -> np.ndarray:
+    """float64 -> int64 cents, HALF_UP (matching Spark's ``F.round``),
+    NULL/NaN counting 0 — numpy's default half-to-even and
+    NaN→INT64_MIN would both silently diverge from the batch oracle."""
+    v = np.nan_to_num(np.asarray(values, dtype="float64"), nan=0.0) * 100
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")
+
+
 def _row(key: int, s: tuple[int, int, int, int]) -> pd.DataFrame:
     return pd.DataFrame(
         {
@@ -98,11 +107,7 @@ def _make_fn(gap_ms: int):
             # timeout) untouched
             return
         ts_ms = (batch["ts"].astype("int64") // 1_000_000).to_numpy()
-        cents = (
-            (batch["value"].to_numpy() * 100).round().astype("int64")
-            if "value" in batch
-            else pd.Series(0, index=batch.index).to_numpy()
-        )
+        cents = to_cents(batch["value"].to_numpy(dtype="float64"))
         open_s = tuple(state.get) if state.exists else None
         for t, c in zip(ts_ms, cents):
             if open_s is None:

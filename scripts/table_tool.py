@@ -257,10 +257,22 @@ def main() -> None:
         print(json.dumps({"cluster_snapshot_id": sid, "cols": cols,
                           "strategy": args.strategy}))
     elif args.cmd == "scan-where":
+        def coerce(s):
+            # manifest stats are typed (int last_seq, str repo); comparing
+            # a str bound against int stats raises — sniff numerics
+            if not s:
+                return None
+            for cast in (int, float):
+                try:
+                    return cast(s)
+                except ValueError:
+                    continue
+            return s
+
         bounds = {}
         for spec in args.where:
             col, lo, hi = spec.split(":", 2)
-            bounds[col] = (lo or None, hi or None)
+            bounds[col] = (coerce(lo), coerce(hi))
         df, pruned, total = table.scan_where(bounds, with_stats=True)
         rows = [r.asDict() for r in df.limit(args.limit).collect()]
         print(json.dumps({"files_pruned": pruned, "files_total": total,

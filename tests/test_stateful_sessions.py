@@ -95,3 +95,14 @@ def test_stream_sessions_equal_batch_session_window(drained):
 def test_no_session_lost_or_duplicated(drained):
     got, oracle = drained
     assert set(got) == set(oracle)  # keys (user, start) exactly once each
+
+
+def test_to_cents_half_up_and_nulls():
+    """Regression: numpy round() is half-to-even and NaN.astype(int64) is
+    INT64_MIN — to_cents must be HALF_UP (F.round parity) with NaN -> 0."""
+    import numpy as np
+
+    from fao_elt_pipelines_spark.streaming.stateful_sessions import to_cents
+
+    got = to_cents(np.array([0.125, 0.135, -0.125, float("nan"), 185.22]))
+    assert got.tolist() == [13, 14, -13, 0, 18522]

@@ -154,3 +154,23 @@ def test_cli_cluster_and_scan_where_process_level(spark, tmp_path, events):
     assert payload["rows"] and all(
         "src/dir_3/" <= r["path"] <= "src/dir_5/" for r in payload["rows"]
     )
+
+
+def test_cli_scan_where_numeric_bounds(spark, tmp_path, events):
+    """Regression: --where on an int-stats column (last_seq) must coerce
+    the bounds to numbers, not compare str against int stats."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo_root = __file__.rsplit("/tests/", 1)[0]
+    tool = f"{repo_root}/scripts/table_tool.py"
+    t = _mk_table(spark, tmp_path, events, "t_cli_num")
+    out = subprocess.run(
+        [_sys.executable, tool, "--table", t.path, "--cores", "4",
+         "scan-where", "--where", f"last_seq:0:{N_EVENTS}", "--limit", "1"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.splitlines()[-1])
+    assert payload["rows"]
