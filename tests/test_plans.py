@@ -249,3 +249,36 @@ def test_cube_single_shuffle_expand(spark, sf_dir):
     assert _n_nodes(plan, "Scan parquet") == 1, plan
     assert _n_nodes(plan, "Exchange") == 1, plan
     assert _n_nodes(plan, "HashAggregate") == 2, plan  # partial + final
+
+
+# entries ALLOWED a nested-loop/cartesian: the labeled brute-force oracle
+# baselines, whose small side is bounded and broadcast by design (their
+# scale twins — ann_ivf_topk*, embedding_neardup_lsh* — are equi-joins)
+_BRUTE_BASELINES = {"ann_cosine_topk", "embedding_neardup", "dedup_ngram_jaccard"}
+
+
+def test_global_plan_hygiene_all_entries(spark, sf_dir):
+    """Every registry entry's physical plan, audited at once: no
+    row-at-a-time Python (BatchEvalPython — Arrow-batched pandas UDFs are
+    fine), no single-partition exchange (the scale killer), and no
+    nested-loop/cartesian outside the labeled brute baselines. This is the
+    regression net for every future entry, not just the ones with a
+    dedicated plan test."""
+    from fao_elt_pipelines_spark.plans.registry import REGISTRY
+
+    violations = {}
+    for name, (fn, _) in REGISTRY.items():
+        plan = _plan(fn(spark, sf_dir))
+        flags = []
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time Python UDF")
+        if "Exchange SinglePartition" in plan:
+            flags.append("single-partition exchange")
+        if name not in _BRUTE_BASELINES and (
+            _n_nodes(plan, "CartesianProduct")
+            or "BroadcastNestedLoopJoin" in plan
+        ):
+            flags.append("nested-loop/cartesian join")
+        if flags:
+            violations[name] = flags
+    assert not violations, violations
