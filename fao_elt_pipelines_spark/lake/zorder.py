@@ -53,27 +53,72 @@ def sample_cutpoints(
             cuts[c] = []
             continue
         n = len(vals)
-        bounds = sorted({vals[min(n - 1, (i * n) // bins)] for i in range(1, bins)})
+        # Snap each column's occupied-bin count DOWN to a power of two by
+        # recutting: a column whose cardinality undershoots ``bins`` (400
+        # distinct paths at bins=1024) would otherwise fill its bit-width
+        # with holes and a skew-populated top bit, and z-runs crossing
+        # those artifacts carry loose per-file bounds (measured: 64/268
+        # files pruned unsaturated vs 199/268 saturated on the same
+        # layout). Quantile cuts at a power-of-two count give bins that
+        # are both fully populated and hole-free.
+        b = bins
+        while True:
+            bounds = sorted({vals[min(n - 1, (i * n) // b)] for i in range(1, b)})
+            occupied = len(bounds) + 1
+            target = 1 << max(0, occupied.bit_length() - 1)
+            if occupied <= 1 or occupied == target or b == target:
+                break
+            b = target
         cuts[c] = bounds
     return cuts
 
 
-def _interleave(bin_arrays: list[np.ndarray], nbits: int) -> np.ndarray:
+def _col_nbits(cuts: dict[str, list[Any]], cols: list[str], bins: int) -> list[int]:
+    """Per-column bit widths from the ACTUAL occupied-bin count, capped by
+    ``bins``. A column whose cardinality is far below ``bins`` (e.g. 400
+    distinct paths at bins=1024) would otherwise carry dead top interleave
+    bits — the Morton code's most significant bits then encode only the
+    other columns, and file slices stop constraining the sparse column
+    (measured: 11/139 files pruned at a dead-bit width vs 199/268 when
+    both dims saturate their bits). Bin indices run 0..len(bounds), so
+    the width is ceil(log2(len(bounds)+1))."""
+    cap = max(1, math.ceil(math.log2(max(2, bins))))
+    return [
+        min(cap, max(1, math.ceil(math.log2(max(2, len(cuts.get(c) or []) + 1)))))
+        for c in cols
+    ]
+
+
+def _interleave(bin_arrays: list[np.ndarray], nbits: list[int]) -> np.ndarray:
+    """Variable-width Morton interleave, MSB-aligned: round-robin from
+    each column's TOP bit down, so every column's most significant bits
+    land in the highest output positions regardless of width differences.
+    LSB-aligned interleaving would hand a wider column's surplus bits the
+    top of the code and stop constraining the narrower column's per-file
+    bounds (the pruning collapse measured in bench/zorder_ab.py); a
+    column's surplus depth belongs at the BOTTOM, refining order within
+    files, not displacing other columns' coarse structure above them.
+    Equal widths reduce to the classic alternation."""
     z = np.zeros(len(bin_arrays[0]), dtype=np.int64)
-    ncols = len(bin_arrays)
-    for bit in range(nbits):
+    out_bit = sum(nbits) - 1
+    for k in range(max(nbits)):
         for j, b in enumerate(bin_arrays):
-            z |= ((b >> bit) & 1).astype(np.int64) << (bit * ncols + j)
+            if k < nbits[j]:
+                bit = nbits[j] - 1 - k
+                z |= ((b >> bit) & 1).astype(np.int64) << out_bit
+                out_bit -= 1
     return z
 
 
 def zvalue_column(cols: list[str], cuts: dict[str, list[Any]], bins: int) -> Column:
     """A Column computing the Morton code of ``cols`` under ``cuts``.
-    NULLs bin to 0 (they cluster together at the low corner)."""
-    nbits = max(1, math.ceil(math.log2(max(2, bins))))
-    if nbits * len(cols) > 62:
+    NULLs bin to 0 (they cluster together at the low corner). Each
+    column's bit width auto-derives from its occupied-bin count (see
+    ``_col_nbits``), so ``bins`` is a ceiling, not a fixed width."""
+    nbits = _col_nbits(cuts, cols, bins)
+    if sum(nbits) > 62:
         raise ValueError(
-            f"{len(cols)} columns x {nbits} bits = {nbits * len(cols)} bits "
+            f"{len(cols)} columns totalling {sum(nbits)} interleave bits "
             "exceeds the int64 z-code; lower bins or cluster fewer columns"
         )
 

@@ -117,6 +117,40 @@ def test_scan_where_mor_delta_buckets_exempt(spark, tmp_path, events):
     assert _state(df) == _state(expected)
 
 
+def test_interleave_msb_aligned_variable_width():
+    """Unequal widths MSB-align: the wide column's surplus bits refine the
+    BOTTOM of the code; both columns' top bits share the top positions.
+    Widths (3, 1), a=0b101, b=0b1 -> out bits (a2, b0, a1, a0) = 0b1101."""
+    import numpy as np
+
+    from fao_elt_pipelines_spark.lake.zorder import _interleave
+
+    a = np.array([0b101], dtype=np.int64)
+    b = np.array([0b1], dtype=np.int64)
+    assert _interleave([a, b], [3, 1])[0] == 0b1101
+    # equal widths reduce to classic alternation (MSB-first):
+    # a=0b10, b=0b01 -> (a1, b1, a0, b0) = 0b1001
+    a2 = np.array([0b10], dtype=np.int64)
+    b2 = np.array([0b01], dtype=np.int64)
+    assert _interleave([a2, b2], [2, 2])[0] == 0b1001
+
+
+def test_cutpoints_saturate_to_power_of_two(spark):
+    """A column whose cardinality undershoots `bins` is recut so its
+    occupied-bin count is an exact power of two — no holes, no
+    skew-populated top bit — and _col_nbits matches exactly."""
+    from fao_elt_pipelines_spark.lake.zorder import _col_nbits, sample_cutpoints
+
+    rows = [(f"v{i % 12:02d}", i) for i in range(120)]
+    df = spark.createDataFrame(rows, "s string, x int")
+    cuts = sample_cutpoints(df, ["s", "x"], bins=64, fraction=1.0)
+    occ_s = len(cuts["s"]) + 1
+    occ_x = len(cuts["x"]) + 1
+    assert occ_s == 8  # 12 distinct snaps down to 8
+    assert occ_x == 64  # 120 distinct saturates the requested bins
+    assert _col_nbits(cuts, ["s", "x"], 64) == [3, 6]
+
+
 def test_cluster_guards(spark, tmp_path, events):
     t = _mk_table(spark, tmp_path, events, "t_guard")
     with pytest.raises(ValueError, match="strategy"):
