@@ -163,6 +163,69 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-lake differential: replay the derived binlog into a REAL
+    LakeTable on disk (COW MERGE), z-order-cluster it (lake/zorder.py
+    rewrite + per-file bounds), and read back through the stats-pruned
+    ``scan_where`` path. The result is the LWW live state restricted to a
+    path range — the oracle computes the same algebra purely in SQL, so
+    the driver row certifies the write → cluster-rewrite → prune → read
+    pipeline end-to-end against an independent engine (cdc_lww_state and
+    cdc_merge_upsert prove the MERGE *semantics* as pure DataFrame twins;
+    this is the one entry where the bytes actually hit table files —
+    the same physical path the 1e8/1e9 arms validate outside the driver).
+
+    Deterministic for a given ``sf_dir``: LWW winners are unique (seq is
+    unique), the sorted layout and seeded-sample cutpoints are
+    deterministic, and scan_where re-applies bounds as row filters, so
+    the VALUES are layout-independent even if the file split changed.
+    Bounded cost at any sf: keys cap at 37 repos x 211 paths. The table
+    dir is rebuilt per call under the system temp dir (authoring
+    precedent: source_excel_scan) — rebuilt, not appended, so reruns
+    cannot accumulate state; it must outlive the call because the
+    returned DataFrame reads it lazily."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from ..lake.table import LakeTable
+
+    state_schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+            T.StructField("content_sha256", T.StringType()),
+            T.StructField("last_seq", T.LongType()),
+        ]
+    )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"fao_elt_cluster_scan_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    t = LakeTable.create(spark, base, state_schema, n_buckets=4)
+    t.merge_changes(_derived_binlog(spark, sf_dir), epoch_id=0)
+    t.cluster(["repo", "path"], bins=32, max_records_per_file=64)
+    return t.scan_where({"path": ("src/f_1", "src/f_2")}).select(
+        "repo", "path", "commit", "lang", "content_sha256", "last_seq"
+    )
+
+
+SQL_CDC_CLUSTER_SCAN = f"""
+WITH binlog AS ({_BINLOG_SQL}),
+w AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM binlog
+)
+SELECT repo, path, commit, lang, sha256(content) AS content_sha256, seq AS last_seq
+FROM w
+WHERE rn = 1 AND op <> 'delete' AND path BETWEEN 'src/f_1' AND 'src/f_2'
+"""
+
+
 def q_cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-bootstrap → binlog-tail handoff as a differential query —
     the pure-DataFrame twin of lake/bootstrap.py's Debezium-mode initial
@@ -1751,6 +1814,7 @@ _BASE_REGISTRY: dict[str, QuerySpec] = {
     "session_window_counts": (q_session_window_counts, SQL_SESSION_WINDOW_COUNTS),
     "cdc_lww_state": (q_cdc_lww_state, SQL_CDC_LWW_STATE),
     "cdc_merge_upsert": (q_cdc_merge_upsert, SQL_CDC_LWW_STATE),  # MERGE ≡ LWW (see docstring)
+    "cdc_cluster_scan": (q_cdc_cluster_scan, SQL_CDC_CLUSTER_SCAN),
     "cdc_bootstrap_handoff": (q_cdc_bootstrap_handoff, SQL_CDC_BOOTSTRAP_HANDOFF),
     "cdc_changelog": (q_cdc_changelog, SQL_CDC_CHANGELOG),
     "cdc_epoch_metrics": (q_cdc_epoch_metrics, SQL_CDC_EPOCH_METRICS),

@@ -52,6 +52,13 @@ explicitly:
     tests/test_rank.py::test_topk_orders_equals_global_rank_topk
     (TakeOrderedAndProject top-k ≡ filter(global_rank ≤ k) + total order
     over the tiny survivor set). It rotates back in next round.
+  - ``gold_top_entities`` rotates out for the round that adds
+    ``cdc_cluster_scan`` (zero-sum): driver-green r1, r2 AND r3 — the
+    longest uninterrupted streak in the registry — byte-unchanged since
+    its r3-green row (its only post-r1 change, the two-phase global_rank
+    adoption, predates that row), and its rank core is separately pinned
+    by tests/test_rank.py plus the W1 no-single-partition-window plan
+    audit. It rotates back in next round.
   - ``dedup_clusters``'s oracle composes the same _MINHASH_PAIR_CTES as
     ``dedup_minhash_lsh``/``dedup_minhash_incremental`` (in-cap), and its
     own contribution (connected components) has dedicated convergence /
@@ -111,9 +118,11 @@ _VERIFY_FIRST: list[str] = [
     "rollup_cascade_daily",  # new in round 4 — never driver-verified
     "gold_percentiles",  # new in round 4 — never driver-verified
     "gold_cube_daily",  # new in round 4 — never driver-verified
+    "cdc_cluster_scan",  # new in round 4 — never driver-verified
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "gold_top_entities",
     "anti_join_required",
     "gold_string_agg",
     "case_custom_sort",

@@ -151,6 +151,29 @@ def test_cutpoints_saturate_to_power_of_two(spark):
     assert _col_nbits(cuts, ["s", "x"], 64) == [3, 6]
 
 
+def test_cdc_cluster_scan_entry_prunes_files(spark, sf_dir):
+    """The registry entry's physical pipeline (merge -> z-order cluster ->
+    scan_where) actually prunes files on the path predicate at the entry's
+    own settings — the values themselves are driver/oracle-checked by
+    test_entry_oracle; this pins the LAYOUT effect the entry exists to
+    certify. Reuses the table the entry just built (same deterministic
+    temp dir) rather than rebuilding it."""
+    import hashlib
+    import os
+    import tempfile
+
+    from fao_elt_pipelines_spark.lake.table import LakeTable
+    from fao_elt_pipelines_spark.plans.queries import q_cdc_cluster_scan
+
+    rows = q_cdc_cluster_scan(spark, sf_dir).count()
+    assert rows > 0
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    t = LakeTable(spark, os.path.join(tempfile.gettempdir(), f"fao_elt_cluster_scan_{tag}"))
+    _, pruned, total = t.scan_where({"path": ("src/f_1", "src/f_2")}, with_stats=True)
+    assert total > 4, "entry settings must split buckets into multiple files"
+    assert pruned >= 1, "z-order + path bounds must prune at least one file"
+
+
 def test_cluster_guards(spark, tmp_path, events):
     t = _mk_table(spark, tmp_path, events, "t_guard")
     with pytest.raises(ValueError, match="strategy"):
