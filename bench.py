@@ -66,14 +66,21 @@ def bench_query(spark, name: str) -> float:
     """Median of QUERY_TRIALS (default 5) end-to-end runs. Sub-second
     entries swing ±30% with box weather when timed once; the median of
     several is what round-over-round comparisons need (replay stays 1× —
-    its 4M events are long enough to self-average)."""
+    its 4M events are long enough to self-average).
+
+    The timer starts BEFORE the builder call: most entries build a lazy
+    plan there (milliseconds), but a few run real driver-side work
+    eagerly — cdc_cluster_scan's physical merge+cluster rewrite (~3s,
+    which a noop-only timer under-reported as 0.06s), the handoff
+    entries' watermark aggregates — and an entry's reported cost must be
+    the cost of actually running that entry end-to-end."""
     fn, _ = REGISTRY[name]
     if GC_BETWEEN:
         spark._jvm.System.gc()  # noqa: SLF001
     times = []
     for _ in range(QUERY_TRIALS):
-        df = fn(spark, SF_DIR)
         t0 = time.time()
+        df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         times.append(time.time() - t0)
         spark.catalog.clearCache()
