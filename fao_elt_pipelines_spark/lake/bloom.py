@@ -1,0 +1,182 @@
+"""Per-file Bloom filters for point-lookup file skipping.
+
+Iceberg/Delta analogue: Puffin blob statistics / Parquet column bloom
+filters. Manifest min/max bounds (``table._stats_overlap``) prune RANGE
+predicates well when the file layout sorts or z-orders by the probed
+column — but a POINT lookup on a high-cardinality column the layout
+doesn't lead with hits every file whose [min, max] straddles the key,
+which under hash-bucketed writes is usually *every file in the bucket*.
+A per-file Bloom filter answers "definitely absent" for arbitrary
+layouts at ~1 KiB per file per column, with zero false negatives by
+construction, so pruning on it is exact.
+
+Reference behavioral anchor: the reference pipeline answers point reads
+with a full-table SQL filter (`/root/reference/db/database.py` query
+helpers); at 10^10 rows that read must not touch every file.
+
+Design notes (100 TB shape):
+
+- **Build is a Spark job**, rewrite/maintenance-grade like
+  ``lake/zorder.py``: probe positions are computed JVM-side
+  (md5 → ``conv`` → ``pmod`` — whole-stage codegen, no Python in the
+  scan), deduped per (file, position), and only the ≤ m-bit position
+  sets per (file, column) reach the Arrow-batched packer UDF. Nothing
+  row-at-a-time touches Python.
+- **The sidecar is parquet written by executors** (one row per
+  (file, column): packed bits + spec), bucket-tagged so a point lookup
+  at fleet scale loads only candidate buckets' rows (pyarrow filter;
+  this sandbox caches the whole sidecar — it is KiB here).
+- **Keyed by immutable file path.** Data files are copy-on-write: a
+  path's contents never change, so bloom rows stay valid across later
+  snapshots; files the bloom has no row for are simply kept (never
+  prune blind — same contract as missing min/max stats). Orphaned rows
+  for GC'd files are dead weight, not a hazard.
+- **Cross-side determinism**: the probe hash is
+  ``int(md5(f"{i}|{v}").hexdigest()[:15], 16) % m`` — 15 hex chars =
+  60 bits, exactly representable in the JVM ``conv(..., 16, 10)``
+  string→long path and in Python, so the driver-side membership test
+  (`probe`) and the executor-side builder can never disagree.
+  Values are canonicalized by Spark's string cast; the driver probes
+  only ``str``/``int`` values (others fall back to "maybe present").
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_M_BITS = 8192  # 1 KiB per (file, column); FPR ~1.5% at ~1k keys
+DEFAULT_K = 6
+
+#: sidecar row schema (parquet): bucket enables candidate-bucket-filtered
+#: loads at fleet scale
+SIDECAR_SCHEMA = "file string, col string, bucket int, m_bits int, k int, bits binary"
+
+
+def _position_exprs(col: str, m_bits: int, k: int) -> list:
+    """k JVM-side probe positions for a column value (NULL value → NULL
+    positions, filtered by the caller: equality with NULL never matches,
+    so NULLs need no bloom representation)."""
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col(col).cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m_bits),
+        ).alias(f"_p{i}")
+        for i in range(k)
+    ]
+
+
+def probe_positions(value: Any, m_bits: int, k: int) -> list[int]:
+    """Driver-side twin of :func:`_position_exprs` (shared-formula tested)."""
+    return [
+        int(hashlib.md5(f"{i}|{value}".encode()).hexdigest()[:15], 16) % m_bits
+        for i in range(k)
+    ]
+
+
+def probe(bits: bytes, value: Any, m_bits: int, k: int) -> bool:
+    """Membership test: False = DEFINITELY absent (prune is exact);
+    True = maybe present. Non-str/int values always report maybe —
+    their Spark string cast is not guaranteed to match Python's."""
+    if not isinstance(value, (str, int)) or isinstance(value, bool):
+        return True
+    for pos in probe_positions(value, m_bits, k):
+        if not (bits[pos >> 3] >> (pos & 7)) & 1:
+            return False
+    return True
+
+
+def build_file_blooms(
+    spark: SparkSession,
+    entries: list[dict[str, Any]],
+    cols: list[str],
+    phys_schema,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """One sidecar row per (data file, column): packed bloom bits over the
+    file's non-null values of that column.
+
+    Plan: one scan of the target files → per-column probe positions →
+    explode → (file, col, pos) DISTINCT (bounds the per-group array at
+    m_bits) → collect_list per (file, col) → Arrow-batched numpy packer.
+    Two shuffles, maintenance-job grade, zero per-row Python.
+    """
+    if m_bits & (m_bits - 1):
+        raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    paths = [e["path"] for e in entries]
+    by_path = {e["path"]: e["bucket"] for e in entries}
+    # explicit physical schema: files predating an additive schema change
+    # read the new column as NULL → no probes → bloom proves absence,
+    # which IS correct for equality (c = v never matches NULL)
+    src = spark.read.schema(phys_schema).parquet(*paths).withColumn(
+        "_f", F.regexp_replace(F.input_file_name(), r"^file:/+", "/")
+    )
+    stacked = None
+    for c in cols:
+        part = src.select(
+            "_f",
+            F.lit(c).alias("_c"),
+            F.explode(F.array(*_position_exprs(c, m_bits, k))).alias("_pos"),
+        ).where(F.col("_pos").isNotNull())
+        stacked = part if stacked is None else stacked.unionByName(part)
+
+    @F.pandas_udf("binary")
+    def _pack(pos_lists: pd.Series) -> pd.Series:
+        out = []
+        for pos_list in pos_lists:
+            arr = np.zeros(m_bits, dtype=np.uint8)
+            arr[np.asarray(pos_list, dtype=np.int64)] = 1
+            # bitorder must match probe(): bit j of byte b = position b*8+j
+            out.append(np.packbits(arr, bitorder="little").tobytes())
+        return pd.Series(out)
+
+    bucket_map = F.create_map(
+        *[F.lit(x) for kv in by_path.items() for x in kv]
+    )
+    return (
+        stacked.distinct()
+        .groupBy("_f", "_c")
+        .agg(F.collect_list("_pos").alias("_ps"))
+        .select(
+            F.col("_f").alias("file"),
+            F.col("_c").alias("col"),
+            bucket_map[F.col("_f")].cast("int").alias("bucket"),
+            F.lit(m_bits).alias("m_bits"),
+            F.lit(k).alias("k"),
+            _pack("_ps").alias("bits"),
+        )
+    )
+
+
+def load_sidecars(paths: list[str]) -> dict[tuple[str, str], tuple[bytes, int, int]]:
+    """Driver-side sidecar load (pyarrow, no Spark job): {(file, col) →
+    (bits, m_bits, k)}. Later sidecars win on duplicate keys (a rebuild
+    with a different spec supersedes). At fleet scale pass a bucket
+    filter instead of reading all rows — the bucket column exists for
+    exactly that; at this sandbox's sidecar sizes a full read is noise."""
+    import pyarrow.parquet as pq
+
+    out: dict[tuple[str, str], tuple[bytes, int, int]] = {}
+    for p in paths:
+        t = pq.read_table(p, columns=["file", "col", "m_bits", "k", "bits"])
+        for f, c, m, kk, b in zip(
+            t.column("file").to_pylist(),
+            t.column("col").to_pylist(),
+            t.column("m_bits").to_pylist(),
+            t.column("k").to_pylist(),
+            t.column("bits").to_pylist(),
+        ):
+            out[(f, c)] = (b, m, kk)
+    return out

@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import schema_evo
+from .bloom import probe as _bloom_probe
 
 STATE_COLUMNS = ["repo", "path", "commit", "lang", "content", "content_sha256", "last_seq"]
 
@@ -1754,6 +1755,90 @@ class LakeTable:
             "cluster", new_entries, delta_entries, None, summary, base=(meta, base_v)
         )
 
+    def build_blooms(
+        self,
+        cols: list[str],
+        m_bits: int | None = None,
+        k: int | None = None,
+    ) -> int:
+        """Build per-file Bloom filters for ``cols`` over the current
+        snapshot's BASE files and register the sidecar in table metadata
+        (Iceberg Puffin-statistics analogue; lake/bloom.py for the
+        design). ``scan_where`` then consults them for POINT predicates
+        (lo == hi), where min/max bounds under-prune on any column the
+        layout doesn't lead with.
+
+        Incremental: files already covered for every requested column by
+        an earlier sidecar are skipped, so running this after each
+        compaction/cluster costs O(new files), not O(table). Delta files
+        are never bloomed — they are transient (compaction folds them
+        in) and their buckets are pruning-exempt anyway (MOR exactness).
+
+        The sidecar is data, not table state: registration is a CAS
+        metadata bump with a short retry loop (the parquet is written
+        once; on conflict only the tiny registry append is redone —
+        losing the race to a data commit is routine, not an error).
+
+        Returns the number of (file, column) bloom rows built."""
+        from . import bloom as _bl
+
+        m_bits = m_bits or _bl.DEFAULT_M_BITS
+        k = k or _bl.DEFAULT_K
+        meta = self._load_metadata()
+        sid = meta["current_snapshot_id"]
+        if sid is None:
+            return 0
+        snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+        have = self._load_blooms(meta)
+        todo = [
+            e
+            for e in snap["manifest"]
+            if e.get("kind") != "delta"
+            and any((e["path"], c) not in have for c in cols)
+        ]
+        if not todo:
+            return 0
+        phys = self._physical_schema(self.schema())
+        rows = _bl.build_file_blooms(self.spark, todo, cols, phys, m_bits, k)
+        rel = os.path.join("blooms", f"bloom-{uuid.uuid4().hex[:8]}.parquet")
+        out_dir = os.path.join(self.meta_dir, rel)
+        rows.write.parquet(out_dir)
+        import pyarrow.parquet as pq
+
+        n = pq.read_table(out_dir, columns=["col"]).num_rows
+        for _ in range(5):
+            meta2, base_v = self._load_versioned()
+            meta2.setdefault("bloom_sidecars", []).append(rel)
+            try:
+                self._write_metadata(meta2, version=base_v + 1)
+                break
+            except CommitConflictError:
+                continue
+        else:
+            raise CommitConflictError(
+                "bloom sidecar registration lost the metadata CAS 5 times"
+            )
+        self._bloom_cache = None
+        return n
+
+    def _load_blooms(
+        self, meta: dict[str, Any]
+    ) -> dict[tuple[str, str], tuple[bytes, int, int]]:
+        """{(file path, col) → (bits, m, k)} from all registered sidecars,
+        cached per sidecar-list (sidecars are append-only; a new build
+        invalidates). Missing registry → empty dict (no extra pruning)."""
+        from . import bloom as _bl
+
+        sidecars = tuple(meta.get("bloom_sidecars") or ())
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is not None and cache[0] == sidecars:
+            return cache[1]
+        loaded = _bl.load_sidecars(
+            [os.path.join(self.meta_dir, r) for r in sidecars]
+        )
+        self._bloom_cache = (sidecars, loaded)
+        return loaded
+
     def scan_where(
         self,
         bounds: dict[str, tuple[Any, Any]],
@@ -1783,13 +1868,36 @@ class LakeTable:
         )
         entries = snap["manifest"] if snap else []
         delta_buckets = {e["bucket"] for e in entries if e.get("kind") == "delta"}
+        # POINT predicates (lo == hi, non-null) additionally consult the
+        # per-file Bloom sidecars when built (build_blooms): min/max keeps
+        # any file whose range straddles the key — under hash-bucketed
+        # layouts that is most of the bucket — while the bloom proves
+        # absence exactly (no false negatives). Files without a bloom row
+        # and non-(str|int) values fall back to "maybe" (never prune
+        # blind), delta buckets stay exempt like all file pruning here.
+        points = {
+            c: lo
+            for c, (lo, hi) in bounds.items()
+            if lo is not None and lo == hi
+        }
+        blooms = (
+            self._load_blooms(meta)
+            if points and meta.get("bloom_sidecars")
+            else {}
+        )
 
         def keep(e: dict[str, Any]) -> bool:
             if e["bucket"] in delta_buckets:
                 return True
-            return all(
+            if not all(
                 _stats_overlap(e, c, lo, hi) for c, (lo, hi) in bounds.items()
-            )
+            ):
+                return False
+            for c, v in points.items():
+                rec = blooms.get((e["path"], c))
+                if rec is not None and not _bloom_probe(rec[0], v, rec[1], rec[2]):
+                    return False
+            return True
 
         kept = [e for e in entries if keep(e)]
         df = self._read_entries(kept, include_tombstones)

@@ -1,0 +1,141 @@
+"""Per-file Bloom filters for point-lookup file skipping (lake/bloom.py,
+LakeTable.build_blooms / scan_where point predicates).
+
+Claims under test: (1) CROSS-SIDE DETERMINISM — the JVM probe-position
+expression and the driver-side probe compute identical positions, so
+(2) NO FALSE NEGATIVES — every value present in a file passes that
+file's bloom, hence pruning is EXACT: scan_where on a point key equals
+read()+filter under any layout, with or without blooms, with MOR deltas
+present (delta buckets exempt); (3) the LAYOUT EFFECT — on files whose
+[min, max] all straddle the probed key (the hash-bucketed norm), min/max
+prunes nothing while blooms prune almost everything; (4) incremental
+builds skip already-covered files.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fao_elt_pipelines_spark import binlog
+from fao_elt_pipelines_spark.lake import bloom as BL
+from fao_elt_pipelines_spark.lake.table import LakeTable
+from scripts.replay_job import STATE_SCHEMA
+
+N_EVENTS = 6_000
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # many distinct paths, few repos: a 100-row file covers ~100 of 512
+    # path values, so a point path probe is absent from most files —
+    # exactly the population blooms prune and min/max can't (the linear
+    # repo layout below records no path stats at all)
+    return binlog.change_events(
+        spark, N_EVENTS, n_repos=8, paths_per_repo=512,
+        events_per_epoch=N_EVENTS, num_partitions=8,
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory, events):
+    t = LakeTable.create(
+        spark, str(tmp_path_factory.mktemp("bloom") / "t"), STATE_SCHEMA,
+        n_buckets=4,
+    )
+    t.merge_changes(events, epoch_id=0)
+    # small files in repo order: path values interleave arbitrarily
+    # within each file and path min/max is not even recorded
+    t.cluster(["repo"], strategy="linear", max_records_per_file=100)
+    n = t.build_blooms(["path"])
+    assert n > 0
+    return t
+
+
+def test_probe_positions_cross_side(spark):
+    """The conv(md5)-based JVM expression and hashlib driver twin agree
+    on every probe position for representative values."""
+    vals = ["src/dir_3/file_7.py", "", "repo_00000", "42", "é-ü", "a|b"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").select(
+        "v", *BL._position_exprs("v", BL.DEFAULT_M_BITS, BL.DEFAULT_K)
+    )
+    for row in df.collect():
+        got = [row[f"_p{i}"] for i in range(BL.DEFAULT_K)]
+        assert got == BL.probe_positions(
+            row["v"], BL.DEFAULT_M_BITS, BL.DEFAULT_K
+        ), row["v"]
+
+
+def test_no_false_negatives_and_layout_effect(spark, table):
+    """Every (file, path-value) actually in a base file passes its bloom;
+    and on this hash-bucketed layout a point path lookup keeps ~only the
+    files that truly contain the key."""
+    meta = table._load_metadata()
+    blooms = table._load_blooms(meta)
+    snap = table.current_snapshot()
+    base = [e for e in snap["manifest"] if e.get("kind") != "delta"]
+    truth = {}  # file -> set of paths actually present
+    for e in base:
+        rows = spark.read.parquet(e["path"]).select("path").distinct().collect()
+        truth[e["path"]] = {r["path"] for r in rows}
+    probed_files = 0
+    for e in base:
+        rec = blooms.get((e["path"], "path"))
+        assert rec is not None, f"no bloom row for {e['path']}"
+        probed_files += 1
+        for v in truth[e["path"]]:
+            assert BL.probe(rec[0], v, rec[1], rec[2])  # no false negatives
+    assert probed_files == len(base)
+    # layout effect: every file's [min,max] straddles a mid-range path
+    # (hash-bucketed writes interleave keys), so min/max alone keeps all
+    # files in candidate buckets; the bloom must beat that
+    probe_key = sorted(truth[base[0]["path"]])[0]  # a real key
+    df, pruned, total = table.scan_where(
+        {"path": (probe_key, probe_key)}, with_stats=True
+    )
+    truly_contain = sum(1 for fs in truth.values() if probe_key in fs)
+    kept = total - pruned
+    assert kept < len(base), "bloom pruned nothing on a point lookup"
+    # exactness: kept files must cover all true occurrences
+    assert kept >= truly_contain
+    expect = table.read().filter(F.col("path") == probe_key)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_absent_key_prunes_everything(table):
+    df, pruned, total = table.scan_where(
+        {"path": ("no/such/file.xyz",) * 2}, with_stats=True
+    )
+    assert df.count() == 0
+    # min/max can't rule the key out of straddling files; the bloom can:
+    # with no true occurrences every bloomed base file is prunable (FPR
+    # aside — allow a couple of false positives)
+    assert pruned >= total - 3
+
+
+def test_point_scan_exact_with_mor_delta(spark, table, events):
+    """A MOR delta exempts its bucket from ALL pruning (bloom included):
+    the point read stays exactly read()+filter."""
+    late = events.filter(F.col("seq") % 97 == 0).withColumn(
+        "seq", F.col("seq") + 1_000_000
+    )
+    table.merge_changes(late, epoch_id=1, mode="mor")
+    probe_key = table.read().select("path").first()["path"]
+    df = table.scan_where({"path": (probe_key, probe_key)})
+    expect = table.read().filter(F.col("path") == probe_key)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
+
+
+def test_incremental_build_skips_covered_files(spark, table):
+    assert table.build_blooms(["path"]) == 0  # all base files covered
+    # a new column's blooms build for every base file; the path blooms
+    # are not rebuilt (sidecar registry grows by one)
+    before = len(table._load_metadata().get("bloom_sidecars") or ())
+    n = table.build_blooms(["repo"])
+    assert n > 0
+    assert len(table._load_metadata().get("bloom_sidecars") or ()) == before + 1
+
+
+def test_non_str_int_probe_never_prunes():
+    assert BL.probe(b"\x00" * (BL.DEFAULT_M_BITS // 8), 1.5,
+                    BL.DEFAULT_M_BITS, BL.DEFAULT_K)
+    assert BL.probe(b"\x00" * (BL.DEFAULT_M_BITS // 8), True,
+                    BL.DEFAULT_M_BITS, BL.DEFAULT_K)
