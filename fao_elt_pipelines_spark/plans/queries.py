@@ -166,14 +166,17 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Physical-lake differential: replay the derived binlog into a REAL
     LakeTable on disk (COW MERGE), z-order-cluster it (lake/zorder.py
-    rewrite + per-file bounds), and read back through the stats-pruned
-    ``scan_where`` path. The result is the LWW live state restricted to a
-    path range — the oracle computes the same algebra purely in SQL, so
-    the driver row certifies the write → cluster-rewrite → prune → read
-    pipeline end-to-end against an independent engine (cdc_lww_state and
-    cdc_merge_upsert prove the MERGE *semantics* as pure DataFrame twins;
-    this is the one entry where the bytes actually hit table files —
-    the same physical path the 1e8/1e9 arms validate outside the driver).
+    rewrite + per-file bounds), build per-file Bloom sidecars
+    (lake/bloom.py), and read back through the stats-AND-bloom-pruned
+    ``scan_where`` path. The result is the LWW live state restricted to
+    a repo POINT (the bloom-probed predicate) and a path range (the
+    min/max-pruned one) — the oracle computes the same algebra purely in
+    SQL, so the driver row certifies the write → cluster-rewrite →
+    bloom-build → prune → read pipeline end-to-end against an
+    independent engine (cdc_lww_state and cdc_merge_upsert prove the
+    MERGE *semantics* as pure DataFrame twins; this is the one entry
+    where the bytes actually hit table files — the same physical path
+    the 1e8/1e9 arms validate outside the driver).
 
     Deterministic for a given ``sf_dir``: LWW winners are unique (seq is
     unique), the sorted layout and seeded-sample cutpoints are
@@ -209,9 +212,10 @@ def q_cdc_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LakeTable.create(spark, base, state_schema, n_buckets=4)
     t.merge_changes(_derived_binlog(spark, sf_dir), epoch_id=0)
     t.cluster(["repo", "path"], bins=32, max_records_per_file=64)
-    return t.scan_where({"path": ("src/f_1", "src/f_2")}).select(
-        "repo", "path", "commit", "lang", "content_sha256", "last_seq"
-    )
+    t.build_blooms(["repo"])
+    return t.scan_where(
+        {"repo": ("repo_7", "repo_7"), "path": ("src/f_1", "src/f_2")}
+    ).select("repo", "path", "commit", "lang", "content_sha256", "last_seq")
 
 
 SQL_CDC_CLUSTER_SCAN = f"""
@@ -222,7 +226,8 @@ w AS (
 )
 SELECT repo, path, commit, lang, sha256(content) AS content_sha256, seq AS last_seq
 FROM w
-WHERE rn = 1 AND op <> 'delete' AND path BETWEEN 'src/f_1' AND 'src/f_2'
+WHERE rn = 1 AND op <> 'delete' AND repo = 'repo_7'
+  AND path BETWEEN 'src/f_1' AND 'src/f_2'
 """
 
 

@@ -161,8 +161,16 @@ def main() -> None:
     p_cl.add_argument("--cols", required=True, help="comma-separated columns")
     p_cl.add_argument("--strategy", default="zorder", choices=["zorder", "linear"])
     p_cl.add_argument("--bins", type=int, default=1024)
+    p_bl = sub.add_parser("build-blooms", help="build per-file Bloom "
+                          "sidecars for point-lookup pruning in scan-where "
+                          "(incremental: covered files skip)")
+    p_bl.add_argument("--cols", required=True, help="comma-separated columns")
+    p_bl.add_argument("--m-bits", type=int, default=None,
+                      help="bits per filter (power of two; ~16 per distinct "
+                      "key per file)")
     p_sw = sub.add_parser("scan-where", help="stats-pruned range scan: "
-                          "--where col:lo:hi (repeatable)")
+                          "--where col:lo:hi (repeatable; lo == hi is a "
+                          "point probe and consults Bloom sidecars if built)")
     p_sw.add_argument("--where", action="append", required=True,
                       metavar="COL:LO:HI")
     p_sw.add_argument("--limit", type=int, default=20)
@@ -256,6 +264,12 @@ def main() -> None:
         sid = table.cluster(cols, bins=args.bins, strategy=args.strategy)
         print(json.dumps({"cluster_snapshot_id": sid, "cols": cols,
                           "strategy": args.strategy}))
+    elif args.cmd == "build-blooms":
+        cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+        n = table.build_blooms(cols, m_bits=args.m_bits)
+        print(json.dumps({"bloom_rows_built": n, "cols": cols,
+                          "sidecars": table._load_metadata().get(
+                              "bloom_sidecars", [])}))
     elif args.cmd == "scan-where":
         def coerce(s):
             # manifest stats are typed (int last_seq, str repo); comparing

@@ -139,3 +139,36 @@ def test_non_str_int_probe_never_prunes():
                     BL.DEFAULT_M_BITS, BL.DEFAULT_K)
     assert BL.probe(b"\x00" * (BL.DEFAULT_M_BITS // 8), True,
                     BL.DEFAULT_M_BITS, BL.DEFAULT_K)
+
+
+def test_cli_build_blooms_and_point_scan(spark, tmp_path, events):
+    """Ops surface in a separate process: `table_tool build-blooms`
+    registers a sidecar, a point `scan-where` prunes with it and returns
+    the exact rows."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo_root = __file__.rsplit("/tests/", 1)[0]
+    tool = f"{repo_root}/scripts/table_tool.py"
+    t = LakeTable.create(spark, str(tmp_path / "t_cli"), STATE_SCHEMA, n_buckets=4)
+    t.merge_changes(events, epoch_id=0)
+    t.cluster(["repo"], strategy="linear", max_records_per_file=100)
+    key = t.read().select("commit").first()["commit"]
+    out = subprocess.run(
+        [_sys.executable, tool, "--table", t.path, "--cores", "4",
+         "build-blooms", "--cols", "commit", "--m-bits", "8192"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.splitlines()[-1])
+    assert payload["bloom_rows_built"] > 0 and payload["sidecars"]
+    out = subprocess.run(
+        [_sys.executable, tool, "--table", t.path, "--cores", "4",
+         "scan-where", "--where", f"commit:{key}:{key}", "--limit", "5"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.splitlines()[-1])
+    assert payload["files_pruned"] > 0
+    assert [r["commit"] for r in payload["rows"]] == [key]
