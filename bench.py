@@ -159,6 +159,11 @@ def main() -> None:
                 "queries": queries,
                 "sf": sf_val,
                 "cdc_replay_events_per_sec": eps,
+                # v2: the per-query timer starts BEFORE the builder call
+                # (true end-to-end cost). Totals are NOT comparable with
+                # pre-v2 rounds' artifacts — see BENCH/BASELINE.md "Bench
+                # timer honesty fix" for the same-box A/B quantifying it.
+                "timer_semantics": "end_to_end_v2",
                 "cpus": CPUS,
             }
         )
