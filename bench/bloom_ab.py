@@ -94,6 +94,44 @@ def main() -> None:
     out["speedup"] = round(
         out["minmax_only"]["scan_sec"] / out["bloom"]["scan_sec"], 2
     )
+
+    # distributed grep: a seq-specific identifier token lives in exactly
+    # one row's content; full-scan tokenized filter vs token-bloom prune
+    from fao_elt_pipelines_spark.lake.bloom import TOKEN_SEP
+
+    t0 = time.time()
+    t.build_blooms(["content"], m_bits=1 << 17, mode="tokens")
+    grep_build = round(time.time() - t0, 2)
+    token = str(
+        t.read().select("last_seq").orderBy(F.desc("last_seq")).first()["last_seq"]
+    )
+    _, g_pruned, g_total = t.scan_contains("content", token, with_stats=True)
+    g_scan = timed(
+        lambda: t.scan_contains("content", token)
+        .write.mode("overwrite").format("noop").save()
+    )
+    full = timed(
+        lambda: t.read()
+        .filter(F.array_contains(F.split(F.col("content"), TOKEN_SEP), token))
+        .write.mode("overwrite").format("noop").save()
+    )
+    g_match = sorted(map(tuple, t.scan_contains("content", token).collect())) == sorted(
+        map(
+            tuple,
+            t.read()
+            .filter(F.array_contains(F.split(F.col("content"), TOKEN_SEP), token))
+            .collect(),
+        )
+    )
+    out["token_grep"] = {
+        "build_sec": grep_build,
+        "files_total": g_total,
+        "files_kept": g_total - g_pruned,
+        "grep_sec": round(g_scan, 3),
+        "full_scan_sec": round(full, 3),
+        "speedup": round(full / g_scan, 2),
+        "rows_match": g_match,
+    }
     res = {
         "metric": "bloom_scan_ab",
         "events": args.events,

@@ -53,9 +53,18 @@ from pyspark.sql import functions as F
 DEFAULT_M_BITS = 8192  # 1 KiB per (file, column); FPR ~1.5% at ~1k keys
 DEFAULT_K = 6
 
+#: token boundary for tokenized (grep-mode) blooms: identifier tokens of
+#: code/text. MUST be identical at build and probe time — scan_contains
+#: re-applies it as the row filter, so the two can never drift apart.
+TOKEN_SEP = "[^A-Za-z0-9_]+"
+
 #: sidecar row schema (parquet): bucket enables candidate-bucket-filtered
-#: loads at fleet scale
-SIDECAR_SCHEMA = "file string, col string, bucket int, m_bits int, k int, bits binary"
+#: loads at fleet scale; mode is "value" (whole-value point probes) or
+#: "tokens" (membership of an identifier token in the column's text)
+SIDECAR_SCHEMA = (
+    "file string, col string, mode string, bucket int, m_bits int, k int, "
+    "bits binary"
+)
 
 
 def _position_exprs(col: str, m_bits: int, k: int) -> list:
@@ -104,17 +113,28 @@ def build_file_blooms(
     phys_schema,
     m_bits: int = DEFAULT_M_BITS,
     k: int = DEFAULT_K,
+    mode: str = "value",
 ) -> DataFrame:
     """One sidecar row per (data file, column): packed bloom bits over the
     file's non-null values of that column.
 
+    ``mode="value"`` inserts whole values (point-equality probes);
+    ``mode="tokens"`` inserts every identifier token of the column's text
+    (TOKEN_SEP boundaries) — the distributed-grep index: "which files
+    contain token X" without reading them.
+
     Plan: one scan of the target files → per-column probe positions →
     explode → (file, col, pos) DISTINCT (bounds the per-group array at
     m_bits) → collect_list per (file, col) → Arrow-batched numpy packer.
-    Two shuffles, maintenance-job grade, zero per-row Python.
+    Two shuffles, maintenance-job grade, zero per-row Python. In token
+    mode the explode fans out per token BEFORE the distinct, so the
+    shuffle carries (file, position) pairs — already capped at m_bits per
+    file by dedup — not the token text.
     """
     if m_bits & (m_bits - 1):
         raise ValueError(f"m_bits must be a power of two, got {m_bits}")
+    if mode not in ("value", "tokens"):
+        raise ValueError(f"mode must be value|tokens, got {mode!r}")
     paths = [e["path"] for e in entries]
     by_path = {e["path"]: e["bucket"] for e in entries}
     # explicit physical schema: files predating an additive schema change
@@ -125,11 +145,24 @@ def build_file_blooms(
     )
     stacked = None
     for c in cols:
-        part = src.select(
-            "_f",
-            F.lit(c).alias("_c"),
-            F.explode(F.array(*_position_exprs(c, m_bits, k))).alias("_pos"),
-        ).where(F.col("_pos").isNotNull())
+        if mode == "tokens":
+            toks = src.select(
+                "_f",
+                F.explode(
+                    F.array_distinct(F.split(F.col(c).cast("string"), TOKEN_SEP))
+                ).alias("_v"),
+            ).where(F.col("_v") != "")
+            part = toks.select(
+                "_f",
+                F.lit(c).alias("_c"),
+                F.explode(F.array(*_position_exprs("_v", m_bits, k))).alias("_pos"),
+            )
+        else:
+            part = src.select(
+                "_f",
+                F.lit(c).alias("_c"),
+                F.explode(F.array(*_position_exprs(c, m_bits, k))).alias("_pos"),
+            ).where(F.col("_pos").isNotNull())
         stacked = part if stacked is None else stacked.unionByName(part)
 
     @F.pandas_udf("binary")
@@ -152,6 +185,7 @@ def build_file_blooms(
         .select(
             F.col("_f").alias("file"),
             F.col("_c").alias("col"),
+            F.lit(mode).alias("mode"),
             bucket_map[F.col("_f")].cast("int").alias("bucket"),
             F.lit(m_bits).alias("m_bits"),
             F.lit(k).alias("k"),
@@ -161,22 +195,32 @@ def build_file_blooms(
 
 
 def load_sidecars(paths: list[str]) -> dict[tuple[str, str], tuple[bytes, int, int]]:
-    """Driver-side sidecar load (pyarrow, no Spark job): {(file, col) →
-    (bits, m_bits, k)}. Later sidecars win on duplicate keys (a rebuild
-    with a different spec supersedes). At fleet scale pass a bucket
-    filter instead of reading all rows — the bucket column exists for
-    exactly that; at this sandbox's sidecar sizes a full read is noise."""
+    """Driver-side sidecar load (pyarrow, no Spark job): {(file, key) →
+    (bits, m_bits, k)} where key is the column name for value blooms and
+    ``col + "#tokens"`` for token blooms (the two are distinct indexes
+    over the same column and must never answer each other's probes).
+    Later sidecars win on duplicate keys (a rebuild with a different spec
+    supersedes). At fleet scale pass a bucket filter instead of reading
+    all rows — the bucket column exists for exactly that; at this
+    sandbox's sidecar sizes a full read is noise."""
     import pyarrow.parquet as pq
 
     out: dict[tuple[str, str], tuple[bytes, int, int]] = {}
     for p in paths:
-        t = pq.read_table(p, columns=["file", "col", "m_bits", "k", "bits"])
-        for f, c, m, kk, b in zip(
+        t = pq.read_table(p)
+        names = t.column_names
+        modes = (
+            t.column("mode").to_pylist()
+            if "mode" in names
+            else ["value"] * t.num_rows
+        )
+        for f, c, mo, m, kk, b in zip(
             t.column("file").to_pylist(),
             t.column("col").to_pylist(),
+            modes,
             t.column("m_bits").to_pylist(),
             t.column("k").to_pylist(),
             t.column("bits").to_pylist(),
         ):
-            out[(f, c)] = (b, m, kk)
+            out[(f, c if mo == "value" else f"{c}#tokens")] = (b, m, kk)
     return out

@@ -51,6 +51,8 @@ import fcntl
 import json
 import operator
 import os
+import re
+import re
 import shutil
 import time
 import uuid
@@ -1760,6 +1762,7 @@ class LakeTable:
         cols: list[str],
         m_bits: int | None = None,
         k: int | None = None,
+        mode: str = "value",
     ) -> int:
         """Build per-file Bloom filters for ``cols`` over the current
         snapshot's BASE files and register the sidecar in table metadata
@@ -1767,6 +1770,11 @@ class LakeTable:
         design). ``scan_where`` then consults them for POINT predicates
         (lo == hi), where min/max bounds under-prune on any column the
         layout doesn't lead with.
+
+        ``mode="tokens"`` builds the distributed-grep variant instead:
+        the bloom holds every identifier token of the column's text
+        (bloom.TOKEN_SEP), consumed by :meth:`scan_contains`. Value and
+        token blooms over the same column are independent indexes.
 
         Incremental: files already covered for every requested column by
         an earlier sidecar are skipped, so running this after each
@@ -1790,16 +1798,19 @@ class LakeTable:
             return 0
         snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
         have = self._load_blooms(meta)
+        keys = [c if mode == "value" else f"{c}#tokens" for c in cols]
         todo = [
             e
             for e in snap["manifest"]
             if e.get("kind") != "delta"
-            and any((e["path"], c) not in have for c in cols)
+            and any((e["path"], ck) not in have for ck in keys)
         ]
         if not todo:
             return 0
         phys = self._physical_schema(self.schema())
-        rows = _bl.build_file_blooms(self.spark, todo, cols, phys, m_bits, k)
+        rows = _bl.build_file_blooms(
+            self.spark, todo, cols, phys, m_bits, k, mode=mode
+        )
         rel = os.path.join("blooms", f"bloom-{uuid.uuid4().hex[:8]}.parquet")
         out_dir = os.path.join(self.meta_dir, rel)
         rows.write.parquet(out_dir)
@@ -1906,6 +1917,59 @@ class LakeTable:
                 df = df.filter(F.col(c) >= F.lit(lo))
             if hi is not None:
                 df = df.filter(F.col(c) <= F.lit(hi))
+        if with_stats:
+            return df, len(entries) - len(kept), len(entries)
+        return df
+
+    def scan_contains(
+        self,
+        col: str,
+        token: str,
+        include_tombstones: bool = False,
+        with_stats: bool = False,
+    ):
+        """Distributed grep: rows whose ``col`` text contains the
+        identifier ``token`` (bloom.TOKEN_SEP boundaries), reading only
+        files whose token bloom (``build_blooms(..., mode="tokens")``)
+        may contain it. The row filter re-applies the SAME tokenization
+        (``array_contains(split(col), token)``), so results are
+        file-layout- and pruning-independent — a file kept by a bloom
+        false positive just contributes zero rows. Same exactness rules
+        as scan_where: delta buckets exempt, bloomless files kept.
+
+        The 100 TB shape: a grep over a petabyte corpus touches the few
+        files per bucket that actually contain the identifier — the
+        full-scan regex alternative reads everything. FPR is the build's
+        m_bits sizing choice vs the file's distinct-token count."""
+        from .bloom import TOKEN_SEP
+
+        if not token or re.search(TOKEN_SEP, token):
+            raise ValueError(
+                f"token must be a single identifier (no {TOKEN_SEP} chars): "
+                f"{token!r}"
+            )
+        meta = self._load_metadata()
+        sid = meta["current_snapshot_id"]
+        snap = (
+            next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
+            if sid is not None
+            else None
+        )
+        entries = snap["manifest"] if snap else []
+        delta_buckets = {e["bucket"] for e in entries if e.get("kind") == "delta"}
+        blooms = self._load_blooms(meta) if meta.get("bloom_sidecars") else {}
+        key = f"{col}#tokens"
+
+        def keep(e: dict[str, Any]) -> bool:
+            if e["bucket"] in delta_buckets:
+                return True
+            rec = blooms.get((e["path"], key))
+            return rec is None or _bloom_probe(rec[0], token, rec[1], rec[2])
+
+        kept = [e for e in entries if keep(e)]
+        df = self._read_entries(kept, include_tombstones).filter(
+            F.array_contains(F.split(F.col(col).cast("string"), TOKEN_SEP), token)
+        )
         if with_stats:
             return df, len(entries) - len(kept), len(entries)
         return df

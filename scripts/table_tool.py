@@ -168,6 +168,15 @@ def main() -> None:
     p_bl.add_argument("--m-bits", type=int, default=None,
                       help="bits per filter (power of two; ~16 per distinct "
                       "key per file)")
+    p_bl.add_argument("--tokens", action="store_true",
+                      help="token mode: index identifier tokens of the "
+                      "column's text for `grep` instead of whole values")
+    p_gr = sub.add_parser("grep", help="distributed grep: rows whose column "
+                          "contains an identifier token, reading only files "
+                          "whose token bloom may contain it")
+    p_gr.add_argument("--col", required=True)
+    p_gr.add_argument("--token", required=True)
+    p_gr.add_argument("--limit", type=int, default=20)
     p_sw = sub.add_parser("scan-where", help="stats-pruned range scan: "
                           "--where col:lo:hi (repeatable; lo == hi is a "
                           "point probe and consults Bloom sidecars if built)")
@@ -266,7 +275,8 @@ def main() -> None:
                           "strategy": args.strategy}))
     elif args.cmd == "build-blooms":
         cols = [c.strip() for c in args.cols.split(",") if c.strip()]
-        n = table.build_blooms(cols, m_bits=args.m_bits)
+        n = table.build_blooms(cols, m_bits=args.m_bits,
+                               mode="tokens" if args.tokens else "value")
         print(json.dumps({"bloom_rows_built": n, "cols": cols,
                           "sidecars": table._load_metadata().get(
                               "bloom_sidecars", [])}))
@@ -288,6 +298,12 @@ def main() -> None:
             col, lo, hi = spec.split(":", 2)
             bounds[col] = (coerce(lo), coerce(hi))
         df, pruned, total = table.scan_where(bounds, with_stats=True)
+        rows = [r.asDict() for r in df.limit(args.limit).collect()]
+        print(json.dumps({"files_pruned": pruned, "files_total": total,
+                          "rows": rows}, default=str))
+    elif args.cmd == "grep":
+        df, pruned, total = table.scan_contains(args.col, args.token,
+                                                with_stats=True)
         rows = [r.asDict() for r in df.limit(args.limit).collect()]
         print(json.dumps({"files_pruned": pruned, "files_total": total,
                           "rows": rows}, default=str))

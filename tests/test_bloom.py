@@ -172,3 +172,73 @@ def test_cli_build_blooms_and_point_scan(spark, tmp_path, events):
     payload = json.loads(out.stdout.splitlines()[-1])
     assert payload["files_pruned"] > 0
     assert [r["commit"] for r in payload["rows"]] == [key]
+
+
+def test_token_blooms_distributed_grep(spark, tmp_path, events):
+    """Token mode: a grep for a seq-specific token (present in exactly one
+    row's content) reads ~one file; results equal the full-scan filter
+    under identical tokenization; value and token blooms over the same
+    column are independent indexes."""
+    from fao_elt_pipelines_spark.lake.bloom import TOKEN_SEP
+
+    t = LakeTable.create(spark, str(tmp_path / "t_grep"), STATE_SCHEMA, n_buckets=4)
+    t.merge_changes(events, epoch_id=0)
+    t.cluster(["repo"], strategy="linear", max_records_per_file=100)
+    n = t.build_blooms(["content"], m_bits=1 << 15, mode="tokens")
+    assert n > 0
+    # content embeds the row's seq digits: a token that exists in exactly
+    # one live row (take one from the data)
+    row = t.read().select("last_seq").orderBy("last_seq").first()
+    token = str(row["last_seq"])
+    df, pruned, total = t.scan_contains("content", token, with_stats=True)
+    expect = t.read().filter(
+        F.array_contains(F.split(F.col("content"), TOKEN_SEP), token)
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
+    assert df.count() >= 1
+    assert pruned > total // 2, f"token grep pruned only {pruned}/{total}"
+    # a token absent from the corpus prunes everything (modulo FPR)
+    _, pruned2, total2 = t.scan_contains("content", "zz_no_such_token_zz",
+                                         with_stats=True)
+    assert pruned2 >= total2 - 3
+    # common token appears everywhere: nothing pruned, still exact
+    df3 = t.scan_contains("content", "src")
+    expect3 = t.read().filter(
+        F.array_contains(F.split(F.col("content"), TOKEN_SEP), "src")
+    )
+    assert df3.count() == expect3.count()
+    # value blooms on the same column don't answer token probes
+    meta = t._load_metadata()
+    assert all(key[1] == "content#tokens" for key in t._load_blooms(meta))
+    with pytest.raises(ValueError, match="single identifier"):
+        t.scan_contains("content", "two tokens")
+
+
+def test_cli_token_grep(spark, tmp_path, events):
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo_root = __file__.rsplit("/tests/", 1)[0]
+    tool = f"{repo_root}/scripts/table_tool.py"
+    t = LakeTable.create(spark, str(tmp_path / "t_cli_grep"), STATE_SCHEMA,
+                         n_buckets=4)
+    t.merge_changes(events, epoch_id=0)
+    t.cluster(["repo"], strategy="linear", max_records_per_file=100)
+    token = str(t.read().select("last_seq").orderBy("last_seq").first()["last_seq"])
+    out = subprocess.run(
+        [_sys.executable, tool, "--table", t.path, "--cores", "4",
+         "build-blooms", "--cols", "content", "--m-bits", "32768", "--tokens"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert json.loads(out.stdout.splitlines()[-1])["bloom_rows_built"] > 0
+    out = subprocess.run(
+        [_sys.executable, tool, "--table", t.path, "--cores", "4",
+         "grep", "--col", "content", "--token", token, "--limit", "5"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.splitlines()[-1])
+    assert payload["files_pruned"] > 0
+    assert payload["rows"] and all(token in r["content"] for r in payload["rows"])
