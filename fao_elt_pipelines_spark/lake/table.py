@@ -1422,7 +1422,7 @@ class LakeTable:
                 manifest_files.add(os.path.join(self.meta_dir, s["manifest_file"]))
         now = _now_ms if _now_ms is not None else int(time.time() * 1000)
         cutoff = (now - older_than_ms) / 1000.0
-        removed = {"data_files": 0, "manifest_files": 0}
+        removed = {"data_files": 0, "manifest_files": 0, "bloom_sidecars": 0}
 
         def orphaned(fp: str) -> bool:
             try:
@@ -1449,6 +1449,24 @@ class LakeTable:
                 if fp not in manifest_files and orphaned(fp):
                     os.remove(fp)
                     removed["manifest_files"] += 1
+        # bloom sidecar dirs whose registration CAS never landed (the
+        # parquet is written before the 5-attempt registry append; a
+        # writer that exhausted its retries or died leaves the dir
+        # unreferenced). Registered sidecars are never GC'd: their rows
+        # are keyed by immutable COW file paths, so they stay valid for
+        # every snapshot, and rows for since-deleted files are dead
+        # weight, not a hazard.
+        bloom_dir = os.path.join(self.meta_dir, "blooms")
+        registered = {
+            os.path.join(self.meta_dir, r)
+            for r in meta.get("bloom_sidecars") or ()
+        }
+        if os.path.isdir(bloom_dir):
+            for fn in os.listdir(bloom_dir):
+                fp = os.path.join(bloom_dir, fn)
+                if fp not in registered and orphaned(fp):
+                    shutil.rmtree(fp, ignore_errors=True)
+                    removed["bloom_sidecars"] += 1
         # stale CAS temp files (a writer that died mid-_write_metadata)
         for fn in os.listdir(self.meta_dir):
             if ".tmp" in fn:

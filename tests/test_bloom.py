@@ -242,3 +242,30 @@ def test_cli_token_grep(spark, tmp_path, events):
     payload = json.loads(out.stdout.splitlines()[-1])
     assert payload["files_pruned"] > 0
     assert payload["rows"] and all(token in r["content"] for r in payload["rows"])
+
+
+def test_orphan_gc_unregistered_sidecar_only(spark, tmp_path, events):
+    """GC removes a bloom sidecar dir whose registration never landed,
+    and never touches registered ones (their rows stay valid forever —
+    keyed by immutable COW file paths)."""
+    import os
+    import shutil as _sh
+
+    t = LakeTable.create(spark, str(tmp_path / "t_gc"), STATE_SCHEMA, n_buckets=4)
+    t.merge_changes(events.limit(500), epoch_id=0)
+    t.build_blooms(["commit"])
+    registered = t._load_metadata()["bloom_sidecars"]
+    assert len(registered) == 1
+    # simulate a CAS-loser: a sidecar dir that is on disk but unregistered
+    src_dir = os.path.join(t.meta_dir, registered[0])
+    loser = os.path.join(t.meta_dir, "blooms", "bloom-deadbeef.parquet")
+    _sh.copytree(src_dir, loser)
+    old = 1_000_000_000  # far in the past
+    os.utime(loser, (old, old))
+    removed = t.remove_orphan_files(older_than_ms=3600 * 1000)
+    assert removed["bloom_sidecars"] == 1
+    assert not os.path.exists(loser)
+    assert os.path.exists(src_dir)
+    # registered blooms still answer probes after GC
+    key = t.read().select("commit").first()["commit"]
+    assert t.scan_where({"commit": (key, key)}).count() == 1

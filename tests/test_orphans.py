@@ -58,6 +58,7 @@ def test_orphans_collected_referenced_kept(spark, tmp_path):
     assert t.remove_orphan_files(older_than_ms=24 * HOUR_MS) == {
         "data_files": 0,
         "manifest_files": 0,
+        "bloom_sidecars": 0,
     }
     assert all(os.path.exists(p) for p in orphan_paths)
 
