@@ -175,8 +175,12 @@ def build_file_blooms(
             out.append(np.packbits(arr, bitorder="little").tobytes())
         return pd.Series(out)
 
-    bucket_map = F.create_map(
-        *[F.lit(x) for kv in by_path.items() for x in kv]
+    # bucket tag via broadcast join, not a literal map: a create_map over
+    # 2×n_files literals is a Catalyst expression tree that grows with the
+    # manifest (megabytes at fleet file counts); the manifest-sized lookup
+    # frame broadcasts instead
+    buckets = spark.createDataFrame(
+        [(p, b) for p, b in by_path.items()], "file string, bucket int"
     )
     return (
         stacked.distinct()
@@ -186,11 +190,12 @@ def build_file_blooms(
             F.col("_f").alias("file"),
             F.col("_c").alias("col"),
             F.lit(mode).alias("mode"),
-            bucket_map[F.col("_f")].cast("int").alias("bucket"),
             F.lit(m_bits).alias("m_bits"),
             F.lit(k).alias("k"),
             _pack("_ps").alias("bits"),
         )
+        .join(F.broadcast(buckets), "file", "left")
+        .select("file", "col", "mode", "bucket", "m_bits", "k", "bits")
     )
 
 

@@ -81,6 +81,8 @@ def replay(
     epoch_batch: int | str = 1,
     quarantine_dir: str | None = None,
     wap_audit: Callable[[LakeTable, str, dict[str, Any]], list[str]] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_mode: str = "value",
 ) -> ReplayReport:
     """Apply ``events`` (a change-event DataFrame with an ``epoch`` column)
     epoch-by-epoch into ``table``.
@@ -117,6 +119,13 @@ def replay(
     (predicate pushdown on ``epoch``); at 100 TB the binlog would be a
     parquet/Kafka source partitioned by epoch and this filter becomes
     partition pruning.
+
+    ``bloom_cols``: maintain per-file Bloom sidecars (lake/bloom.py) for
+    these columns as part of the replay loop — rebuilt incrementally
+    after every compaction and once at replay end, so point lookups
+    (``scan_where``) and grep (``scan_contains``, with
+    ``bloom_mode="tokens"``) stay served on a continuously-ingesting
+    table at O(newly-written files) per build.
 
     ``quarantine_dir``: dead-letter handling (lake.quarantine). Malformed
     events — null/empty key, null seq, unknown op, payload-less upsert —
@@ -405,8 +414,19 @@ def replay(
                 table.compact(expire_tombstones_below=wm)
             else:
                 table.compact()
+        if trigger and bloom_cols:
+            # bloom maintenance rides the compaction cadence: build_blooms
+            # is incremental (covered files skip), so each call costs
+            # O(files the compaction just wrote) and the point-lookup /
+            # grep read path stays served while the table ingests
+            table.build_blooms(bloom_cols, mode=bloom_mode)
         if fail_after_epochs is not None and applied >= fail_after_epochs:
             raise RuntimeError(f"injected failure after {applied} epochs")
+    if bloom_cols:
+        # final sweep: cover base files written since the last compaction
+        # (COW merges write base directly; a trailing partial window has
+        # no compaction to ride)
+        table.build_blooms(bloom_cols, mode=bloom_mode)
     rep.duration_sec = time.time() - t0
     if collect_metrics:
         # published lineage only: staged/abandoned branch snapshots in the

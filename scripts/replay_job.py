@@ -134,6 +134,13 @@ def main() -> None:
                     help="WAP audit: fail when live rows shrink by more "
                     "than this fraction (mass-delete guard; costs two "
                     "count jobs per publish)")
+    ap.add_argument("--bloom-cols", default=None,
+                    help="comma-separated columns to maintain per-file "
+                    "Bloom sidecars for during replay (post-compaction + "
+                    "final, incremental); serves scan-where point lookups")
+    ap.add_argument("--bloom-tokens", action="store_true",
+                    help="with --bloom-cols: token mode (grep index) "
+                    "instead of whole-value point probes")
     ap.add_argument(
         "--fast-stats", action="store_true",
         help="skip the per-epoch delta pre-scan; seq_hi from written-file "
@@ -229,6 +236,12 @@ def main() -> None:
         merge_strategy=None if args.strategy == "auto" else args.strategy,
         quarantine_dir=args.quarantine_dir,
         wap_audit=wap_audit,
+        bloom_cols=(
+            [c.strip() for c in args.bloom_cols.split(",") if c.strip()]
+            if args.bloom_cols
+            else None
+        ),
+        bloom_mode="tokens" if args.bloom_tokens else "value",
     )
     dt = time.time() - t0
     mv_report = None

@@ -269,3 +269,28 @@ def test_orphan_gc_unregistered_sidecar_only(spark, tmp_path, events):
     # registered blooms still answer probes after GC
     key = t.read().select("commit").first()["commit"]
     assert t.scan_where({"commit": (key, key)}).count() == 1
+
+
+def test_replay_maintains_blooms(spark, tmp_path, events):
+    """bloom_cols on the replay loop: sidecars exist at replay end, cover
+    every base file, and the point lookup returns exactly the LWW state's
+    row — on a table built through the operational path (MOR + compaction
+    cadence), not a hand-assembled one."""
+    from fao_elt_pipelines_spark.lake.checkpoint import CheckpointStore
+    from fao_elt_pipelines_spark.lake.replay import replay
+
+    ev = events.withColumn("epoch", (F.col("seq") % 4).cast("int"))
+    t = LakeTable.create(spark, str(tmp_path / "t_replay"), STATE_SCHEMA,
+                         n_buckets=4)
+    ckpt = CheckpointStore(str(tmp_path / "ckpt.json"))
+    replay(spark, ev, t, ckpt, epoch_col="epoch", mode="mor",
+           compact_every=2, bloom_cols=["commit"])
+    meta = t._load_metadata()
+    assert meta.get("bloom_sidecars")
+    blooms = t._load_blooms(meta)
+    base = [e for e in t.current_snapshot()["manifest"]
+            if e.get("kind") != "delta"]
+    assert all((e["path"], "commit") in blooms for e in base)
+    key = t.read().select("commit").first()["commit"]
+    df, pruned, total = t.scan_where({"commit": (key, key)}, with_stats=True)
+    assert [r["commit"] for r in df.collect()] == [key]

@@ -153,7 +153,8 @@ def test_table_tool_cli(spark, tmp_path):
     assert json.loads(tool("publish", "staging")[-1])["published_snapshot_id"] == 3
     assert json.loads(tool("drop-ref", "cut-v1")[-1])["dropped"] == "cut-v1"
     gc = json.loads(tool("orphans", "--older-than-hours", "24")[-1])
-    assert gc == {"data_files": 0, "manifest_files": 0}  # nothing uncommitted
+    assert gc == {"data_files": 0, "manifest_files": 0,
+                  "bloom_sidecars": 0}  # nothing uncommitted
     assert set(json.loads(tool("describe")[-1])["refs"]) == {"main"}
     chk = json.loads(tool("check")[-1])
     assert chk["ok"] and chk["files_checked"] > 0 and chk["issues"] == []
