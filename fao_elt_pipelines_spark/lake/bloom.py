@@ -49,6 +49,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_M_BITS = 8192  # 1 KiB per (file, column); FPR ~1.5% at ~1k keys
 DEFAULT_K = 6
@@ -118,34 +119,63 @@ def build_file_blooms(
     """One sidecar row per (data file, column): packed bloom bits over the
     file's non-null values of that column.
 
-    ``mode="value"`` inserts whole values (point-equality probes);
-    ``mode="tokens"`` inserts every identifier token of the column's text
-    (TOKEN_SEP boundaries) — the distributed-grep index: "which files
-    contain token X" without reading them.
+    ``mode="value"`` inserts whole values (point-equality probes) and is
+    restricted to string and integral columns: those are exactly the
+    types whose Spark string cast and Python ``str()`` render every
+    value identically, which the driver-side ``probe`` depends on — a
+    float/decimal/bool column's renderings can diverge ("1.0" vs "1"),
+    and a diverging probe would PRUNE A FILE THAT CONTAINS THE VALUE.
+    ``mode="tokens"`` inserts every identifier token of the column's
+    text (TOKEN_SEP boundaries) — the distributed-grep index: "which
+    files contain token X" without reading them; any type is allowed
+    because both the build and the row filter tokenize the same Spark
+    string cast, and the probed token is itself the string.
 
-    Plan: one scan of the target files → per-column probe positions →
-    explode → (file, col, pos) DISTINCT (bounds the per-group array at
-    m_bits) → collect_list per (file, col) → Arrow-batched numpy packer.
-    Two shuffles, maintenance-job grade, zero per-row Python. In token
-    mode the explode fans out per token BEFORE the distinct, so the
-    shuffle carries (file, position) pairs — already capped at m_bits per
-    file by dedup — not the token text.
+    Every (file, column) in ``entries`` × ``cols`` gets a sidecar row —
+    files contributing zero probes (all-NULL column, e.g. files
+    predating an additive schema change) get an ALL-ZERO bloom, which
+    correctly proves absence for equality (c = v never matches NULL)
+    and, critically, marks the file COVERED so incremental builds
+    converge instead of rescanning it forever.
+
+    Plan (value mode): ONE scan of the target files → a single k×|cols|
+    struct array per row → one explode → (file, col, pos) DISTINCT
+    (bounds the per-group array at m_bits) → collect_list per
+    (file, col) → Arrow-batched numpy packer. Token mode unions one
+    tokenize-explode branch per column (a per-column scan — token
+    builds are usually single-column). Zero per-row Python either way.
     """
     if m_bits & (m_bits - 1):
         raise ValueError(f"m_bits must be a power of two, got {m_bits}")
     if mode not in ("value", "tokens"):
         raise ValueError(f"mode must be value|tokens, got {mode!r}")
+    if mode == "value":
+        bad = [
+            f.name
+            for f in phys_schema.fields
+            if f.name in cols
+            and not isinstance(
+                f.dataType,
+                (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+            )
+        ]
+        if bad:
+            raise ValueError(
+                f"value-mode blooms require string/integral columns, got {bad}: "
+                "other types' Spark string cast is not guaranteed to match the "
+                "probe's Python rendering, and a mismatch would prune files "
+                "that contain the value (use mode='tokens' for text search)"
+            )
     paths = [e["path"] for e in entries]
     by_path = {e["path"]: e["bucket"] for e in entries}
     # explicit physical schema: files predating an additive schema change
-    # read the new column as NULL → no probes → bloom proves absence,
-    # which IS correct for equality (c = v never matches NULL)
+    # read the new column as NULL → zero probes → all-zero bloom
     src = spark.read.schema(phys_schema).parquet(*paths).withColumn(
         "_f", F.regexp_replace(F.input_file_name(), r"^file:/+", "/")
     )
-    stacked = None
-    for c in cols:
-        if mode == "tokens":
+    if mode == "tokens":
+        stacked = None
+        for c in cols:
             toks = src.select(
                 "_f",
                 F.explode(
@@ -157,13 +187,18 @@ def build_file_blooms(
                 F.lit(c).alias("_c"),
                 F.explode(F.array(*_position_exprs("_v", m_bits, k))).alias("_pos"),
             )
-        else:
-            part = src.select(
-                "_f",
-                F.lit(c).alias("_c"),
-                F.explode(F.array(*_position_exprs(c, m_bits, k))).alias("_pos"),
-            ).where(F.col("_pos").isNotNull())
-        stacked = part if stacked is None else stacked.unionByName(part)
+            stacked = part if stacked is None else stacked.unionByName(part)
+    else:
+        probes = [
+            F.struct(F.lit(c).alias("_c"), p.alias("_pos"))
+            for c in cols
+            for p in _position_exprs(c, m_bits, k)
+        ]
+        stacked = (
+            src.select("_f", F.explode(F.array(*probes)).alias("_s"))
+            .select("_f", F.col("_s._c").alias("_c"), F.col("_s._pos").alias("_pos"))
+            .where(F.col("_pos").isNotNull())
+        )
 
     @F.pandas_udf("binary")
     def _pack(pos_lists: pd.Series) -> pd.Series:
@@ -178,24 +213,35 @@ def build_file_blooms(
     # bucket tag via broadcast join, not a literal map: a create_map over
     # 2×n_files literals is a Catalyst expression tree that grows with the
     # manifest (megabytes at fleet file counts); the manifest-sized lookup
-    # frame broadcasts instead
-    buckets = spark.createDataFrame(
-        [(p, b) for p, b in by_path.items()], "file string, bucket int"
+    # frame broadcasts instead. The same frame ×cols is the EXPECTED grid:
+    # outer-joining it guarantees a row (all-zero bloom) for (file, col)
+    # pairs that contributed zero probes — coverage convergence (above).
+    expected = spark.createDataFrame(
+        [(p, c, b) for p, b in by_path.items() for c in cols],
+        "file string, col string, bucket int",
     )
-    return (
+    agg = (
         stacked.distinct()
         .groupBy("_f", "_c")
         .agg(F.collect_list("_pos").alias("_ps"))
+        .select(F.col("_f").alias("file"), F.col("_c").alias("col"), "_ps")
+    )
+    # no broadcast hint: the preserved (grid) side of a left join cannot
+    # be the build side, and agg — whose rows carry up-to-m_bits position
+    # arrays — is the wrong side to broadcast at fleet scale. The groupBy
+    # left agg hash-partitioned on exactly these keys, so only the tiny
+    # grid shuffles here.
+    return (
+        expected.join(agg, ["file", "col"], "left")
         .select(
-            F.col("_f").alias("file"),
-            F.col("_c").alias("col"),
+            "file",
+            "col",
             F.lit(mode).alias("mode"),
+            "bucket",
             F.lit(m_bits).alias("m_bits"),
             F.lit(k).alias("k"),
-            _pack("_ps").alias("bits"),
+            _pack(F.coalesce("_ps", F.array().cast("array<bigint>"))).alias("bits"),
         )
-        .join(F.broadcast(buckets), "file", "left")
-        .select("file", "col", "mode", "bucket", "m_bits", "k", "bits")
     )
 
 
@@ -227,5 +273,6 @@ def load_sidecars(paths: list[str]) -> dict[tuple[str, str], tuple[bytes, int, i
             t.column("k").to_pylist(),
             t.column("bits").to_pylist(),
         ):
+            mo = mo or "value"  # pre-mode sidecar rows are value blooms
             out[(f, c if mo == "value" else f"{c}#tokens")] = (b, m, kk)
     return out

@@ -52,7 +52,6 @@ import json
 import operator
 import os
 import re
-import re
 import shutil
 import time
 import uuid
@@ -1781,6 +1780,7 @@ class LakeTable:
         m_bits: int | None = None,
         k: int | None = None,
         mode: str = "value",
+        force: bool = False,
     ) -> int:
         """Build per-file Bloom filters for ``cols`` over the current
         snapshot's BASE files and register the sidecar in table metadata
@@ -1796,14 +1796,23 @@ class LakeTable:
 
         Incremental: files already covered for every requested column by
         an earlier sidecar are skipped, so running this after each
-        compaction/cluster costs O(new files), not O(table). Delta files
+        compaction/cluster costs O(new files), not O(table). A file
+        missing only SOME requested columns is rebuilt for all of them —
+        the duplicate rows supersede at load time (later wins), trading
+        a bounded re-hash for a single-scan build. Delta files
         are never bloomed — they are transient (compaction folds them
         in) and their buckets are pruning-exempt anyway (MOR exactness).
+        ``force=True`` rebuilds every base file regardless of coverage —
+        the re-spec path (e.g. resizing an under-sized m_bits): the new
+        sidecar's rows supersede older ones at load time (later wins).
 
         The sidecar is data, not table state: registration is a CAS
         metadata bump with a short retry loop (the parquet is written
         once; on conflict only the tiny registry append is redone —
         losing the race to a data commit is routine, not an error).
+        When the registry has accumulated enough appends, it is
+        consolidated into one sidecar (``_compact_sidecars``) so the
+        coverage check and first read stay O(1) files, not O(builds).
 
         Returns the number of (file, column) bloom rows built."""
         from . import bloom as _bl
@@ -1815,7 +1824,7 @@ class LakeTable:
         if sid is None:
             return 0
         snap = next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
-        have = self._load_blooms(meta)
+        have = {} if force else self._load_blooms(meta)
         keys = [c if mode == "value" else f"{c}#tokens" for c in cols]
         todo = [
             e
@@ -1848,7 +1857,62 @@ class LakeTable:
                 "bloom sidecar registration lost the metadata CAS 5 times"
             )
         self._bloom_cache = None
+        self._compact_sidecars()
         return n
+
+    # registry appends accumulate one sidecar per build (a compaction-
+    # cadence replay produces one per window); past this count they are
+    # folded into a single parquet so the driver-side coverage check and
+    # every fresh reader's first load stay O(1) files instead of O(builds)
+    _SIDECAR_COMPACT_THRESHOLD = 8
+
+    def _compact_sidecars(self) -> None:
+        """Fold all registered bloom sidecars into one parquet and CAS-swap
+        the registry to it. Later-sidecar-wins dedup is applied at fold
+        time (same rule load_sidecars applies at read time), so the merged
+        file is semantically identical to the list it replaces. Best
+        effort: a lost CAS leaves the append-only registry intact (still
+        correct, just longer); the superseded dirs become unregistered and
+        the orphan GC removes them behind the safety horizon."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        meta = self._load_metadata()
+        sidecars = meta.get("bloom_sidecars") or []
+        if len(sidecars) < self._SIDECAR_COMPACT_THRESHOLD:
+            return
+        tables = [
+            pq.read_table(os.path.join(self.meta_dir, r)) for r in sidecars
+        ]
+        merged = pa.concat_tables(tables, promote_options="default")
+        # later wins: walk in order, last occurrence of (file, col, mode)
+        seen: dict[tuple, int] = {}
+        for i in range(merged.num_rows):
+            key = (
+                merged.column("file")[i].as_py(),
+                merged.column("col")[i].as_py(),
+                (merged.column("mode")[i].as_py() or "value")
+                if "mode" in merged.column_names
+                else "value",
+            )
+            seen[key] = i
+        keep_idx = sorted(seen.values())
+        merged = merged.take(keep_idx)
+        rel = os.path.join("blooms", f"bloom-{uuid.uuid4().hex[:8]}.parquet")
+        out_dir = os.path.join(self.meta_dir, rel)
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(merged, os.path.join(out_dir, "part-0.parquet"))
+        for _ in range(3):
+            meta2, base_v = self._load_versioned()
+            if (meta2.get("bloom_sidecars") or []) != sidecars:
+                return  # a concurrent build moved the registry: leave it
+            meta2["bloom_sidecars"] = [rel]
+            try:
+                self._write_metadata(meta2, version=base_v + 1)
+                self._bloom_cache = None
+                return
+            except CommitConflictError:
+                continue
 
     def _load_blooms(
         self, meta: dict[str, Any]
@@ -1867,6 +1931,23 @@ class LakeTable:
         )
         self._bloom_cache = (sidecars, loaded)
         return loaded
+
+    def _pruned_read(self, entries, keep, include_tombstones, with_stats,
+                     row_filter):
+        """Shared frame of the pruned-scan surfaces (scan_where /
+        scan_contains): manifest entries → keep()-filter (caller encodes
+        stats/bloom logic; delta-bucket exemption is the caller's duty) →
+        merged read → row filter; ``with_stats`` returns
+        (df, files_pruned, files_total). ``entries`` comes from the
+        CALLER's metadata read — the keep closure and the file list must
+        describe the same snapshot, or a commit landing between two loads
+        could evaluate a stale delta-bucket exemption against fresh
+        files."""
+        kept = [e for e in entries if keep(e)]
+        df = row_filter(self._read_entries(kept, include_tombstones))
+        if with_stats:
+            return df, len(entries) - len(kept), len(entries)
+        return df
 
     def scan_where(
         self,
@@ -1904,10 +1985,30 @@ class LakeTable:
         # absence exactly (no false negatives). Files without a bloom row
         # and non-(str|int) values fall back to "maybe" (never prune
         # blind), delta buckets stay exempt like all file pruning here.
+        # a probe is only sound when the Python value's rendering provably
+        # equals Spark's string cast of the column for every row the bloom
+        # hashed: str probes on string columns, int probes on integral
+        # columns. Anything else (int-vs-string "042" vs "42", float
+        # "1.0" vs "1") could prune a file that CONTAINS the match —
+        # mismatched pairs simply skip the bloom (min/max + row filter
+        # still apply). build_file_blooms rejects non-string/integral
+        # columns at build time; this guards the probe side.
+        probe_ok = {
+            f.name: (str if isinstance(f.dataType, T.StringType) else int)
+            for f in self.schema().fields
+            if isinstance(
+                f.dataType,
+                (T.StringType, T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+            )
+        }
         points = {
             c: lo
             for c, (lo, hi) in bounds.items()
-            if lo is not None and lo == hi
+            if lo is not None
+            and lo == hi
+            and c in probe_ok
+            and isinstance(lo, probe_ok[c])
+            and not isinstance(lo, bool)
         }
         blooms = (
             self._load_blooms(meta)
@@ -1928,16 +2029,17 @@ class LakeTable:
                     return False
             return True
 
-        kept = [e for e in entries if keep(e)]
-        df = self._read_entries(kept, include_tombstones)
-        for c, (lo, hi) in bounds.items():
-            if lo is not None:
-                df = df.filter(F.col(c) >= F.lit(lo))
-            if hi is not None:
-                df = df.filter(F.col(c) <= F.lit(hi))
-        if with_stats:
-            return df, len(entries) - len(kept), len(entries)
-        return df
+        def row_filter(df):
+            for c, (lo, hi) in bounds.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
+            return df
+
+        return self._pruned_read(
+            entries, keep, include_tombstones, with_stats, row_filter
+        )
 
     def scan_contains(
         self,
@@ -1984,13 +2086,17 @@ class LakeTable:
             rec = blooms.get((e["path"], key))
             return rec is None or _bloom_probe(rec[0], token, rec[1], rec[2])
 
-        kept = [e for e in entries if keep(e)]
-        df = self._read_entries(kept, include_tombstones).filter(
-            F.array_contains(F.split(F.col(col).cast("string"), TOKEN_SEP), token)
+        return self._pruned_read(
+            entries,
+            keep,
+            include_tombstones,
+            with_stats,
+            lambda df: df.filter(
+                F.array_contains(
+                    F.split(F.col(col).cast("string"), TOKEN_SEP), token
+                )
+            ),
         )
-        if with_stats:
-            return df, len(entries) - len(kept), len(entries)
-        return df
 
 
 def _state_schema_for(payload_schema: T.StructType, seq_col: str) -> T.StructType:

@@ -168,6 +168,9 @@ def main() -> None:
     p_bl.add_argument("--m-bits", type=int, default=None,
                       help="bits per filter (power of two; ~16 per distinct "
                       "key per file)")
+    p_bl.add_argument("--force", action="store_true",
+                      help="rebuild every base file regardless of coverage "
+                      "(re-spec path: newer sidecar rows supersede)")
     p_bl.add_argument("--tokens", action="store_true",
                       help="token mode: index identifier tokens of the "
                       "column's text for `grep` instead of whole values")
@@ -276,7 +279,8 @@ def main() -> None:
     elif args.cmd == "build-blooms":
         cols = [c.strip() for c in args.cols.split(",") if c.strip()]
         n = table.build_blooms(cols, m_bits=args.m_bits,
-                               mode="tokens" if args.tokens else "value")
+                               mode="tokens" if args.tokens else "value",
+                               force=args.force)
         print(json.dumps({"bloom_rows_built": n, "cols": cols,
                           "sidecars": table._load_metadata().get(
                               "bloom_sidecars", [])}))

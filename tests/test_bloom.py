@@ -294,3 +294,108 @@ def test_replay_maintains_blooms(spark, tmp_path, events):
     key = t.read().select("commit").first()["commit"]
     df, pruned, total = t.scan_where({"commit": (key, key)}, with_stats=True)
     assert [r["commit"] for r in df.collect()] == [key]
+
+
+def test_value_mode_rejects_nonintegral_columns(spark, tmp_path):
+    """Float/bool/decimal value blooms would prune on diverging string
+    renderings — refused at build time; token mode stays allowed."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("content_sha256", T.StringType()),
+        T.StructField("last_seq", T.LongType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t_typed"), schema, n_buckets=2)
+    df = spark.createDataFrame(
+        [("r1", "p1", 1.0, "cc", 1), ("r2", "p2", 2.5, "dd", 2)],
+        "repo string, path string, score double, content string, seq long",
+    ).withColumn("op", F.lit("insert"))
+    t.merge_changes(df, epoch_id=0)
+    with pytest.raises(ValueError, match="string/integral"):
+        t.build_blooms(["score"])
+    assert t.build_blooms(["score"], mode="tokens") > 0
+
+
+def test_mismatched_probe_type_skips_bloom(spark, tmp_path, events):
+    """A probe whose Python type doesn't match the column's Spark type
+    must not consult the bloom: an int probed against a string column's
+    bloom (built from Spark string casts) would hash a different
+    rendering and could prune files that contain the match. The bloom is
+    skipped (zero pruning here — commit has no min/max stats either) and
+    the row filter stays authoritative."""
+    t = LakeTable.create(spark, str(tmp_path / "t_mm"), STATE_SCHEMA, n_buckets=2)
+    t.merge_changes(events.limit(300), epoch_id=0)
+    t.build_blooms(["commit", "last_seq"])
+    # int probe on the STRING column: bloom must be skipped — were it
+    # consulted, int(12345)'s hash is absent and every file would prune
+    _, pruned_mm, total = t.scan_where({"commit": (12345, 12345)}, with_stats=True)
+    assert pruned_mm == 0, "type-mismatched probe consulted the bloom"
+    # correctly-typed probes DO consult: int on the integral column,
+    # str on the string column, both exact
+    seq = t.read().select("last_seq").first()["last_seq"]
+    expect = t.read().filter(F.col("last_seq") == seq)
+    df2, _, _ = t.scan_where({"last_seq": (seq, seq)}, with_stats=True)
+    assert sorted(map(tuple, df2.collect())) == sorted(map(tuple, expect.collect()))
+    key = t.read().select("commit").first()["commit"]
+    df3, pruned3, _ = t.scan_where({"commit": (key, key)}, with_stats=True)
+    assert df3.count() == 1 and pruned3 > 0
+
+
+def test_all_null_column_covered_and_converges(spark, tmp_path, events):
+    """Files whose column reads all-NULL get an ALL-ZERO bloom row: the
+    point scan prunes them (c = v never matches NULL) and a second build
+    finds them covered (returns 0, registry stable) instead of
+    rescanning forever."""
+    t = LakeTable.create(spark, str(tmp_path / "t_null"), STATE_SCHEMA,
+                         n_buckets=4)
+    t.merge_changes(events.limit(300), epoch_id=0)
+    # additive evolution: a later epoch carries a new column; files in
+    # buckets that epoch didn't touch physically lack it and read NULL
+    late = (events.limit(8)
+            .withColumn("seq", F.col("seq") + 1_000_000)
+            .withColumn("branch", F.lit("main")))
+    t.merge_changes(late, epoch_id=1)
+    n = t.build_blooms(["branch"])
+    assert n > 0  # every base file got a row despite zero probes
+    assert t.build_blooms(["branch"]) == 0  # converged
+    sidecars = len(t._load_metadata()["bloom_sidecars"])
+    assert t.build_blooms(["branch"]) == 0
+    assert len(t._load_metadata()["bloom_sidecars"]) == sidecars
+    df, pruned, total = t.scan_where(
+        {"branch": ("no_such_branch", "no_such_branch")}, with_stats=True
+    )
+    assert df.count() == 0 and pruned >= total - 2
+
+
+def test_force_rebuild_resizes_spec(spark, tmp_path, events):
+    """force=True re-blooms covered files; the newer (resized) rows
+    supersede at load time."""
+    t = LakeTable.create(spark, str(tmp_path / "t_force"), STATE_SCHEMA,
+                         n_buckets=2)
+    t.merge_changes(events.limit(300), epoch_id=0)
+    assert t.build_blooms(["commit"], m_bits=1024) > 0
+    assert t.build_blooms(["commit"], m_bits=4096) == 0  # respec ignored...
+    assert t.build_blooms(["commit"], m_bits=4096, force=True) > 0  # ...without force
+    blooms = t._load_blooms(t._load_metadata())
+    assert all(m == 4096 for (_b, m, _k) in blooms.values())
+    key = t.read().select("commit").first()["commit"]
+    assert t.scan_where({"commit": (key, key)}).count() == 1
+
+
+def test_sidecar_registry_consolidates(spark, tmp_path, events):
+    """Past the threshold the registry folds into ONE sidecar with
+    later-wins dedup; probes still answer identically."""
+    t = LakeTable.create(spark, str(tmp_path / "t_cons"), STATE_SCHEMA,
+                         n_buckets=2)
+    t.merge_changes(events.limit(300), epoch_id=0)
+    for _ in range(t._SIDECAR_COMPACT_THRESHOLD):
+        t.build_blooms(["commit"], force=True)
+    sidecars = t._load_metadata()["bloom_sidecars"]
+    assert len(sidecars) == 1, sidecars
+    key = t.read().select("commit").first()["commit"]
+    df, pruned, total = t.scan_where({"commit": (key, key)}, with_stats=True)
+    assert df.count() == 1 and pruned > 0
