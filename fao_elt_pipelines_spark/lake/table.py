@@ -2044,15 +2044,18 @@ class LakeTable:
     def scan_contains(
         self,
         col: str,
-        token: str,
+        token: str | list[str],
         include_tombstones: bool = False,
         with_stats: bool = False,
     ):
         """Distributed grep: rows whose ``col`` text contains the
-        identifier ``token`` (bloom.TOKEN_SEP boundaries), reading only
-        files whose token bloom (``build_blooms(..., mode="tokens")``)
-        may contain it. The row filter re-applies the SAME tokenization
-        (``array_contains(split(col), token)``), so results are
+        identifier ``token`` — or ALL of a list of tokens (the
+        multi-term AND grep) — at bloom.TOKEN_SEP boundaries, reading
+        only files whose token bloom (``build_blooms(..., mode="tokens")``)
+        may contain every probed token: conjunction prunes a file as soon
+        as ANY term's bloom proves absence, so selectivity compounds.
+        The row filter re-applies the SAME tokenization
+        (``array_contains(split(col), t)`` per token), so results are
         file-layout- and pruning-independent — a file kept by a bloom
         false positive just contributes zero rows. Same exactness rules
         as scan_where: delta buckets exempt, bloomless files kept.
@@ -2063,10 +2066,11 @@ class LakeTable:
         m_bits sizing choice vs the file's distinct-token count."""
         from .bloom import TOKEN_SEP
 
-        if not token or re.search(TOKEN_SEP, token):
+        tokens = [token] if isinstance(token, str) else list(token)
+        if not tokens or any(not t or re.search(TOKEN_SEP, t) for t in tokens):
             raise ValueError(
-                f"token must be a single identifier (no {TOKEN_SEP} chars): "
-                f"{token!r}"
+                f"tokens must be non-empty single identifiers (no "
+                f"{TOKEN_SEP} chars): {tokens!r}"
             )
         meta = self._load_metadata()
         sid = meta["current_snapshot_id"]
@@ -2084,18 +2088,18 @@ class LakeTable:
             if e["bucket"] in delta_buckets:
                 return True
             rec = blooms.get((e["path"], key))
-            return rec is None or _bloom_probe(rec[0], token, rec[1], rec[2])
+            if rec is None:
+                return True
+            return all(_bloom_probe(rec[0], t, rec[1], rec[2]) for t in tokens)
+
+        def row_filter(df):
+            toks = F.split(F.col(col).cast("string"), TOKEN_SEP)
+            for t in tokens:
+                df = df.filter(F.array_contains(toks, t))
+            return df
 
         return self._pruned_read(
-            entries,
-            keep,
-            include_tombstones,
-            with_stats,
-            lambda df: df.filter(
-                F.array_contains(
-                    F.split(F.col(col).cast("string"), TOKEN_SEP), token
-                )
-            ),
+            entries, keep, include_tombstones, with_stats, row_filter
         )
 
 

@@ -178,7 +178,8 @@ def main() -> None:
                           "contains an identifier token, reading only files "
                           "whose token bloom may contain it")
     p_gr.add_argument("--col", required=True)
-    p_gr.add_argument("--token", required=True)
+    p_gr.add_argument("--token", required=True, action="append",
+                      help="repeatable: multiple tokens AND together")
     p_gr.add_argument("--limit", type=int, default=20)
     p_sw = sub.add_parser("scan-where", help="stats-pruned range scan: "
                           "--where col:lo:hi (repeatable; lo == hi is a "
@@ -306,7 +307,8 @@ def main() -> None:
         print(json.dumps({"files_pruned": pruned, "files_total": total,
                           "rows": rows}, default=str))
     elif args.cmd == "grep":
-        df, pruned, total = table.scan_contains(args.col, args.token,
+        toks = args.token if len(args.token) > 1 else args.token[0]
+        df, pruned, total = table.scan_contains(args.col, toks,
                                                 with_stats=True)
         rows = [r.asDict() for r in df.limit(args.limit).collect()]
         print(json.dumps({"files_pruned": pruned, "files_total": total,

@@ -399,3 +399,33 @@ def test_sidecar_registry_consolidates(spark, tmp_path, events):
     key = t.read().select("commit").first()["commit"]
     df, pruned, total = t.scan_where({"commit": (key, key)}, with_stats=True)
     assert df.count() == 1 and pruned > 0
+
+
+def test_multi_token_and_grep(spark, tmp_path, events):
+    """Conjunction grep: pruning compounds (any term's proven absence
+    drops the file) and rows contain ALL terms — equal to the full-scan
+    double filter."""
+    from fao_elt_pipelines_spark.lake.bloom import TOKEN_SEP
+
+    t = LakeTable.create(spark, str(tmp_path / "t_and"), STATE_SCHEMA,
+                         n_buckets=4)
+    t.merge_changes(events, epoch_id=0)
+    t.cluster(["repo"], strategy="linear", max_records_per_file=100)
+    t.build_blooms(["content"], m_bits=1 << 15, mode="tokens")
+    row = t.read().select("repo", "last_seq").first()
+    pair = [row["repo"], str(row["last_seq"])]  # both tokens in one row
+    df, pruned, total = t.scan_contains("content", pair, with_stats=True)
+    toks = F.split(F.col("content"), TOKEN_SEP)
+    expect = t.read().filter(
+        F.array_contains(toks, pair[0]) & F.array_contains(toks, pair[1])
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
+    assert df.count() >= 1
+    # the rare term alone prunes most files; the conjunction prunes at
+    # least as many as its most selective member
+    _, pruned_rare, _ = t.scan_contains("content", pair[1], with_stats=True)
+    assert pruned >= pruned_rare > 0
+    with pytest.raises(ValueError, match="identifier"):
+        t.scan_contains("content", [])
+    with pytest.raises(ValueError, match="identifier"):
+        t.scan_contains("content", ["ok", "not ok"])
