@@ -550,6 +550,21 @@ class LakeTable:
         FOR TIMESTAMP AS OF). Tombstones are hidden unless asked for; MOR
         delta files are LWW-merged transparently."""
         meta = self._load_metadata()
+        snap = self._resolve_snapshot(meta, snapshot_id, ref, as_of_ms)
+        if snap is None:
+            return self._read_entries([], include_tombstones)
+        return self._read_entries(snap["manifest"], include_tombstones)
+
+    def _resolve_snapshot(
+        self,
+        meta: dict[str, Any],
+        snapshot_id: int | None = None,
+        ref: str = "main",
+        as_of_ms: int | None = None,
+    ) -> dict[str, Any] | None:
+        """Resolve a snapshot by explicit id, ref head, or FOR TIMESTAMP
+        AS OF — the shared time-travel rule of read(), scan_where, and
+        scan_contains. None = empty table (no snapshot on the ref)."""
         if snapshot_id is not None:
             sid = snapshot_id
         elif as_of_ms is not None:
@@ -567,13 +582,13 @@ class LakeTable:
         else:
             sid = self._head(meta, ref)
         if sid is None:
-            return self._read_entries([], include_tombstones)
+            return None
         snap = next((s for s in meta["snapshots"] if s["snapshot_id"] == sid), None)
         if snap is None:
             raise ValueError(
                 f"snapshot {sid} not found (expired by expire_snapshots, or never existed)"
             )
-        return self._read_entries(snap["manifest"], include_tombstones)
+        return snap
 
     def read_buckets(
         self,
@@ -1954,6 +1969,9 @@ class LakeTable:
         bounds: dict[str, tuple[Any, Any]],
         include_tombstones: bool = False,
         with_stats: bool = False,
+        snapshot_id: int | None = None,
+        ref: str = "main",
+        as_of_ms: int | None = None,
     ):
         """Read the current snapshot with manifest-stats FILE pruning on
         ``bounds`` ({col: (lo, hi)}, either side None for open), then the
@@ -1968,14 +1986,17 @@ class LakeTable:
         contribute. Files lacking stats for a bounded column are kept.
 
         ``with_stats=True`` returns ``(df, files_pruned, files_total)`` —
-        the measure tests/test_zorder.py uses for the layout A/B."""
+        the measure tests/test_zorder.py uses for the layout A/B.
+
+        Time travel (``snapshot_id`` / ``ref`` / ``as_of_ms``, read()'s
+        rule) composes with every pruning tier: min/max stats live in the
+        historical manifest itself, and bloom sidecar rows are keyed by
+        immutable COW file paths, so a historical file that still exists
+        answers probes with the exact bits built for it — "what did this
+        key look like at snapshot N" costs the same few files as today's
+        lookup."""
         meta = self._load_metadata()
-        sid = meta["current_snapshot_id"]
-        snap = (
-            next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
-            if sid is not None
-            else None
-        )
+        snap = self._resolve_snapshot(meta, snapshot_id, ref, as_of_ms)
         entries = snap["manifest"] if snap else []
         delta_buckets = {e["bucket"] for e in entries if e.get("kind") == "delta"}
         # POINT predicates (lo == hi, non-null) additionally consult the
@@ -2047,6 +2068,9 @@ class LakeTable:
         token: str | list[str],
         include_tombstones: bool = False,
         with_stats: bool = False,
+        snapshot_id: int | None = None,
+        ref: str = "main",
+        as_of_ms: int | None = None,
     ):
         """Distributed grep: rows whose ``col`` text contains the
         identifier ``token`` — or ALL of a list of tokens (the
@@ -2073,12 +2097,7 @@ class LakeTable:
                 f"{TOKEN_SEP} chars): {tokens!r}"
             )
         meta = self._load_metadata()
-        sid = meta["current_snapshot_id"]
-        snap = (
-            next(s for s in meta["snapshots"] if s["snapshot_id"] == sid)
-            if sid is not None
-            else None
-        )
+        snap = self._resolve_snapshot(meta, snapshot_id, ref, as_of_ms)
         entries = snap["manifest"] if snap else []
         delta_buckets = {e["bucket"] for e in entries if e.get("kind") == "delta"}
         blooms = self._load_blooms(meta) if meta.get("bloom_sidecars") else {}

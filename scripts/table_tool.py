@@ -180,12 +180,14 @@ def main() -> None:
     p_gr.add_argument("--col", required=True)
     p_gr.add_argument("--token", required=True, action="append",
                       help="repeatable: multiple tokens AND together")
+    p_gr.add_argument("--snapshot", type=int, default=None)
     p_gr.add_argument("--limit", type=int, default=20)
     p_sw = sub.add_parser("scan-where", help="stats-pruned range scan: "
                           "--where col:lo:hi (repeatable; lo == hi is a "
                           "point probe and consults Bloom sidecars if built)")
     p_sw.add_argument("--where", action="append", required=True,
                       metavar="COL:LO:HI")
+    p_sw.add_argument("--snapshot", type=int, default=None)
     p_sw.add_argument("--limit", type=int, default=20)
     p_chg = sub.add_parser("changes")
     p_chg.add_argument("--from-snapshot", type=int, default=None)
@@ -302,14 +304,16 @@ def main() -> None:
         for spec in args.where:
             col, lo, hi = spec.split(":", 2)
             bounds[col] = (coerce(lo), coerce(hi))
-        df, pruned, total = table.scan_where(bounds, with_stats=True)
+        df, pruned, total = table.scan_where(bounds, with_stats=True,
+                                             snapshot_id=args.snapshot)
         rows = [r.asDict() for r in df.limit(args.limit).collect()]
         print(json.dumps({"files_pruned": pruned, "files_total": total,
                           "rows": rows}, default=str))
     elif args.cmd == "grep":
         toks = args.token if len(args.token) > 1 else args.token[0]
         df, pruned, total = table.scan_contains(args.col, toks,
-                                                with_stats=True)
+                                                with_stats=True,
+                                                snapshot_id=args.snapshot)
         rows = [r.asDict() for r in df.limit(args.limit).collect()]
         print(json.dumps({"files_pruned": pruned, "files_total": total,
                           "rows": rows}, default=str))

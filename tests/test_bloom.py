@@ -429,3 +429,37 @@ def test_multi_token_and_grep(spark, tmp_path, events):
         t.scan_contains("content", [])
     with pytest.raises(ValueError, match="identifier"):
         t.scan_contains("content", ["ok", "not ok"])
+
+
+def test_time_travel_point_scan(spark, tmp_path, events):
+    """scan_where/scan_contains at a historical snapshot: blooms built
+    for the old files still answer (COW-immutable paths), pruning works,
+    and the result equals read(snapshot_id)+filter — including a key
+    whose value CHANGED after the snapshot."""
+    t = LakeTable.create(spark, str(tmp_path / "t_tt"), STATE_SCHEMA,
+                         n_buckets=4)
+    t.merge_changes(events.limit(400), epoch_id=0)
+    t.cluster(["repo"], strategy="linear", max_records_per_file=50)
+    t.build_blooms(["commit"], m_bits=1 << 14)
+    sid_old = t.current_snapshot()["snapshot_id"]
+    victim = t.read().select("repo", "path", "commit").first()
+    # overwrite the victim key after the snapshot
+    upd = (events.limit(1)
+           .withColumn("repo", F.lit(victim["repo"]))
+           .withColumn("path", F.lit(victim["path"]))
+           .withColumn("seq", F.lit(10_000_000))
+           .withColumn("op", F.lit("update")))
+    t.merge_changes(upd, epoch_id=1)
+    # current scan: old commit's row is gone from the live state
+    cur = t.scan_where({"commit": (victim["commit"],) * 2})
+    assert cur.count() == 0
+    # historical scan: the old commit is there, bloom-pruned
+    df, pruned, total = t.scan_where(
+        {"commit": (victim["commit"],) * 2}, with_stats=True,
+        snapshot_id=sid_old,
+    )
+    expect = t.read(snapshot_id=sid_old).filter(
+        F.col("commit") == victim["commit"]
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expect.collect()))
+    assert df.count() == 1 and pruned > 0
