@@ -96,6 +96,19 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1, help="small level N (large is 4N)")
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--rounds", type=int, default=3, help="interleaved N/4N measurement rounds")
+    # JMH-style warmup: one full (N, 4N) pair run BEFORE measurement
+    # begins, never timed into a round. Runs 1-17 of the series show a
+    # systematic cross-PROCESS warmup on this firecracker VM — each fresh
+    # run's round 0 is depressed at both levels (e.g. run 17: N-level
+    # 131.8k -> 163.2k -> 183.2k ev/s across three fresh subprocesses;
+    # same shape as BASELINE.md's first-touch probe) because guest memory
+    # is host-faulted lazily on first use and that warming is VM-global,
+    # not per-process. The warmup pair absorbs it so measured rounds see
+    # the steady state. Declared harness phase, not an exclusion: it is
+    # configured up front, applies uniformly to every run from run 18 on,
+    # and every MEASURED round still pools uncurated (earlier runs'
+    # warmup-depressed round-0s remain in the pool untouched).
+    ap.add_argument("--warmup", type=int, default=1, help="unmeasured (N, 4N) warmup pairs")
     ap.add_argument(
         "--strategy", choices=["late", "sorted"], default="late",
         help="merge strategy PINNED for both levels. Default late: the "
@@ -140,6 +153,11 @@ def main() -> None:
     # (all-N then all-4N) let that drift bias the ratio in either
     # direction, while a within-round ratio cancels it. Median of rounds
     # is reported; all raw numbers are kept.
+    for wu in range(args.warmup):
+        for cores, tag in [(args.n, "N"), (4 * args.n, "4N")]:
+            run_level(binlog_path, workdir, cores, f"{tag}_w{wu}", args.profile, args.strategy)
+        print(json.dumps({"warmup_pair": wu, "measured": False}), file=sys.stderr)
+
     rounds = []
     state_rows = set()
     for rnd in range(args.rounds):
@@ -179,6 +197,7 @@ def main() -> None:
             "shared memory bandwidth (BENCH/BASELINE.md probes) and it "
             "matches what a network-shuffling cluster runs"
         ),
+        "warmup_pairs": args.warmup,
         "throughput_N": median_round["N"]["events_per_sec"],
         "throughput_4N": median_round["4N"]["events_per_sec"],
         "efficiency": eff,
@@ -204,6 +223,7 @@ def main() -> None:
             "events": args.events,
             "profile": args.profile,
             "strategy": args.strategy,
+            "warmup_pairs": args.warmup,
             "efficiency_rounds": effs,
             "median": eff,
         }

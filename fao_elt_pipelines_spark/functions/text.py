@@ -35,6 +35,16 @@ def bpe_ish_token_count(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0))
 
 
+def bpe_ish_tokens(col: Column) -> Column:
+    """The token ARRAY behind :func:`bpe_ish_token_count`'s count — the
+    same alternation regex, returning the pieces themselves for vocabulary
+    induction (plans/queries_ml.py:q_vocab_top_tokens). Equality of
+    ``size(bpe_ish_tokens(x))`` with ``bpe_ish_token_count(x)`` over the
+    corpus is pinned by tests/test_training_ops_r4.py — the twin tie that
+    lets text_token_stats rotate to the registry tail."""
+    return F.regexp_extract_all(col, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0)
+
+
 def stopword_hits(tok_col: Column, words: list[str] | None = None) -> Column:
     """Case-insensitive: 'The' at sentence start is a stopword hit —
     lang_id/quality_score must not go blind on title-case text."""

@@ -1078,22 +1078,19 @@ class LakeTable:
         )
         slim = evn.join(winners, [*keys, seq_n], "left_semi").drop(seq_n)
         # At-least-once re-delivery can offer the exact winning event again
-        # (same key AND seq): the semi-join keeps every tie row, so dedup
-        # per key — tie rows are equivalent under the binlog contract (a
-        # same-seq collision with different content is a source violation),
-        # and this exchange runs over winner rows only.
-        slim = slim.dropDuplicates(list(keys))
-        is_del = F.col(op_col) == "delete"
-        return (
-            slim.select(
-                *[F.col(c) for c in payload_cols],
-                F.when(~is_del, F.sha2(F.col("content"), 256)).alias("content_sha256"),
-                F.col(seq_col).cast("long").alias("last_seq"),
-                is_del.alias(TOMBSTONE_COL),
-                bucket_expr(n_buckets, keys).alias("_bucket"),
-            )
-            .repartition(n_buckets, F.col("_bucket"))
-        )
+        # (same key AND seq): the semi-join keeps every tie row, so the
+        # winner set still needs a per-key dedup (tie rows are equivalent
+        # under the binlog contract — a same-seq collision with different
+        # content is a source violation). Delegating to _sorted_lww does
+        # that dedup ON the bucket-aligned write shuffle itself (window
+        # lag over the repartition — zero extra exchange), where this
+        # path previously paid TWO winner-payload shuffles: a
+        # dropDuplicates hash-agg AND the bucket repartition. Measured at
+        # the scaling shape (32M events → 190k winners) the fused form
+        # cuts the late path's payload-bytes-shuffled in half and gives
+        # late the same key-sorted file layout (tight repo footer bounds
+        # for scan pruning) that sorted always had.
+        return self._sorted_lww(slim, keys, seq_col, op_col, payload_cols, n_buckets)
 
     def _lww(self, ev, keys, seq_col, op_col, payload_cols, n_buckets, strategy: str):
         if strategy == "late":

@@ -20,7 +20,7 @@ COSINE_TAU = 0.3
 from ..caching import managed_persist as _managed_persist  # noqa: E402
 from ..caching import release_caches  # noqa: E402,F401
 from ..operators.components import connected_components  # noqa: E402
-from ..operators.rank import global_cumsum  # noqa: E402
+from ..operators.rank import global_cumsum, global_rank  # noqa: E402
 
 # Shared DuckDB CTE: distinct word-3-gram shingles per doc.
 _SH_SQL = """
@@ -1444,6 +1444,209 @@ SQL_EMBEDDING_NEARDUP_LSH_IDS = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Round-4 additions: deterministic training-order shuffle, domain-mixture
+# resampling, vocabulary induction — the "assemble the actual training set"
+# stages that follow dedup/filtering in a pretraining pipeline.
+
+#: docs per training shard (data-loader unit); tiny on the fixtures, any
+#: value works — the shard math is pure integer arithmetic on the position
+SHUFFLE_SHARD_SIZE = 64
+
+#: target mixture, integer percents (sums to 100): DoReMi/Pile-style static
+#: domain weights. Integer percents keep target math bit-exact across
+#: engines with no float rounding to reason about.
+MIX_WEIGHTS_PCT = {"en": 30, "zh": 25, "es": 20, "de": 15, "fr": 10}
+
+#: vocabulary size induced by q_vocab_top_tokens — below the fixture's 31
+#: distinct pieces, so the top-K boundary (count-tie-broken-by-token) is
+#: actually exercised and coverage ends < 1
+VOCAB_K = 20
+
+
+def _md5_prefix4(salt: str):
+    """First 4 hex chars of md5(salt || doc_id) — the deterministic
+    membership primitive shared by q_sample_domain_mix (here) and
+    q_sample_stratified (inlined there since round 2; the identity is
+    pinned by tests/test_training_ops_r4.py, the twin tie that lets
+    sample_stratified rotate to the registry tail). Lexicographic compare
+    of fixed-width lowercase hex == numeric compare of the top 16 hash
+    bits, so a threshold string IS a keep-probability in 1/65536 units."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 4
+    )
+
+
+def q_shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + sharding — the final
+    "write the training set in randomized order" step. Each doc's sort key
+    is md5('shuf|' || doc_id): a seedable, engine-independent permutation
+    (no RNG, no sample(); reproducible across runs and cluster sizes).
+    Position = the scale-safe two-phase global rank
+    (operators/rank.py:global_rank — range partition + driver offsets,
+    never a single-partition window), shard_id = contiguous blocks of
+    SHUFFLE_SHARD_SIZE positions, the unit a data loader streams.
+
+    rank() (not row_number) on BOTH sides: if two keys ever collided the
+    two engines would still agree instead of tie-breaking arbitrarily.
+    At 10^9 docs this is one range shuffle of (doc_id, 16-byte key) —
+    the same shape the sorted-MOR merge already sustains at 10^8+."""
+    release_caches()
+    d = load(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string"))).alias("_hk"),
+    )
+    ranked = global_rank(h, "_hk", "shuffle_pos", descending=False)
+    return ranked.select(
+        "doc_id",
+        "shuffle_pos",
+        F.floor(
+            (F.col("shuffle_pos") - 1) / F.lit(float(SHUFFLE_SHARD_SIZE))
+        ).cast("long").alias("shard_id"),
+    ).orderBy("doc_id")
+
+
+SQL_SHUFFLE_TRAINING_ORDER = f"""
+WITH h AS (
+  SELECT doc_id, md5('shuf|' || doc_id) AS hk FROM documents
+), r AS (
+  SELECT doc_id, CAST(rank() OVER (ORDER BY hk) AS BIGINT) AS shuffle_pos FROM h
+)
+SELECT doc_id, shuffle_pos,
+       CAST(floor((shuffle_pos - 1) / {float(SHUFFLE_SHARD_SIZE)}) AS BIGINT) AS shard_id
+FROM r ORDER BY doc_id
+"""
+
+
+def q_sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling: downsample each language stratum so the
+    kept corpus approaches the MIX_WEIGHTS_PCT target proportions within a
+    half-corpus budget — the "rebalance the mix" step between filtering
+    and training (cf. The Pile / DoReMi static weights).
+
+    All arithmetic is integer (percents, `//`), so the per-domain keep
+    threshold — target_d = (w_pct * (total // 2)) // 100, k_d =
+    min(65536, (target_d * 65536) // c_d), threshold = 4-hex-char string
+    of k_d ('g' > any hex when the domain needs no downsampling) — is
+    bit-identical on both engines, and membership is the shared
+    _md5_prefix4 primitive: a pure function of (doc_id, lang), stable
+    across runs, engines, and cluster sizes.
+
+    Scale shape: one tiny groupBy(lang) whose result is a BOUNDED
+    driver-side collect (one row per language domain — a taxonomy, not a
+    data-scale set; the global_rank precedent), thresholds folded into a
+    literal CASE so the sampling itself is one whole-stage-codegen filter
+    over the corpus — no join in the plan at all. At 100 TB the only
+    corpus-sized work is the count and the filter — both embarrassingly
+    parallel."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.groupBy("lang").agg(F.count("*").alias("c_d")).collect()
+    t_all = sum(r["c_d"] for r in stats)
+    budget = t_all // 2
+    thr_by_lang: dict[str, str] = {}
+    for r in stats:
+        target = (MIX_WEIGHTS_PCT.get(r["lang"], 0) * budget) // 100
+        k = min(65536, (target * 65536) // r["c_d"])
+        thr_by_lang[r["lang"]] = "g" if k >= 65536 else format(k, "04x")
+    thr = F.lit("0000")  # unseen language: keep nothing (explicit mixture)
+    for lang, t in thr_by_lang.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t)).otherwise(thr)
+    return (
+        d.filter(_md5_prefix4("mix|") < thr)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {pct}" for lang, pct in MIX_WEIGHTS_PCT.items()
+)
+
+SQL_SAMPLE_DOMAIN_MIX = f"""
+WITH c AS (SELECT lang, count(*) AS c_d FROM documents GROUP BY lang),
+t AS (SELECT count(*) AS t_all FROM documents),
+r AS (
+  SELECT lang,
+         least(65536,
+               ((((CASE lang {_MIX_CASE} ELSE 0 END) * (t_all // 2)) // 100)
+                * 65536) // c_d) AS k_d
+  FROM c, t
+),
+thr AS (
+  SELECT lang,
+         CASE WHEN k_d >= 65536 THEN 'g'
+              ELSE lpad(lower(hex(k_d)), 4, '0') END AS thr
+  FROM r
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE substr(md5('mix|' || d.doc_id), 1, 4) < thr.thr
+ORDER BY d.doc_id
+"""
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: the top-VOCAB_K corpus tokens by frequency
+    (BPE-ish pieces — functions/text.py:bpe_ish_tokens, the same regex
+    behind text_token_stats' counts) with rank, cumulative count, and
+    corpus coverage — the seed-vocabulary / coverage-curve step of
+    tokenizer training.
+
+    Scale shape: explode → map-side-combined hash agg keyed by token (the
+    only corpus-sized shuffle; persisted so the total and the top-K read
+    it once), then TakeOrderedAndProject for the bounded top-K — never a
+    global sort of the full vocabulary. The rank and running-coverage
+    windows run AFTER the K-row cut, over a coalesced ≤VOCAB_K-row set
+    (bounded by construction, like global_rank's driver offsets); the
+    corpus token total is a scalar driver-side aggregate over the
+    vocabulary-sized counts. Coverage = cum_cnt / total is one
+    exact-int division, identical across engines; ties order by
+    (cnt DESC, token ASC) — a total order, so the K-boundary is
+    deterministic."""
+    release_caches()
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.bpe_ish_tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    _managed_persist(counts)
+    t_tok = counts.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_K).coalesce(1)
+    w_order = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.withColumn("rnk", F.row_number().over(w_order).cast("long"))
+        .withColumn("cum_cnt", F.sum("cnt").over(w_cum).cast("long"))
+        .select(
+            "token",
+            "cnt",
+            "rnk",
+            "cum_cnt",
+            (F.col("cum_cnt").cast("double") / F.lit(int(t_tok))).alias("coverage"),
+        )
+        .orderBy("rnk")
+    )
+
+
+SQL_VOCAB_TOP_TOKENS = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+t AS (SELECT count(*) AS t_tok FROM tok),
+top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT {VOCAB_K}),
+r AS (
+  SELECT token, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rnk,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+  FROM top
+)
+SELECT token, cnt, rnk, cum_cnt, CAST(cum_cnt AS DOUBLE) / t_tok AS coverage
+FROM r, t ORDER BY rnk
+"""
+
+
 REGISTRY_ML: dict[str, QuerySpec] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_fingerprint": (q_dedup_fingerprint, SQL_DEDUP_FINGERPRINT),
@@ -1473,4 +1676,7 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "simhash_neardup": (q_simhash_neardup, SQL_SIMHASH_NEARDUP),
     "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
     "text_contamination": (q_text_contamination, SQL_TEXT_CONTAMINATION),
+    "shuffle_training_order": (q_shuffle_training_order, SQL_SHUFFLE_TRAINING_ORDER),
+    "sample_domain_mix": (q_sample_domain_mix, SQL_SAMPLE_DOMAIN_MIX),
+    "vocab_top_tokens": (q_vocab_top_tokens, SQL_VOCAB_TOP_TOKENS),
 }

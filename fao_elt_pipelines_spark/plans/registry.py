@@ -84,6 +84,23 @@ explicitly:
     ALL entries through the same rows+schema+hash compare the driver
     runs). They rotate back in next round.
 
+  - ``pack_sequences``, ``sample_stratified`` and ``text_token_stats``
+    rotate out for the round that adds ``shuffle_training_order``,
+    ``sample_domain_mix`` and ``vocab_top_tokens`` (zero-sum): all three
+    driver-green r3, their bodies byte-unchanged since (``git log -L``:
+    last touched a8d0988 / 3715570 / bff35ba, all pre-r3-verdict), and
+    each twin-tied to its in-cap replacement —
+    ``pack_sequences`` rides the same two-phase operators/rank.py
+    machinery as ``shuffle_training_order`` (global_cumsum next to
+    global_rank, both pinned by tests/test_rank.py, and the shuffle's
+    rank==window equivalence test in tests/test_training_ops_r4.py
+    exercises the shared scheme); ``sample_stratified``'s md5-prefix
+    membership rule is asserted identical to the shared ``_md5_prefix4``
+    primitive that ``sample_domain_mix`` filters with; and
+    ``text_token_stats``' BPE-ish count is asserted equal to
+    ``size(bpe_ish_tokens(...))``, the array ``vocab_top_tokens``
+    explodes (both in tests/test_training_ops_r4.py).
+
   The tail rotates each round so every entry is driver-verified at least
   every other round, and every entry whose code changed is verified in the
   round it changed.
@@ -119,9 +136,15 @@ _VERIFY_FIRST: list[str] = [
     "gold_percentiles",  # new in round 4 — never driver-verified
     "gold_cube_daily",  # new in round 4 — never driver-verified
     "cdc_cluster_scan",  # new in round 4 — never driver-verified
+    "shuffle_training_order",  # new in round 4 — never driver-verified
+    "sample_domain_mix",  # new in round 4 — never driver-verified
+    "vocab_top_tokens",  # new in round 4 — never driver-verified
 ]
 
 _ROTATION_TAIL: list[str] = [
+    "pack_sequences",
+    "sample_stratified",
+    "text_token_stats",
     "gold_top_entities",
     "anti_join_required",
     "gold_string_agg",
