@@ -1057,10 +1057,13 @@ class LakeTable:
         events) then repartition to their buckets for the aligned write.
 
         Same result as `_sorted_lww` under the binlog contract (seq unique
-        per key); measured on the 16M-event replay this roughly halves
-        end-to-end time and, because it trades memory-bandwidth for CPU,
-        scales materially better on bandwidth-constrained hosts (see
-        BENCH/BASELINE.md).
+        per key). The final stage DELEGATES to `_sorted_lww` over the slim
+        winner set: the per-key tie dedup (re-delivered winning events)
+        rides the bucket-aligned exchange as a window lag — one winner-
+        payload shuffle total, where this path previously paid a
+        dropDuplicates hash-agg AND a bucket repartition (both full
+        payload). Strategy A/Bs and the scaling-series context live in
+        BENCH/BASELINE.md (mor_strategy_ab, per-core-speedup squeeze).
         """
         # Winner selection must be NULL-safe: append()-sourced rows carry
         # last_seq NULL (schema_evo backfill) and re-enter a COW rewrite as
