@@ -27,22 +27,27 @@ def tokens(col: Column) -> Column:
 
 
 
+#: the BPE-ish piece alternation — ONE definition for both the count and
+#: the array form (the DuckDB oracles embed the same pattern text)
+BPE_ISH_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
 def bpe_ish_token_count(col: Column) -> Column:
     """BPE-ish sub-word count: runs of letters, runs of digits, or single
     other non-space chars — a cheap stand-in for a real tokenizer's piece
     count. Case-insensitive: 'Hello World' is 2 pieces, not 4 (an
     uppercase letter must not break a run)."""
-    return F.size(F.regexp_extract_all(col, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0))
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0))
 
 
 def bpe_ish_tokens(col: Column) -> Column:
     """The token ARRAY behind :func:`bpe_ish_token_count`'s count — the
-    same alternation regex, returning the pieces themselves for vocabulary
+    same BPE_ISH_RE, returning the pieces themselves for vocabulary
     induction (plans/queries_ml.py:q_vocab_top_tokens). Equality of
     ``size(bpe_ish_tokens(x))`` with ``bpe_ish_token_count(x)`` over the
     corpus is pinned by tests/test_training_ops_r4.py — the twin tie that
     lets text_token_stats rotate to the registry tail."""
-    return F.regexp_extract_all(col, F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0)
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_RE), 0)
 
 
 def stopword_hits(tok_col: Column, words: list[str] | None = None) -> Column:

@@ -1609,7 +1609,9 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(TX.bpe_ish_tokens(F.col("text"))).alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     _managed_persist(counts)
-    t_tok = counts.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
+    # `or 0`: sum over an empty counts table collects as None; the zero
+    # only ever divides the empty top-K frame (no rows), never a value
+    t_tok = counts.agg(F.sum("cnt").alias("s")).collect()[0]["s"] or 0
     top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(VOCAB_K).coalesce(1)
     w_order = Window.orderBy(F.desc("cnt"), F.asc("token"))
     w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
