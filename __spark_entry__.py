@@ -31,4 +31,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec[1] for name, spec in REGISTRY.items() if spec[1] is not None}
+    # a registry oracle may be a zero-arg CALLABLE generating its SQL
+    # lazily (ann_kmeans_topk trains its centroid literals at resolve
+    # time); a callable returning None degrades to the rows-only check
+    out: dict[str, str] = {}
+    for name, spec in REGISTRY.items():
+        sql = spec[1]
+        if callable(sql):
+            sql = sql()
+        if sql is not None:
+            out[name] = sql
+    return out

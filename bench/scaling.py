@@ -195,7 +195,13 @@ def main() -> None:
             "rounds, headline = median round; 'bandwidth' profile (zstd) "
             "is the measured config because this VM's scaling limit is "
             "shared memory bandwidth (BENCH/BASELINE.md probes) and it "
-            "matches what a network-shuffling cluster runs"
+            "matches what a network-shuffling cluster runs. Warmup "
+            "protocol: runs 1-17 of the 32M series had no warmup pair "
+            "(their VM-cold round-0s remain pooled, uncurated); from run "
+            "18 on, one unmeasured (N,4N) warmup pair precedes "
+            "measurement, so the 32M pool mixes the two regimes and is "
+            "labeled so here; every 1e8 north-rule run is "
+            "warmup-homogeneous (warmup_pairs=1, recorded per run)"
         ),
         "warmup_pairs": args.warmup,
         "throughput_N": median_round["N"]["events_per_sec"],
@@ -218,6 +224,11 @@ def main() -> None:
     if os.path.exists(series_path):
         with open(series_path) as f:
             series = json.load(f)
+    # the methodology string is a DECLARATION of the pooling rule, not a
+    # measurement — keep it current so the pooled medians are labeled by
+    # what they actually mix (ADVICE r4: the warmup protocol changed at
+    # run 18 and the 32M pool spans both regimes)
+    series["methodology"] = doc["methodology"]
     series["runs"].append(
         {
             "events": args.events,

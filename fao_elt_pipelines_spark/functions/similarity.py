@@ -619,14 +619,17 @@ def train_kmeans_ivf(
     sample_n: int = 10_000,
 ):
     """Train IVF centroids from a BOUNDED deterministic sample: rows are
-    ranked by xxhash64(id) (an order-free pseudo-shuffle, identical on any
-    partitioning) and the first ``sample_n`` vectors are collected —
-    O(sample_n × dim) driver memory regardless of corpus size, the same
-    train-on-sample recipe every production IVF index uses. The returned
-    (k × dim) array is closure-shipped to executors (a few KB)."""
+    ranked by md5('kmeans|' || id) (an order-free pseudo-shuffle,
+    identical on any partitioning AND engine-independent — DuckDB derives
+    the same sample in the same order, which is what lets the
+    ann_kmeans_topk oracle regenerate this exact codebook without Spark)
+    and the first ``sample_n`` vectors are collected — O(sample_n × dim)
+    driver memory regardless of corpus size, the same train-on-sample
+    recipe every production IVF index uses. The returned (k × dim) array
+    is closure-shipped to executors (a few KB)."""
     rows = (
         df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)))
+        .orderBy(F.md5(F.concat(F.lit("kmeans|"), F.col(id_col).cast("string"))))
         .limit(sample_n)
         .collect()
     )

@@ -28,7 +28,11 @@ def tokens(col: Column) -> Column:
 
 
 #: the BPE-ish piece alternation — ONE definition for both the count and
-#: the array form (the DuckDB oracles embed the same pattern text)
+#: the array form AND the DuckDB oracles (SQL_TEXT_TOKEN_STATS /
+#: SQL_VOCAB_TOP_TOKENS interpolate this constant into their f-strings,
+#: so Spark and oracle can never drift on the pattern; the value contains
+#: no quote/brace characters, so it drops into a single-quoted SQL
+#: literal unescaped)
 BPE_ISH_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
 
 

@@ -6,6 +6,9 @@ left-fold double dot products)."""
 
 from __future__ import annotations
 
+import functools
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -495,13 +498,13 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TEXT_TOKEN_STATS = """
+SQL_TEXT_TOKEN_STATS = f"""
 WITH toks AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
 )
 SELECT doc_id,
        len(t) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '{TX.BPE_ISH_RE}')) AS n_bpe_tokens,
        CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS avg_token_len
 FROM toks
 """
@@ -1395,9 +1398,14 @@ def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str, k: int = 16,
     on the near-uniform synthetic embeddings, rising to 0.82+ at 8 probes
     (pytest property: beats-the-grid + probe-monotone floor).
 
-    Non-SQL-expressible (iterative training), so no DuckDB oracle — the
-    driver records the weaker rows-only check; exactness evidence is the
-    recall property plus determinism (fixed sample order + init).
+    The iterative TRAINING is not SQL-expressible, but the codebook it
+    produces is deterministic (md5-ordered sample + first-k init), so the
+    DuckDB oracle (sql_ann_kmeans_topk below) regenerates the identical
+    (k × dim) centroid matrix without Spark — same sample, same order,
+    same Lloyd's arithmetic — injects it as literals, and replays
+    assignment + probe + scoring + top-5 exactly in SQL; training quality
+    itself is pinned by the recall/monotonicity/determinism property
+    tests (tests/test_ml_ops.py).
 
     At 10^9 vectors: train stays O(sample × dim) on the driver, assignment
     is embarrassingly parallel, and scoring is one equi-join on cell id —
@@ -1430,6 +1438,96 @@ def q_ann_kmeans_topk(spark: SparkSession, sf_dir: str, k: int = 16,
         .filter(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@functools.lru_cache(maxsize=1)
+def sql_ann_kmeans_topk() -> str | None:
+    """DuckDB oracle for ann_kmeans_topk, generated lazily (the registry
+    stores this CALLABLE; __spark_entry__.oracle_sql resolves it).
+
+    Lloyd's training is iterative, so the oracle splits the entry at the
+    codebook seam: the (k × dim) centroid matrix is regenerated HERE
+    without Spark — DuckDB selects the same bounded sample in the same
+    engine-independent order (md5('kmeans|' || vec_id), exactly
+    train_kmeans_ivf's key) and the shared SIM.kmeans_centroids runs the
+    identical float64 arithmetic, so the codebook is bit-identical to the
+    one the Spark path trains — then assignment (argmax dot, ties to the
+    lower cell id, matching np.argmax), 5-probe selection (score DESC,
+    cid ASC — kmeans_probe's stable argsort), candidate equi-join on the
+    cell, exact cosine, and the id-tie-broken top-5 are replayed purely
+    in SQL over the injected literals. Output is ids+rank only
+    (cosine dropped), the same last-ulp discipline as
+    SQL_ANN_IVF_TOPK_IDS' numpy-scorer twin.
+
+    Trains on the ORACLE sf (the fixed dataset the driver and
+    tests/test_entry_oracle.py both compare at); returns None when that
+    fixture is absent so the entry degrades to the rows-only check
+    instead of breaking import."""
+    import duckdb
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_ORACLE_DIR_TEST", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    con = duckdb.connect()
+    try:
+        rows = con.execute(
+            "SELECT embedding FROM read_parquet(?) "
+            "ORDER BY md5('kmeans|' || CAST(vec_id AS VARCHAR)) LIMIT 10000",
+            [path],
+        ).fetchall()
+    finally:
+        con.close()
+    C = SIM.kmeans_centroids([r[0] for r in rows], k=16, iters=10)
+    cent_values = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            cid, ", ".join(repr(float(x)) for x in C[cid])
+        )
+        for cid in range(len(C))
+    )
+    # assignment score: unnormalized dot — argmax-equivalent to the numpy
+    # path's normalized dot (positive per-row scale preserves order)
+    assign = f"""
+  SELECT e.vec_id, e.embedding, cents.cid,
+         {_DOT.format(a="e.embedding", b="cents.c")} AS s
+  FROM embeddings e CROSS JOIN cents
+"""
+    return f"""
+WITH cents(cid, c) AS (VALUES
+  {cent_values}
+),
+assign AS ({assign}),
+cand AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, cid AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid ASC) AS rn
+        FROM assign)
+  WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, cid AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid ASC) AS rn
+        FROM assign WHERE vec_id < 10)
+  WHERE rn <= 5
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {_DOT.format(a="qe", b="ce")}
+           / sqrt({_DOT.format(a="qe", b="qe")})
+           / sqrt({_DOT.format(a="ce", b="ce")}) AS cosine_sim
+  FROM q JOIN cand USING (bucket)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC)
+            AS BIGINT) AS rnk
+FROM scored
+QUALIFY rnk <= 5
+"""
 
 
 def q_embedding_neardup_lsh_np_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1498,12 +1596,16 @@ def q_shuffle_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string"))).alias("_hk"),
     )
     ranked = global_rank(h, "_hk", "shuffle_pos", descending=False)
+    # integer `div` on BOTH engines: float-floor was exact only because
+    # SHUFFLE_SHARD_SIZE is a power of two and positions stay < 2^53; a
+    # future odd shard size must not mis-bucket boundary positions via
+    # double rounding (ADVICE r4)
     return ranked.select(
         "doc_id",
         "shuffle_pos",
-        F.floor(
-            (F.col("shuffle_pos") - 1) / F.lit(float(SHUFFLE_SHARD_SIZE))
-        ).cast("long").alias("shard_id"),
+        F.expr(f"(shuffle_pos - 1) div {SHUFFLE_SHARD_SIZE}")
+        .cast("long")
+        .alias("shard_id"),
     ).orderBy("doc_id")
 
 
@@ -1514,7 +1616,7 @@ WITH h AS (
   SELECT doc_id, CAST(rank() OVER (ORDER BY hk) AS BIGINT) AS shuffle_pos FROM h
 )
 SELECT doc_id, shuffle_pos,
-       CAST(floor((shuffle_pos - 1) / {float(SHUFFLE_SHARD_SIZE)}) AS BIGINT) AS shard_id
+       CAST((shuffle_pos - 1) // {SHUFFLE_SHARD_SIZE} AS BIGINT) AS shard_id
 FROM r ORDER BY doc_id
 """
 
@@ -1631,7 +1733,7 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_VOCAB_TOP_TOKENS = f"""
 WITH tok AS (
-  SELECT unnest(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS token
+  SELECT unnest(regexp_extract_all(text, '{TX.BPE_ISH_RE}')) AS token
   FROM documents
 ),
 c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
@@ -1668,7 +1770,9 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "ann_ivf_topk_matmul": (q_ann_ivf_topk_matmul_ids, SQL_ANN_IVF_TOPK_IDS),
-    "ann_kmeans_topk": (q_ann_kmeans_topk, None),
+    # oracle is a lazy CALLABLE (trains the codebook at resolve time);
+    # __spark_entry__.oracle_sql resolves it to SQL text
+    "ann_kmeans_topk": (q_ann_kmeans_topk, sql_ann_kmeans_topk),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
