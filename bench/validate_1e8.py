@@ -82,6 +82,18 @@ def main() -> None:
         "run",
     )
     ap.add_argument(
+        "--gen-slices", type=int, default=0,
+        help="generate-replay-DELETE mode for scales whose binlog would "
+        "not fit on disk (the 10^10 path): the logical stream is "
+        "generated in this many epoch-aligned seq slices (binlog.py "
+        "start_seq — bit-identical to slicing a whole-stream "
+        "generation), each slice is replayed, folded into an "
+        "incrementally-maintained DuckDB winners table (the independent "
+        "oracle, updated BEFORE the slice is deleted), snapshot-expired "
+        "+ orphan-GC'd, and its binlog removed — peak disk is one slice "
+        "+ live state instead of the whole stream. 0 = off",
+    )
+    ap.add_argument(
         "--reuse-binlog", action="store_true",
         help="keep an already-generated binlog in the workdir and replay "
         "it onto a fresh table (state/checkpoint/mv are wiped) — for "
@@ -94,6 +106,13 @@ def main() -> None:
         raise SystemExit("--mirror is its own arm; do not combine")
     if args.gc_slices and (args.mirror or args.wap or args.bootstrap):
         raise SystemExit("--gc-slices is the plain arm's disk-bound mode; do not combine")
+    if args.gen_slices:
+        if args.mirror or args.wap or args.bootstrap or args.gc_slices or args.reuse_binlog:
+            raise SystemExit("--gen-slices is its own disk-bound arm; do not combine")
+        if args.events % args.gen_slices:
+            raise SystemExit("--gen-slices must divide --events")
+        if (args.events // args.gen_slices) % (args.events // args.epochs):
+            raise SystemExit("slice size must be a whole number of epochs")
 
     binlog = os.path.join(args.workdir, "binlog")
     table = os.path.join(args.workdir, "state")
@@ -206,6 +225,111 @@ def main() -> None:
             replay = json.loads(proc.stdout.strip().splitlines()[-1])
             mirror_runs.append({"replay": replay, "mirror": mirror_step()})
         mirror_final_noop = mirror_step()  # exactly-once: nothing new
+    elif args.gen_slices:
+        # generate-replay-delete: never more than one slice's binlog on
+        # disk. The oracle winners table is folded forward BEFORE each
+        # slice is deleted — same two-phase LWW shape as the full-binlog
+        # oracle below, just applied incrementally (prev winners rows
+        # join the fold as ordinary events at their last_seq; seq is
+        # globally unique so the max/join-back is unambiguous).
+        import duckdb as _duck
+
+        winners_path = os.path.join(args.workdir, "oracle_winners.parquet")
+        spill = os.path.join(args.workdir, "duck_spill")
+        os.makedirs(spill, exist_ok=True)
+        _ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
+
+        def oracle_fold(slice_binlog: str) -> None:
+            c = _duck.connect()
+            try:
+                c.execute(f"SET threads={args.cores}")
+                c.execute(f"SET temp_directory='{spill}'")
+                c.execute(f"SET memory_limit='{max(1, int(_ram_gb * 0.6))}GB'")
+                prev = (
+                    f'UNION ALL SELECT repo, path, op, "commit", lang, content, '
+                    f"last_seq AS seq FROM read_parquet('{winners_path}')"
+                    if os.path.exists(winners_path)
+                    else ""
+                )
+                c.execute(
+                    f"""
+                    CREATE TEMP VIEW allrows AS
+                    SELECT repo, path, op, "commit", lang, content, seq
+                    FROM read_parquet('{slice_binlog}/epoch=*/*.parquet',
+                                      hive_partitioning=1)
+                    {prev}
+                    """
+                )
+                c.execute(
+                    """
+                    CREATE TEMP TABLE ls AS
+                    SELECT repo, path, max(seq) AS last_seq
+                    FROM allrows GROUP BY repo, path
+                    """
+                )
+                c.execute(
+                    f"""
+                    COPY (
+                      SELECT a.repo, a.path, a.op, a."commit", a.lang,
+                             a.content, a.seq AS last_seq
+                      FROM allrows a
+                      JOIN ls w ON a.repo = w.repo AND a.path = w.path
+                                AND a.seq = w.last_seq
+                    ) TO '{winners_path}.next' (FORMAT PARQUET)
+                    """
+                )
+            finally:
+                c.close()
+            if os.path.exists(winners_path):
+                os.remove(winners_path)
+            os.replace(winners_path + ".next", winners_path)
+
+        def gc_step() -> None:
+            for sub_cmd in (["expire", "--keep-last", "2"],
+                            ["orphans", "--older-than-hours", "0"]):
+                gp = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "scripts", "table_tool.py"),
+                     "--table", table, "--cores", str(args.cores), *sub_cmd],
+                    capture_output=True, text=True, cwd=REPO,
+                )
+                if gp.returncode != 0:
+                    sys.stderr.write(gp.stderr[-4000:])
+                    raise SystemExit(f"gc step {sub_cmd[0]} failed rc={gp.returncode}")
+
+        per_slice_events = args.events // args.gen_slices
+        gi = base_cmd.index("--generate")
+        replay = None
+        applied_all: list[int] = []
+        events_in_total = 0
+        replay_secs = 0.0
+        slice_walls: list[float] = []
+        for s in range(args.gen_slices):
+            ts = time.time()
+            slice_cmd = list(base_cmd)
+            slice_cmd[gi + 1] = str(per_slice_events)
+            slice_cmd += ["--generate-start", str(s * per_slice_events)]
+            proc = subprocess.run(
+                slice_cmd, capture_output=True, text=True, cwd=REPO
+            )
+            if proc.returncode != 0:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"gen-slice {s} replay failed rc={proc.returncode}")
+            replay = json.loads(proc.stdout.strip().splitlines()[-1])
+            applied_all.extend(replay["epochs_applied"])
+            events_in_total += replay["events_in"]
+            if replay["events_in"]:
+                replay_secs += replay["events_in"] / replay["events_per_sec"]
+            oracle_fold(binlog)
+            gc_step()
+            shutil.rmtree(binlog, ignore_errors=True)
+            slice_walls.append(round(time.time() - ts, 1))
+        replay["epochs_applied"] = applied_all
+        replay["events_in"] = events_in_total
+        replay["events_per_sec"] = (
+            round(events_in_total / replay_secs, 1) if replay_secs else 0.0
+        )
+        replay["gen_slices"] = args.gen_slices
+        replay["slice_walls_sec"] = slice_walls
     elif args.gc_slices:
         # disk-bound mode: replay in slices, expiring superseded snapshots
         # and deleting their orphaned files between slices so the table
@@ -317,24 +441,35 @@ def main() -> None:
     # box's memory and re-enable the OOM-kill the spill dir prevents)
     ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / 2**30
     con.execute(f"SET memory_limit='{max(1, int(ram_gb * 0.6))}GB'")
-    con.execute(
-        f"""
-        CREATE TEMP TABLE last_seqs AS
-        SELECT repo, path, max(seq) AS last_seq
-        FROM read_parquet('{binlog}/epoch=*/*.parquet', hive_partitioning=1)
-        GROUP BY repo, path
-        """
-    )
-    con.execute(
-        f"""
-        CREATE TEMP TABLE winners AS
-        SELECT b.repo, b.path, b.op, b.commit, b.lang, b.content,
-               b.seq AS last_seq
-        FROM read_parquet('{binlog}/epoch=*/*.parquet', hive_partitioning=1) b
-        JOIN last_seqs w
-          ON b.repo = w.repo AND b.path = w.path AND b.seq = w.last_seq
-        """
-    )
+    if args.gen_slices:
+        # winners were folded incrementally, slice by slice, before each
+        # slice binlog was deleted — the full binlog no longer exists
+        con.execute(
+            f"""
+            CREATE TEMP VIEW winners AS
+            SELECT * FROM read_parquet(
+                '{os.path.join(args.workdir, "oracle_winners.parquet")}')
+            """
+        )
+    else:
+        con.execute(
+            f"""
+            CREATE TEMP TABLE last_seqs AS
+            SELECT repo, path, max(seq) AS last_seq
+            FROM read_parquet('{binlog}/epoch=*/*.parquet', hive_partitioning=1)
+            GROUP BY repo, path
+            """
+        )
+        con.execute(
+            f"""
+            CREATE TEMP TABLE winners AS
+            SELECT b.repo, b.path, b.op, b.commit, b.lang, b.content,
+                   b.seq AS last_seq
+            FROM read_parquet('{binlog}/epoch=*/*.parquet', hive_partitioning=1) b
+            JOIN last_seqs w
+              ON b.repo = w.repo AND b.path = w.path AND b.seq = w.last_seq
+            """
+        )
     ora_repo = con.execute(
         """
         SELECT repo, count(*) AS rows, sum(last_seq) AS sum_seq
@@ -433,6 +568,8 @@ def main() -> None:
     name = f"validate_{scale}"
     if args.gc_slices:
         out["gc_slices"] = args.gc_slices
+    if args.gen_slices:
+        out["gen_slices"] = args.gen_slices
     if args.content_reps is not None:
         out["content_reps"] = args.content_reps
     if args.reuse_binlog:

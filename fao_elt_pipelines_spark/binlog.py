@@ -57,16 +57,24 @@ def change_events(
     num_partitions: int | None = None,
     with_v2_columns: bool = False,
     content_reps: int | None = None,
+    start_seq: int = 0,
 ) -> DataFrame:
     """Build the change-event DataFrame lazily (never collected).
 
     Columns: seq, epoch, op, repo, path, commit, lang, content, ingest_ts
     (+ author, size_bytes when ``with_v2_columns`` — FIXTURES.md §3, the
     additive schema-evolution variant).
+
+    ``start_seq`` generates the SLICE [start_seq, start_seq + n_events)
+    of the logical stream: every column is a pure function of seq, so a
+    slice is bit-identical to the same range of a whole-stream
+    generation — what lets a 10^10-event replay generate/replay/delete
+    epoch slices without ever materializing the full binlog
+    (bench/validate_1e8.py --gen-slices).
     """
     if num_partitions is None:
         num_partitions = max(spark.sparkContext.defaultParallelism, 8)
-    df = spark.range(0, n_events, 1, num_partitions).withColumnRenamed("id", "seq")
+    df = spark.range(start_seq, start_seq + n_events, 1, num_partitions).withColumnRenamed("id", "seq")
     seq = F.col("seq")
 
     u_repo = _unit(seed, "repo", seq)

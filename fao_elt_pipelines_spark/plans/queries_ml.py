@@ -411,6 +411,27 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters computed by large-star/small-star contraction
+    (operators/components.py:connected_components_star) instead of
+    min-label propagation: identical output contract and canonical
+    labels, convergence O(log n)-ish rounds in component SIZE rather
+    than O(diameter) — the variant to run when the pair graph may chain
+    adversarially. Shares SQL_DEDUP_CLUSTERS verbatim: the closure is
+    the same mathematical object, so one oracle certifies both
+    algorithms (and the algorithms are cross-equated on adversarial
+    graphs in tests/test_ml_ops.py)."""
+    from ..operators.components import connected_components_star
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components_star(pairs, "doc_a", "doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "cluster_id",
+        (F.col("node") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("doc_id")
+
+
 SQL_DEDUP_CLUSTERS = f"""
 WITH RECURSIVE {_MINHASH_PAIR_CTES},
 nodes AS (SELECT doc_a AS doc_id FROM pairs UNION SELECT doc_b FROM pairs),
@@ -892,27 +913,72 @@ SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {COSINE_TAU}
 """
 
 
+#: per-cell population target for semantic dedup's trained quantizer —
+#: the executor-sizing knob: the greedy sweep is O(cell · kept · dim) per
+#: cell, so cells must track corpus size / this cap, not a fixed grid
+SEMANTIC_CELL_CAP = 64
+#: flat-codebook ceiling: beyond this, a single broadcast codebook stops
+#: being the right structure (k=10^7 centroids is GBs) — the scale path
+#: past it is hierarchical coarse quantization (assign to 4096 coarse
+#: cells, re-train per coarse cell), same machinery applied twice
+SEMANTIC_K_MAX = 4096
+
+
+def semantic_cell_k(n: int) -> int:
+    """Trained-cell count for an n-vector corpus: ceil(n / cap), clamped.
+    Shared by the Spark path and the DuckDB oracle generator so both
+    train the same-k codebook."""
+    return min(max(2, -(-n // SEMANTIC_CELL_CAP)), SEMANTIC_K_MAX)
+
+
+def semantic_cells(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding, bucket) with bucket = TRAINED kmeans cell —
+    the coarse quantizer q_semantic_dedup sweeps within, sized k =
+    ceil(corpus / SEMANTIC_CELL_CAP) so cell population tracks the cap
+    regardless of corpus size or skew (a fixed sign-LSH grid lets one hot
+    cell grow linearly with the corpus; trained centroids converge ON the
+    hot region and split it — tests/test_ml_ops.py pins this on a skewed
+    corpus). Also the cell source for the incremental ingest twin
+    (tests reuse it so batch and online modes share one quantizer).
+
+    Cost: one scalar count, one bounded md5-ordered sample collect +
+    driver Lloyd's (train_kmeans_ivf), one broadcast-codebook numpy
+    assignment pass — no extra shuffle beyond the sweep's own."""
+    n = e.count()
+    if n == 0:
+        return e.select("vec_id", "embedding", F.lit(0).cast("int").alias("bucket"))
+    cents = SIM.train_kmeans_ivf(e, k=semantic_cell_k(n))
+    return e.select(
+        "vec_id",
+        "embedding",
+        SIM.kmeans_assign(cents, F.col("embedding")).alias("bucket"),
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (functions/similarity.py
-    greedy_cell_dedup): coarse-quantize the corpus into sign-LSH cells
-    (same 4-plane grid the near-dup family uses), then GREEDILY sweep each
-    cell in ascending vec_id — drop a vector iff it is within COSINE_TAU
-    of an already-kept one, recording the smallest such kept id as
-    ``dup_of``. The survivor set is the deduplicated corpus; it differs
-    from anti-joining the pair set (chains keep their endpoints — see the
-    operator docstring). One shuffle (by cell), sweep parallel across
-    cells.
+    greedy_cell_dedup): coarse-quantize the corpus into TRAINED kmeans
+    cells (semantic_cells — k grows as ceil(corpus/SEMANTIC_CELL_CAP), so
+    the per-cell sweep stays executor-sized at any corpus scale, unlike
+    the fixed 16-cell sign-LSH grid this entry used through round 4),
+    then GREEDILY sweep each cell in ascending vec_id — drop a vector iff
+    it is within COSINE_TAU of an already-kept one, recording the
+    smallest such kept id as ``dup_of``. The survivor set is the
+    deduplicated corpus; it differs from anti-joining the pair set
+    (chains keep their endpoints — see the operator docstring). One
+    shuffle (by cell), sweep parallel across cells.
 
-    The DuckDB oracle replays the IDENTICAL greedy recurrence as a
-    recursive CTE that advances every cell one rank per iteration,
-    carrying the kept set as list columns — so the differential certifies
-    the sequential semantics, not just the pair math."""
+    The DuckDB oracle (sql_semantic_dedup, a lazy callable like
+    sql_ann_kmeans_topk's) regenerates the identical codebook without
+    Spark — same count → same k, same md5-ordered sample, same Lloyd's
+    float64 arithmetic — injects the centroids as literals, assigns cells
+    in SQL, and replays the IDENTICAL greedy recurrence as a recursive
+    CTE that advances every cell one rank per iteration, carrying the
+    kept set as list columns — so the differential certifies the trained
+    cells AND the sequential semantics, not just the pair math."""
     release_caches()
     e = load(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
-    )
-    return SIM.greedy_cell_dedup(b, tau=COSINE_TAU)
+    return SIM.greedy_cell_dedup(semantic_cells(e), tau=COSINE_TAU)
 
 
 # cosine of a kept vector kv against the incoming row e: dot first, then
@@ -927,12 +993,82 @@ _KCOS = (
     " / g.kept_nrms[list_position(g.kept_vecs, kv)] / e.nrm"
 )
 
-SQL_SEMANTIC_DEDUP = f"""
+@functools.lru_cache(maxsize=1)
+def sql_semantic_dedup() -> str | None:
+    """Lazy DuckDB oracle for semantic_dedup over TRAINED cells: counts
+    the oracle corpus, derives the same k = semantic_cell_k(n), retrains
+    the codebook via the engine-independent md5 sample (bit-identical to
+    the Spark path's — see sql_ann_kmeans_topk, same seam), then replays
+    cell assignment + the greedy keep/drop recurrence entirely in SQL.
+    Returns None when the oracle fixture is absent (rows-only degrade)."""
+    import duckdb
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_ORACLE_DIR_TEST", "/root/testdata/sf0.01"
+    )
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    con = duckdb.connect()
+    try:
+        n = con.execute(
+            "SELECT count(*) FROM read_parquet(?)", [path]
+        ).fetchone()[0]
+        rows = con.execute(
+            "SELECT embedding FROM read_parquet(?) "
+            "ORDER BY md5('kmeans|' || CAST(vec_id AS VARCHAR)) LIMIT 10000",
+            [path],
+        ).fetchall()
+    finally:
+        con.close()
+    if n == 0:
+        return None
+    C = SIM.kmeans_centroids([r[0] for r in rows], k=semantic_cell_k(n), iters=10)
+    return semantic_dedup_oracle_sql(C)
+
+
+def centroid_values_sql(C) -> str:
+    """``(cid, [..]::DOUBLE[])`` VALUES rows for a codebook — repr() of
+    each float64 round-trips exactly, so the SQL literal is the bit-exact
+    centroid."""
+    return ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            cid, ", ".join(repr(float(x)) for x in C[cid])
+        )
+        for cid in range(len(C))
+    )
+
+
+def semantic_dedup_oracle_sql(C) -> str:
+    """The semantic-dedup oracle for a GIVEN codebook (tests inject their
+    own tiny-corpus codebooks through this seam)."""
+    return SQL_SEMANTIC_DEDUP_TEMPLATE.format(cent_values=centroid_values_sql(C))
+
+
+# assignment score is the unnormalized dot (argmax-equivalent to the
+# numpy path's normalized dot: positive per-row scale preserves order);
+# ties break to the lower cell id, matching np.argmax
+SQL_SEMANTIC_DEDUP_TEMPLATE = f"""
 WITH RECURSIVE
-b AS (
-  SELECT vec_id, embedding, {_BUCKET.format(v="embedding")} AS bucket,
+cents(cid, c) AS (VALUES
+  {{cent_values}}
+),
+e0 AS (
+  SELECT vec_id, embedding,
          sqrt({_DOT.format(a="embedding", b="embedding")}) AS nrm
   FROM embeddings
+),
+sc AS (
+  SELECT e0.vec_id, e0.embedding, e0.nrm, cents.cid,
+         {_DOT.format(a="e0.embedding", b="cents.c")} AS s
+  FROM e0 CROSS JOIN cents
+),
+b AS (
+  SELECT vec_id, embedding, nrm, CAST(cid AS INTEGER) AS bucket
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid ASC) AS rn
+        FROM sc)
+  WHERE rn = 1
 ),
 r AS (
   SELECT vec_id, embedding, bucket, nrm,
@@ -1481,12 +1617,7 @@ def sql_ann_kmeans_topk() -> str | None:
     finally:
         con.close()
     C = SIM.kmeans_centroids([r[0] for r in rows], k=16, iters=10)
-    cent_values = ",\n  ".join(
-        "({}, [{}]::DOUBLE[])".format(
-            cid, ", ".join(repr(float(x)) for x in C[cid])
-        )
-        for cid in range(len(C))
-    )
+    cent_values = centroid_values_sql(C)
     # assignment score: unnormalized dot — argmax-equivalent to the numpy
     # path's normalized dot (positive per-row scale preserves order)
     assign = f"""
@@ -1761,6 +1892,8 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     # incremental ≡ batch by construction; certified by the SAME oracle
     "dedup_minhash_incremental": (q_dedup_minhash_incremental, SQL_DEDUP_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    # star-contraction twin: same closure, same oracle (see docstring)
+    "dedup_clusters_star": (q_dedup_clusters_star, SQL_DEDUP_CLUSTERS),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "sample_stratified": (q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
@@ -1774,7 +1907,9 @@ REGISTRY_ML: dict[str, QuerySpec] = {
     # __spark_entry__.oracle_sql resolves it to SQL text
     "ann_kmeans_topk": (q_ann_kmeans_topk, sql_ann_kmeans_topk),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    # lazy callable oracle (trained-cell codebook literals), like
+    # ann_kmeans_topk's
+    "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup),
     "embedding_neardup": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "embedding_neardup_lsh_np": (q_embedding_neardup_lsh_np_ids, SQL_EMBEDDING_NEARDUP_LSH_IDS),

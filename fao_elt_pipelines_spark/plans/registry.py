@@ -14,102 +14,70 @@ explicitly:
 * ``_ROTATION_TAIL`` — the overflow beyond the 50-row cap.  Only entries
   that are (a) driver-green in a previous round, (b) unchanged since, and
   (c) twin-tied to an in-cap entry by an in-repo equivalence test or a
-  shared oracle SQL may sit here:
+  shared oracle SQL — or, per the round-4 veteran precedent
+  (union_projections et al.), carrying a multi-round uninterrupted green
+  streak with a byte-unchanged body — may sit here.  Every tail entry is
+  additionally re-checked by the in-repo oracle differential every pytest
+  run (tests/test_entry_oracle.py parametrizes ALL entries through the
+  same rows+schema+hash compare the driver runs).
 
-  - ``cdc_partial_update_merge`` shares its oracle SQL with
-    ``cdc_partial_update`` (fold-halves + monoid-merge ≡ one-shot fold).
-  - ``dedup_ngram_jaccard`` is the brute baseline equated to
-    ``dedup_minhash_lsh`` at threshold 0.8 (tests/test_ml_ops.py).
-  - ``ann_ivf_topk_matmul`` is equated to ``ann_ivf_topk``
-    (tests/test_ml_ops.py).
-  - ``embedding_neardup_lsh`` is equated to ``embedding_neardup_lsh_np``
-    (tests/test_ml_ops.py), which stays in-cap.
-  - ``embedding_neardup`` is the brute baseline of the same family.
-  - ``ann_cosine_topk`` is the exact brute baseline that
-    ``ann_ivf_topk`` (in-cap) is recall-tied to
-    (tests/test_ml_ops.py::test_ivf_recall_vs_brute_force); unchanged
-    since its round-3 driver-green row.
-  - ``windowed_event_counts`` (tumbling) is the slide=size special case
-    of ``sliding_window_counts``'s operator, equated by
-    tests/test_windows.py::test_tumbling_is_sliding_with_slide_eq_size;
-    unchanged since its round-3 driver-green row.
-  - ``cdc_merge_upsert`` shares its oracle SQL with ``cdc_lww_state``
-    (in-cap this round): both compute the identical LWW final state, one
-    through the LakeTable merge path, one as a pure query. The merge path
-    additionally carries this round's strongest evidence of all — the
-    10^9-event independent-DuckDB-oracle arm (BENCH/validate_1e9.json,
-    per-repo + sample-sha256 match) plus the process-level kill -9 resume
-    tests — so it rotates out of the sf0.01 driver cap for one round.
-  - ``ann_ivf_topk`` rotates out for the round that adds
-    ``asof_join_events`` (the cap is zero-sum): driver-green r3, unchanged
-    since (verified against the r3 tree), equated to ``ann_ivf_topk_matmul``
-    by tests/test_ml_ops.py and recall-tied to the brute ``ann_cosine_topk``
-    — and the whole ANN family is still pinned every pytest run by the
-    in-repo oracle differential. It rotates back in next round.
-  - ``topk_orders`` rotates out for the round that adds
-    ``cdc_scd2_history`` (zero-sum again): driver-green r1–r3, its body
-    unchanged since r1, and now twin-tied to the distributed rank path by
-    tests/test_rank.py::test_topk_orders_equals_global_rank_topk
-    (TakeOrderedAndProject top-k ≡ filter(global_rank ≤ k) + total order
-    over the tiny survivor set). It rotates back in next round.
-  - ``gold_top_entities`` rotates out for the round that adds
-    ``cdc_cluster_scan`` (zero-sum): driver-green r1, r2 AND r3 — the
-    longest uninterrupted streak in the registry — byte-unchanged since
-    its r3-green row (its only post-r1 change, the two-phase global_rank
-    adoption, predates that row), and its rank core is separately pinned
-    by tests/test_rank.py plus the W1 no-single-partition-window plan
-    audit. It rotates back in next round.
-  - ``dedup_clusters``'s oracle composes the same _MINHASH_PAIR_CTES as
-    ``dedup_minhash_lsh``/``dedup_minhash_incremental`` (in-cap), and its
-    own contribution (connected components) has dedicated convergence /
-    chain / island tests (tests/test_ml_ops.py); unchanged since its
-    round-3 driver-green row.
+ROUND-5 ROTATION.  The 19 entries that sat out round 4 all rotate back in
+(fulfilling the ≤1-round-staleness promise; their r03 driver rows date two
+rounds back now), joined by this round's changed/new entries.  The new tail
+is drawn from the 46 stable r04-green names:
 
-  One documented exception to (b): ``dedup_ngram_jaccard`` was touched in
-  round 4 by a delegation-only refactor (its shingle/jaccard helpers now
-  call the shared functions/similarity.py definitions instead of private
-  twins — same plan, same output). Output equality is pinned every pytest
-  run by the in-repo 58-way oracle differential plus its LSH-equivalence
-  twin test, so it keeps its tail seat rather than displacing a
-  never-verified entry from the cap.
+Tail seats justified by a SHARED ORACLE or an explicit equivalence test
+tying them to an entry that is IN-CAP this round:
 
-  - ``union_projections``, ``case_custom_sort``, ``gold_string_agg`` and
-    ``anti_join_required`` rotate out for the round that adds
-    ``range_join_events``, ``rollup_cascade_daily``, ``gold_percentiles``
-    and ``gold_cube_daily`` (zero-sum): all four driver-green r1–r3,
-    their bodies byte-unchanged since the
-    original registry commit (fc12500, verified with ``git log -L``),
-    and — like every tail entry — still pinned every pytest run by the
-    in-repo oracle differential (tests/test_entry_oracle.py parametrizes
-    ALL entries through the same rows+schema+hash compare the driver
-    runs). They rotate back in next round.
+  - ``cdc_lww_state`` shares SQL_CDC_LWW_STATE with ``cdc_merge_upsert``
+    (in-cap): identical LWW final state through the pure-query vs the
+    LakeTable MERGE path. Green r01-r04.
+  - ``cdc_partial_update`` shares SQL_CDC_PARTIAL_UPDATE with
+    ``cdc_partial_update_merge`` (in-cap): one-shot fold ≡ fold-halves +
+    monoid-merge. Green r03-r04.
+  - ``sliding_window_counts``: tumbling = slide=size special case, equated
+    to ``windowed_event_counts`` (in-cap) by
+    tests/test_windows.py::test_tumbling_is_sliding_with_slide_eq_size.
+    Green r01-r04.
+  - ``embedding_neardup_lsh_np`` is pair-set-equated to
+    ``embedding_neardup_lsh`` (in-cap) by tests/test_ml_ops.py. Green
+    r03-r04.
+  - ``dedup_minhash_lsh`` is threshold-0.8-equated to
+    ``dedup_ngram_jaccard`` (in-cap) by tests/test_ml_ops.py and composes
+    the same _MINHASH_PAIR_CTES as ``dedup_clusters`` (in-cap). Green
+    r01-r04.
+  - ``simhash_signatures``: ``simhash_neardup`` (in-cap) composes the
+    identical _SIMHASH_SIG_SQL CTE in its oracle and the same signature
+    builder in its Spark plan, so the signature computation is exercised
+    in-cap every round. Green r02, r04.
 
-  - ``pack_sequences``, ``sample_stratified`` and ``text_token_stats``
-    rotate out for the round that adds ``shuffle_training_order``,
-    ``sample_domain_mix`` and ``vocab_top_tokens`` (zero-sum): all three
-    driver-green r3, their bodies byte-unchanged since (``git log -L``:
-    last touched a8d0988 / 3715570 / bff35ba, all pre-r3-verdict), and
-    each twin-tied to its in-cap replacement —
-    ``pack_sequences`` rides the same two-phase operators/rank.py
-    machinery as ``shuffle_training_order`` (global_cumsum next to
-    global_rank, both pinned by tests/test_rank.py, and the shuffle's
-    rank==window equivalence test in tests/test_training_ops_r4.py
-    exercises the shared scheme); ``sample_stratified``'s md5-prefix
-    membership rule is asserted identical to the shared ``_md5_prefix4``
-    primitive that ``sample_domain_mix`` filters with; and
-    ``text_token_stats``' BPE-ish count is asserted equal to
-    ``size(bpe_ish_tokens(...))``, the array ``vocab_top_tokens``
-    explodes (both in tests/test_training_ops_r4.py). Documented
-    exception (the dedup_ngram_jaccard precedent): hoisting the
-    tokenizer regex literal to the shared ``BPE_ISH_RE`` constant
-    touched ``bpe_ish_token_count``'s body in round 4 — identical
-    pattern text, same plan; output equality stays pinned every pytest
-    run by the in-repo oracle differential plus the size==count twin
-    test.
+Tail seats justified by a DEDICATED in-repo equivalence suite pinning the
+entry's core against an independent recomputation every pytest run:
 
-  The tail rotates each round so every entry is driver-verified at least
-  every other round, and every entry whose code changed is verified in the
-  round it changed.
+  - ``cdc_changelog`` — tests/test_changelog.py::
+    test_changelog_equals_brute_state_diff. Green r03-r04.
+  - ``cdc_incremental_gold`` — tests/test_mv.py::
+    test_incremental_refresh_equals_full_recompute (both modes). Green
+    r03-r04.
+  - ``cdc_agg_merge`` — tests/test_partial_update.py::
+    test_agg_merge_split_equals_oneshot (+ extended-fns variant). Green
+    r03-r04.
+  - ``session_window_counts`` — tests/test_stateful_sessions.py::
+    test_stream_sessions_equal_batch_session_window (the streaming twin
+    recomputes the same sessions). Green r01-r04.
+
+Veteran cohort (the round-4 precedent: longest uninterrupted streaks in
+the registry, bodies byte-unchanged since their green rows, still pinned
+every pytest run by the in-repo differential; they rotate back in next
+round): ``silver_surrogate_key``, ``silver_unit_convert``,
+``gold_two_level_agg``, ``gold_having``, ``gold_conditional_agg``,
+``left_join_enrich``, ``dedup_exact``, ``dedup_fingerprint``,
+``text_quality``, ``text_lang_id`` — all green r01-r02-r03-r04 (four
+consecutive driver rows each).
+
+The tail rotates each round so every entry is driver-verified at least
+every other round, and every entry whose code changed is verified in the
+round it changed.
 """
 
 from __future__ import annotations
@@ -119,38 +87,17 @@ from .queries_ml import REGISTRY_ML
 
 _ALL: dict[str, QuerySpec] = {**_BASE_REGISTRY, **REGISTRY_ML}
 
-# Never driver-verified (text_*) or changed since last driver-green row
-# (simhash_* changed in round 3 after their round-2 rows), plus entries
-# new or modified this round.
+# Changed or new this round (lead), then the 18 round-4 tail entries
+# rotating back in (every one r03-green, byte-unchanged through round 4).
 _VERIFY_FIRST: list[str] = [
-    "simhash_signatures",
-    "simhash_neardup",
-    "text_redact_pii",
-    "text_contamination",
-    "multimodal_features",
-    "ann_kmeans_topk",
-    "dedup_chunks",
-    "dedup_boilerplate",
-    "dedup_minhash_incremental",
-    "dedup_minhash_lsh",  # round-4 delegation refactor — re-verify
-    "cdc_lww_state",  # round-4 lww_dedup delegation — re-verify
-    "semantic_dedup",  # new in round 4 — never driver-verified
-    "asof_join_events",  # new in round 4 — never driver-verified
-    "cdc_scd2_history",  # new in round 4 — never driver-verified
-    "range_join_events",  # new in round 4 — never driver-verified
-    "rollup_cascade_daily",  # new in round 4 — never driver-verified
-    "gold_percentiles",  # new in round 4 — never driver-verified
-    "gold_cube_daily",  # new in round 4 — never driver-verified
-    "cdc_cluster_scan",  # new in round 4 — never driver-verified
-    "shuffle_training_order",  # new in round 4 — never driver-verified
-    "sample_domain_mix",  # new in round 4 — never driver-verified
-    "vocab_top_tokens",  # new in round 4 — never driver-verified
-]
-
-_ROTATION_TAIL: list[str] = [
+    "dedup_clusters_star",  # new in round 5 — never driver-verified
+    "ann_kmeans_topk",  # round-5 centroid-literal oracle — first real row
+    "semantic_dedup",  # round-5 trained-quantizer cells — re-verify
+    "shuffle_training_order",  # round-5 integer-div shard fix — re-verify
+    "vocab_top_tokens",  # round-5 oracle regex interpolation — re-verify
+    "text_token_stats",  # rotating back in + round-5 oracle interpolation
     "pack_sequences",
     "sample_stratified",
-    "text_token_stats",
     "gold_top_entities",
     "anti_join_required",
     "gold_string_agg",
@@ -167,6 +114,32 @@ _ROTATION_TAIL: list[str] = [
     "ann_ivf_topk_matmul",
     "embedding_neardup_lsh",
     "embedding_neardup",
+]
+
+_ROTATION_TAIL: list[str] = [
+    # shared-oracle / equivalence-test ties (module docstring)
+    "cdc_lww_state",
+    "cdc_partial_update",
+    "sliding_window_counts",
+    "embedding_neardup_lsh_np",
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    # dedicated equivalence suites
+    "cdc_changelog",
+    "cdc_incremental_gold",
+    "cdc_agg_merge",
+    "session_window_counts",
+    # veteran cohort: green r01-r04, byte-unchanged
+    "silver_surrogate_key",
+    "silver_unit_convert",
+    "gold_two_level_agg",
+    "gold_having",
+    "gold_conditional_agg",
+    "left_join_enrich",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "text_quality",
+    "text_lang_id",
 ]
 
 _MIDDLE: list[str] = [

@@ -49,6 +49,11 @@ def main() -> None:
     ap.add_argument("--table", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--generate", type=int, default=0)
+    ap.add_argument("--generate-start", type=int, default=0,
+                    help="first seq of the generated slice — the binlog "
+                    "becomes events [start, start+N) of the logical "
+                    "stream (slice-wise 10^10 harness; epoch ids stay "
+                    "global because epoch = seq // events_per_epoch)")
     ap.add_argument("--content-reps", type=int, default=None,
                     help="pin generated content size (1 rep = 50 chars); "
                     "default: hash-chosen 50-1500 chars. Disk-bound runs "
@@ -177,6 +182,7 @@ def main() -> None:
             events_per_epoch=args.events_per_epoch,
             num_partitions=n_parts,
             content_reps=args.content_reps,
+            start_seq=args.generate_start,
         ).write.partitionBy("epoch").parquet(args.binlog)
     events = spark.read.parquet(args.binlog)
 

@@ -193,22 +193,35 @@ def test_semantic_dedup_greedy_invariants(spark, sf_dir):
     two KEPT rows in a cell are within tau of each other; (3) every
     similar-pair chain keeps its earliest member. The registry
     differential certifies the recurrence vs DuckDB; this pins the policy
-    against an independent pair-set reconstruction."""
+    against an independent pair-set reconstruction (per-TRAINED-cell
+    exact numpy cosines — the same quantizer the entry sweeps, pairs
+    recomputed all-pairs in the test, not via the engine's sweep)."""
+    import numpy as np
+
     from fao_elt_pipelines_spark.plans.queries_ml import (
         COSINE_TAU,
-        q_embedding_neardup_lsh_np,
         q_semantic_dedup,
+        semantic_cells,
     )
 
     rows = q_semantic_dedup(spark, sf_dir).collect()
     kept = {r.vec_id for r in rows if r.kept}
     cell = {r.vec_id: r.bucket for r in rows}
-    # exact cosine>=tau pairs within the same cells (id_a < id_b)
-    pairs = {
-        (r.id_a, r.id_b)
-        for r in q_embedding_neardup_lsh_np(spark, sf_dir).collect()
-        if r.cosine_sim >= COSINE_TAU
-    }
+    # exact cosine>=tau pairs within the same trained cells (id_a < id_b)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    by_cell = {}
+    for r in semantic_cells(e).collect():
+        by_cell.setdefault(r.bucket, []).append((r.vec_id, r.embedding))
+    pairs = set()
+    for members in by_cell.values():
+        ids = np.array([i for i, _ in members])
+        X = np.stack([np.asarray(v, dtype=np.float64) for _, v in members])
+        nrm = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
+        S = (X @ X.T) / nrm[:, None] / nrm[None, :]
+        ii, jj = np.nonzero(S >= COSINE_TAU)
+        for a, b in zip(ids[ii], ids[jj]):
+            if a < b:
+                pairs.add((int(a), int(b)))
     sim_to_earlier = {}  # vec -> sorted smaller-id similar same-cell ids
     for a, b in pairs:
         sim_to_earlier.setdefault(b, []).append(a)
@@ -241,12 +254,15 @@ def test_semantic_dedup_incremental_matches_batch(spark, sf_dir, cuts):
     to EXACTLY the one-shot batch sweep's decisions (the prefix property
     the operator's contract buys), for uneven splits and a degenerate
     near-empty third batch. The index is survivors-only."""
-    from fao_elt_pipelines_spark.plans.queries_ml import COSINE_TAU, q_semantic_dedup
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        COSINE_TAU,
+        q_semantic_dedup,
+        semantic_cells,
+    )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = e.select(
-        "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
-    )
+    # same TRAINED quantizer as the batch entry (shared semantic_cells)
+    b = semantic_cells(e)
     want = {
         r.vec_id: (r.bucket, r.kept, r.dup_of)
         for r in q_semantic_dedup(spark, sf_dir).collect()
@@ -287,6 +303,74 @@ def test_semantic_dedup_incremental_contract_violation_raises(spark, sf_dir):
         SIM.greedy_cell_dedup_incremental(stale, index, tau=COSINE_TAU).collect()
 
 
+def test_semantic_cells_split_hot_region(spark):
+    """The round-4 gap this closes: a fixed sign-LSH grid lets one hot
+    semantic region grow a single cell linearly with the corpus (one
+    executor task then sweeps O(cell · kept · dim)); TRAINED cells must
+    converge on the hot region and split it. 1500 vectors tightly
+    clustered around one direction + 100 spread decoys: the grid packs
+    the cluster into ~1-2 cells; semantic_cells' k =
+    ceil(1600/SEMANTIC_CELL_CAP) = 25 trained cells must hold the max
+    cell to a small multiple of the cap and far below the grid's hot
+    cell. Deterministic corpus (arithmetic perturbations, no RNG)."""
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        SEMANTIC_CELL_CAP,
+        semantic_cells,
+    )
+
+    dim = 16
+    vecs = []
+    for i in range(1500):  # hot: direction ~all-ones, ±3% perturbations
+        vecs.append(
+            (i, [1.0 + (((i * 31 + j * 17) % 7) - 3) / 100.0 for j in range(dim)])
+        )
+    for i in range(1500, 1600):  # spread decoys: alternating sign patterns
+        vecs.append(
+            (
+                i,
+                [
+                    float((1 if ((i * 13 + j * 29) % 5) > 1 else -1) * (1 + ((i + j) % 9) / 10))
+                    for j in range(dim)
+                ],
+            )
+        )
+    sdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    grid_max = (
+        sdf.select(SIM.ivf_bucket(F.col("embedding")).alias("b"))
+        .groupBy("b").count().agg(F.max("count")).first()[0]
+    )
+    trained = (
+        semantic_cells(sdf).groupBy("bucket").count()
+        .agg(F.max("count").alias("mx"), F.count("*").alias("n_cells")).first()
+    )
+    assert grid_max >= 500, f"fixture lost its skew (grid max {grid_max})"
+    assert trained.mx * 3 <= grid_max, (
+        f"trained cells did not split the hot region: max {trained.mx} "
+        f"vs grid {grid_max}"
+    )
+    assert trained.mx <= 4 * SEMANTIC_CELL_CAP
+
+
+def test_semantic_cell_k_formula():
+    """k tracks corpus/cap (the executor-sizing contract), floored at 2
+    and capped at the flat-codebook ceiling."""
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        SEMANTIC_CELL_CAP,
+        SEMANTIC_K_MAX,
+        semantic_cell_k,
+    )
+
+    assert semantic_cell_k(1) == 2
+    assert semantic_cell_k(SEMANTIC_CELL_CAP * 10) == 10
+    assert semantic_cell_k(SEMANTIC_CELL_CAP * 10 + 1) == 11  # ceil, not floor
+    assert semantic_cell_k(10**9) == SEMANTIC_K_MAX
+    ks = [semantic_cell_k(n) for n in range(1, 5000, 7)]
+    assert ks == sorted(ks)  # monotone in corpus size
+
+
 def test_semantic_dedup_huge_ids_exact(spark):
     """dup_of must survive snowflake-scale ids (> 2^53): a float64 hop
     would round-trip 2^60+1 to a NEARBY BUT DIFFERENT id — the emitted
@@ -315,7 +399,10 @@ def test_semantic_dedup_zero_norm_alignment(spark):
     row-for-row agreement with greedy_cell_dedup."""
     import duckdb
 
-    from fao_elt_pipelines_spark.plans.queries_ml import SQL_SEMANTIC_DEDUP
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        semantic_cell_k,
+        semantic_dedup_oracle_sql,
+    )
 
     # vec 0: zero vector (cell seed in its bucket). vec 1/2: near-identical
     # (cos ~1). vec 3: another zero vector. vec 4: orthogonal-ish survivor.
@@ -329,13 +416,6 @@ def test_semantic_dedup_zero_norm_alignment(spark):
     sdf = spark.createDataFrame(
         [(i, [float(x) for x in v]) for i, v in vecs], "vec_id long, embedding array<float>"
     )
-    b = sdf.select(
-        "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
-    )
-    got = {
-        r.vec_id: (r.bucket, r.kept, r.dup_of)
-        for r in SIM.greedy_cell_dedup(b, tau=0.3).collect()
-    }
     con = duckdb.connect()
     con.register(
         "embeddings",
@@ -343,9 +423,24 @@ def test_semantic_dedup_zero_norm_alignment(spark):
             {"vec_id": [i for i, _ in vecs], "embedding": [v for _, v in vecs]}
         ),
     )
+    # tiny-corpus codebook, derived exactly as the lazy oracle derives it
+    # (md5-ordered sample, semantic_cell_k cells) — zero vectors land IN
+    # the training sample, exercising the norm clamp
+    sample = con.execute(
+        "SELECT embedding FROM embeddings "
+        "ORDER BY md5('kmeans|' || CAST(vec_id AS VARCHAR))"
+    ).fetchall()
+    C = SIM.kmeans_centroids([r[0] for r in sample], k=semantic_cell_k(len(vecs)))
+    b = sdf.select(
+        "vec_id", "embedding", SIM.kmeans_assign(C, F.col("embedding")).alias("bucket")
+    )
+    got = {
+        r.vec_id: (r.bucket, r.kept, r.dup_of)
+        for r in SIM.greedy_cell_dedup(b, tau=0.3).collect()
+    }
     want = {
         row[0]: (row[1], row[2], row[3])
-        for row in con.execute(SQL_SEMANTIC_DEDUP).fetchall()
+        for row in con.execute(semantic_dedup_oracle_sql(C)).fetchall()
     }
     assert got == want, f"engine/oracle divergence: {got} vs {want}"
     # both zero vectors kept (never matched), and the duplicate dropped
@@ -483,6 +578,70 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_star_contraction_matches_min_label(spark):
+    """Both algorithms must produce IDENTICAL (node, cluster_id) maps on
+    a graph mixing a chain, a star, an island pair, and a triangle with
+    shuffled edge directions."""
+    from fao_elt_pipelines_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (2, 1), (2, 3), (4, 3),          # chain 1-2-3-4
+            (20, 25), (20, 22), (27, 20),    # star centered off-min
+            (10, 11),                        # island
+            (30, 31), (31, 32), (32, 30),    # triangle
+        ],
+        "doc_a long, doc_b long",
+    )
+    a = {r["node"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    b = {
+        r["node"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert a == b
+    assert b[4] == 1 and b[27] == 20 and b[32] == 30
+
+
+def test_star_contraction_path_graph_log_rounds(spark):
+    """The O(log n) property on the adversarial shape min-propagation
+    can't handle: a 256-node path has diameter 255 (min-label needs ~255
+    rounds; its default cap raises), but star contraction must converge
+    within 2·log2(n) + 4 = 20 alternation rounds and still emit the
+    single component labeled by the path minimum."""
+    import math
+
+    from fao_elt_pipelines_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=5)
+    cap = 2 * int(math.log2(n)) + 4
+    rows = connected_components_star(pairs, max_iter=cap).collect()
+    assert len(rows) == n
+    assert {r["cluster_id"] for r in rows} == {0}
+
+
+def test_star_contraction_raises_when_capped(spark):
+    from fao_elt_pipelines_spark.operators.components import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(pairs, max_iter=1)
 
 
 def test_kmeans_ivf_recall_beats_lsh_grid(spark, sf_dir):
