@@ -76,12 +76,16 @@ def test_cdc_ingest_with_incremental_semantic_dedup(spark, sf_dir, tmp_path):
     from pyspark.sql import types as T
 
     from fao_elt_pipelines_spark.functions import similarity as SIM
-    from fao_elt_pipelines_spark.plans.queries_ml import COSINE_TAU, q_semantic_dedup
+    from fao_elt_pipelines_spark.plans.queries_ml import (
+        COSINE_TAU,
+        q_semantic_dedup,
+        semantic_cells,
+    )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = e.select(
-        "vec_id", "embedding", SIM.ivf_bucket(F.col("embedding")).alias("bucket")
-    )
+    # same TRAINED quantizer as the batch entry (round 5: semantic cells
+    # come from semantic_cells' kmeans codebook, not the sign-LSH grid)
+    b = semantic_cells(e)
     n = e.count()
     # the lake's per-row invariant column is content_sha256 (the north
     # rule's contract), so the survivors table content-addresses each

@@ -101,12 +101,18 @@ def test_no_python_udf_in_relational_queries(spark, sf_dir):
     """Every oracle-checked relational query stays JVM-side (no
     BatchEvalPython / ArrowEvalPython nodes) — UDFs are reserved for the
     explicitly-Python surfaces (simhash's unpackbits reduction, the
-    kmeans-IVF trained-quantizer assignment/probe einsums, multimodal
-    decode), all Arrow-batched numpy, never row-at-a-time."""
+    kmeans-IVF trained-quantizer assignment/probe einsums — which since
+    round 5 also cell the semantic_dedup sweep via semantic_cells —
+    multimodal decode), all Arrow-batched numpy, never row-at-a-time."""
     from fao_elt_pipelines_spark.plans.registry import REGISTRY
 
     for name, (fn, sql) in REGISTRY.items():
-        if name in ("simhash_signatures", "simhash_neardup", "ann_kmeans_topk"):
+        if name in (
+            "simhash_signatures",
+            "simhash_neardup",
+            "ann_kmeans_topk",
+            "semantic_dedup",  # trained-cell assignment (kmeans_assign)
+        ):
             continue
         plan = _plan(fn(spark, sf_dir))
         assert "EvalPython" not in plan, f"{name} plan contains Python eval"
